@@ -1,0 +1,169 @@
+package graft.geo
+
+import Wkb._
+
+/** Planar geometry kernel: the scalar math behind the spatial UDF surface
+  * (SURVEY.md §2.7 G1–G9). Pure functions over the Wkb model.
+  *
+  * Conventions: shoelace treats ring orientation via |signed area|; holes
+  * subtract. Point-in-polygon uses ray casting with the even-odd rule
+  * (boundary points count as inside — adequate for cell-center tests,
+  * matching terra::extract / GEE filterBounds semantics closely enough
+  * for grid data).
+  */
+object Geo {
+
+  def signedRingArea(r: Ring): Double = {
+    var s = 0.0
+    var i = 0
+    val n = r.size
+    while (i < n) {
+      val j = (i + 1) % n
+      s += r.xs(i) * r.ys(j) - r.xs(j) * r.ys(i)
+      i += 1
+    }
+    s / 2.0
+  }
+
+  /** Area of a polygon: |shell| − Σ|holes| (planar, coordinate units²).
+    * The reference measures in Web-Mercator meters (distorted) — we
+    * replicate by transforming first (load_report.py:376-380). */
+  def polygonArea(p: Polygon): Double = {
+    var a = math.abs(signedRingArea(p.shell))
+    var i = 1
+    while (i < p.rings.length) { a -= math.abs(signedRingArea(p.rings(i))); i += 1 }
+    a
+  }
+
+  def area(g: Geom): Double = g match {
+    case Point(_, _)   => 0.0
+    case Poly(p)       => polygonArea(p)
+    case MultiPoly(ps) => ps.map(polygonArea).sum
+  }
+
+  /** Area-weighted centroid over all parts (holes subtract), matching
+    * shapely's centroid for polygons (load_report.py:334-337). */
+  def centroid(g: Geom): (Double, Double) = g match {
+    case Point(x, y) => (x, y)
+    case other =>
+      // Per ring: signed area sa = Σcross/2, centroid (sx/(6·sa), sy/(6·sa)).
+      // Weight each ring by |area|, +1 for shells, −1 for holes (dividing by
+      // the signed sa makes the formula orientation-independent).
+      var cx = 0.0; var cy = 0.0; var atot = 0.0
+      Wkb.asPolygons(other).foreach { p =>
+        var ri = 0
+        while (ri < p.rings.length) {
+          val r = p.rings(ri)
+          val sign = if (ri == 0) 1.0 else -1.0
+          var sx = 0.0; var sy = 0.0; var cross2 = 0.0
+          var i = 0
+          val n = r.size
+          while (i < n) {
+            val j = (i + 1) % n
+            val cross = r.xs(i) * r.ys(j) - r.xs(j) * r.ys(i)
+            sx += (r.xs(i) + r.xs(j)) * cross
+            sy += (r.ys(i) + r.ys(j)) * cross
+            cross2 += cross
+            i += 1
+          }
+          val sa = cross2 / 2.0
+          if (sa != 0.0) {
+            val w = sign * math.abs(sa)
+            cx += w * (sx / (6.0 * sa))
+            cy += w * (sy / (6.0 * sa))
+            atot += w
+          }
+          ri += 1
+        }
+      }
+      if (atot == 0.0) (0.0, 0.0) else (cx / atot, cy / atot)
+  }
+
+  final case class Env(xmin: Double, ymin: Double, xmax: Double, ymax: Double)
+
+  /** Envelope/bounds (total_bounds per geometry, load_report.py:322-326). */
+  def envelope(g: Geom): Env = g match {
+    case Point(x, y) => Env(x, y, x, y)
+    case other =>
+      var xmin = Double.PositiveInfinity; var ymin = Double.PositiveInfinity
+      var xmax = Double.NegativeInfinity; var ymax = Double.NegativeInfinity
+      Wkb.asPolygons(other).foreach { p =>
+        p.rings.foreach { r =>
+          var i = 0
+          while (i < r.size) {
+            if (r.xs(i) < xmin) xmin = r.xs(i)
+            if (r.xs(i) > xmax) xmax = r.xs(i)
+            if (r.ys(i) < ymin) ymin = r.ys(i)
+            if (r.ys(i) > ymax) ymax = r.ys(i)
+            i += 1
+          }
+        }
+      }
+      Env(xmin, ymin, xmax, ymax)
+  }
+
+  private def pointInRing(x: Double, y: Double, r: Ring): Boolean = {
+    var inside = false
+    var i = 0
+    var j = r.size - 1
+    while (i < r.size) {
+      val xi = r.xs(i); val yi = r.ys(i)
+      val xj = r.xs(j); val yj = r.ys(j)
+      if (((yi > y) != (yj > y)) &&
+          (x < (xj - xi) * (y - yi) / (yj - yi) + xi)) inside = !inside
+      j = i
+      i += 1
+    }
+    inside
+  }
+
+  /** Point-in-polygon: inside the shell of any part, outside its holes
+    * (ray casting; powers filterBounds / zonal joins, G7). */
+  def contains(g: Geom, x: Double, y: Double): Boolean = g match {
+    case Point(px, py) => px == x && py == y
+    case other =>
+      Wkb.asPolygons(other).exists { p =>
+        pointInRing(x, y, p.shell) && !p.holes.exists(h => pointInRing(x, y, h))
+      }
+  }
+
+  /** WKB geometry-type word → PostGIS-style name (G8). */
+  def geometryType(g: Geom): String = g match {
+    case Point(_, _)  => "Point"
+    case Poly(_)      => "Polygon"
+    case MultiPoly(_) => "MultiPolygon"
+  }
+
+  /** Exterior-ring coordinates of every part as [[x,y],...] per ring (G6). */
+  def exteriorRings(g: Geom): Array[Array[Array[Double]]] =
+    Wkb.asPolygons(g).map { p =>
+      val r = p.shell
+      Array.tabulate(r.size)(i => Array(r.xs(i), r.ys(i)))
+    }
+
+  /** Apply a coordinate transform to every vertex (helper for G2). */
+  def mapCoords(g: Geom, f: (Double, Double) => (Double, Double)): Geom = g match {
+    case Point(x, y) => val (nx, ny) = f(x, y); Point(nx, ny)
+    case Poly(p)     => Poly(mapPoly(p, f))
+    case MultiPoly(ps) => MultiPoly(ps.map(mapPoly(_, f)))
+  }
+
+  private def mapPoly(p: Polygon, f: (Double, Double) => (Double, Double)): Polygon =
+    Polygon(p.rings.map { r =>
+      val xs = new Array[Double](r.size)
+      val ys = new Array[Double](r.size)
+      var i = 0
+      while (i < r.size) {
+        val (nx, ny) = f(r.xs(i), r.ys(i))
+        xs(i) = nx; ys(i) = ny
+        i += 1
+      }
+      Ring(xs, ys)
+    })
+
+  /** Union-as-collect: merge parts into one MultiPolygon (observationally
+    * equivalent to ST_Union for the reference's non-overlapping parcels —
+    * documented deviation, SURVEY.md §7.4). */
+  def unionCollect(gs: Seq[Geom]): Geom =
+    MultiPoly(gs.toArray.flatMap(Wkb.asPolygons))
+}
