@@ -7,11 +7,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   private def modules: Seq[Q] =
-    ops.Relational.all ++ ops.TextOps.all
+    ops.Relational.all ++ ops.TextOps.all ++ ops.Spatial.all
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The reference's flagship mangrove report pipeline (SURVEY.md §3.2). */
   def entry(spark: SparkSession): DataFrame =
-    queries("q04_revenue_by_nation")(spark, "/root/testdata/sf0.001")
+    queries("q40_flagship_report")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,339 @@
+package graft.ops
+
+import graft.Q
+import graft.geo.{Crs, GeoFunctions => G}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/** Spatial fixtures + the reference's analytical core (SURVEY.md §2.6–2.7,
+  * §3.2–3.3) re-expressed as set-oriented Spark dataflow.
+  *
+  * Fixtures are generated DISTRIBUTED (spark.range + hash-derived values;
+  * no driver-side collections), deterministic per (sfDir, id), and scale
+  * with the sf factor so the bench exercises real data volumes:
+  *   parcels 31→3.1k rows, scenes/elevation ≈ lineitem row count.
+  *
+  * The spatial join is the scalable envelope-bucket pattern (SURVEY §2.2 J2):
+  * polygons explode to covering grid buckets, points key to their bucket,
+  * equi-join on the bucket then exact point-in-polygon — never a cross
+  * join, so the plan survives a 100× scale-up (bucket size tracks parcel
+  * size; both sides shuffle-partition on the bucket key).
+  */
+object Spatial {
+
+  // ---- deterministic scaling -------------------------------------------
+
+  /** sf factor from the driver dir name ("/root/testdata/sf0.01" → 0.01). */
+  def sfFactor(sfDir: String): Double = {
+    val m = "sf([0-9.]+)".r.findFirstMatchIn(sfDir)
+    m.map(_.group(1).toDouble).getOrElse(0.001)
+  }
+
+  // UTM 50S envelope of the reference's lu fixture (SURVEY §7.4)
+  private val XMin = 471655.0; private val XMax = 478475.0
+  private val YMin = 9873071.0; private val YMax = 9882889.0
+
+  // the same envelope in EPSG:4326 (computed once from the CRS kernel)
+  private val (lonMin, latMin) = Crs.utm50sInverse(XMin, YMin)
+  private val (lonMax, latMax) = Crs.utm50sInverse(XMax, YMax)
+
+  private val keterangans: Seq[String] =
+    Seq("Mangrove Sungai Sanrumukti", "Mangrove Pesisir Timur",
+      "Hutan Primer", "Hutan Sekunder", "Sungai", "Sawah Irigasi",
+      "Kebun Campuran", "Permukiman", "Tegalan", "Semak Belukar",
+      "Tambak", "Rawa", "Hutan Rimba", "Ladang", "Padang Rumput",
+      "Tanah Terbuka", "Perkebunan Sawit")
+  private val luses: Seq[String] =
+    Seq("Kawasan Hutan Bakau", "Sungai", "Hutan", "Sawah", "Kebun",
+      "Permukiman", "Tegalan", "Semak", "Tambak", "Rawa")
+
+  /** Deterministic uniform [0,1) from id + salt (xxhash64 is seed-stable). */
+  private def u(idCol: Column, salt: Int): Column =
+    pmod(xxhash64(idCol, lit(salt)), lit(100000L)).cast(DoubleType) / 100000.0
+
+  // ---- fixtures ---------------------------------------------------------
+
+  /** lu-style parcel table: id, KETERANGAN, LUSE, TEMA, geom (WKB, UTM50S),
+    * geom_srid. 31 rows at sf0.001 scaling linearly (FIXTURES.md §A1). */
+  def parcels(s: SparkSession, sfDir: String): DataFrame = {
+    val n = math.max(31, math.round(31 * sfFactor(sfDir) / 0.001).toInt)
+    val cols = math.ceil(math.sqrt(n.toDouble)).toInt
+    val rows = math.ceil(n.toDouble / cols).toInt
+    val cellW = (XMax - XMin) / cols
+    val cellH = (YMax - YMin) / rows
+    val half = 0.4 * math.min(cellW, cellH)
+    val kArr = array(keterangans.map(lit): _*)
+    val lArr = array(luses.map(lit): _*)
+    s.range(n.toLong)
+      .select(
+        (col("id") + 1).as("id"),
+        element_at(kArr, (col("id") % keterangans.size).cast("int") + 1).as("KETERANGAN"),
+        element_at(lArr, (col("id") % luses.size).cast("int") + 1).as("LUSE"),
+        lit("Hutan").as("TEMA"),
+        (lit(XMin) + (col("id") % cols) * cellW + cellW / 2
+          + (u(col("id"), 1) - 0.5) * 0.1 * cellW).as("cx"),
+        (lit(YMin) + floor(col("id") / cols) * cellH + cellH / 2
+          + (u(col("id"), 2) - 0.5) * 0.1 * cellH).as("cy"))
+      .select(col("id"), col("KETERANGAN"), col("LUSE"), col("TEMA"),
+        G.stMakeBox(col("cx") - half, col("cy") - half,
+          col("cx") + half, col("cy") + half).as("geom"),
+        lit(Crs.Utm50SAlias).as("geom_srid"))
+  }
+
+  /** 1-row attribute dim (FIXTURES.md §A2). */
+  def parcelDim(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq(("Hutan", "Hutan Rimba", "Interpretasi FU 2014 dan CSRT 2010"))
+      .toDF("TEMA", "JENIS", "SUMBER")
+  }
+
+  /** linked_data_view: parcels ⋈ dim on TEMA (S12/J1,
+    * query/view_linked_data.sql:1-13). */
+  def linkedView(s: SparkSession, sfDir: String): DataFrame =
+    parcels(s, sfDir).join(broadcast(parcelDim(s)), Seq("TEMA"))
+      .select(col("id").as("ID"), col("TEMA"), col("LUSE"), col("KETERANGAN"),
+        col("JENIS"), col("SUMBER"), col("geom"), col("geom_srid"))
+
+  private val monthsTotal = 72 // 2018-01 .. 2023-12
+
+  /** Landsat-stand-in scene table: date, cell_lon, cell_lat, sr_b4, sr_b5
+    * (FIXTURES.md §A4). One row per (cell, month) with deterministic gaps:
+    * month 2019-03 globally missing + ~3% random cell-month holes —
+    * exercising the reference's missing-data null path
+    * (load_report.py:139-153). */
+  def scenes(s: SparkSession, sfDir: String): DataFrame = {
+    val targetRows = math.max(7200, (6000000 * sfFactor(sfDir)).toLong)
+    val nCells = targetRows / monthsTotal
+    val nx = math.ceil(math.sqrt(nCells.toDouble)).toInt
+    val dLon = (lonMax - lonMin) / nx
+    val dLat = (latMax - latMin) / nx
+    s.range(nx.toLong * nx * monthsTotal)
+      .select(
+        (col("id") % (nx.toLong * nx)).as("cell_id"),
+        (col("id") / (nx.toLong * nx)).cast("int").as("month_idx"))
+      .filter(col("month_idx") =!= 14) // 2019-03 globally sceneless
+      .filter(pmod(xxhash64(col("cell_id"), col("month_idx"), lit(7)), lit(37)) =!= 0)
+      .select(
+        expr("add_months(date '2018-01-01', month_idx)").as("date"),
+        (lit(lonMin) + (col("cell_id") % nx) * dLon + dLon / 2).as("cell_lon"),
+        (lit(latMin) + floor(col("cell_id") / nx) * dLat + dLat / 2).as("cell_lat"),
+        (lit(0.10) + u(col("cell_id") * 100 + col("month_idx"), 3) * 0.15).as("sr_b4"),
+        (lit(0.20) + u(col("cell_id") * 100 + col("month_idx"), 4) * 0.35
+          + sin(col("month_idx") / lit(12.0) * lit(2 * math.Pi)) * 0.05).as("sr_b5"))
+  }
+
+  /** Elevation raster-as-table (FIXTURES.md §A5) with ~2% null cells. */
+  def elevation(s: SparkSession, sfDir: String): DataFrame = {
+    val nCells = math.max(10000, (6000000 * sfFactor(sfDir)).toLong)
+    val nx = math.ceil(math.sqrt(nCells.toDouble)).toInt
+    val dLon = (lonMax - lonMin) / nx
+    val dLat = (latMax - latMin) / nx
+    s.range(nx.toLong * nx)
+      .select(
+        (lit(lonMin) + (col("id") % nx) * dLon + dLon / 2).as("cell_lon"),
+        (lit(latMin) + floor(col("id") / nx) * dLat + dLat / 2).as("cell_lat"),
+        when(pmod(xxhash64(col("id"), lit(9)), lit(53)) === 0, lit(null).cast(DoubleType))
+          .otherwise(lit(120.0)
+            + sin(col("id").cast(DoubleType) * 0.37) * 180.0
+            + u(col("id"), 5) * 260.0).as("elev"))
+  }
+
+  /** Admin regions (FIXTURES.md §A6): 5 vertical strips over the envelope
+    * in EPSG:4326. */
+  def admin(s: SparkSession, sfDir: String): DataFrame = {
+    val nRegions = 5
+    val dLon = (lonMax - lonMin) / nRegions
+    s.range(nRegions.toLong)
+      .select(
+        concat(lit("Region "), (col("id") + 1).cast("string")).as("name_1"),
+        G.stMakeBox(lit(lonMin) + col("id") * dLon, lit(latMin),
+          lit(lonMin) + (col("id") + 1) * dLon, lit(latMax)).as("geom"))
+  }
+
+  // ---- the scalable spatial join (J2/J3) --------------------------------
+
+  /** Bucket size in degrees: tracks parcel size so each polygon covers
+    * O(1) buckets and each bucket holds a bounded candidate set. */
+  private def bucketSizeDeg(sfDir: String): Double = {
+    val n = math.max(31, math.round(31 * sfFactor(sfDir) / 0.001).toInt)
+    val cols = math.ceil(math.sqrt(n.toDouble)).toInt
+    // parcel span ≈ envelope width / cols; convert m → ° (≈111km/°)
+    math.max(0.002, (XMax - XMin) / cols / 111000.0)
+  }
+
+  /** Explode polygons to covering-bucket keys: (bx, by, <poly cols>). */
+  def polyBuckets(polys: DataFrame, geomCol: String, b: Double): DataFrame =
+    polys
+      .withColumn("env", G.stEnvelope(col(geomCol)))
+      .withColumn("bx", explode(sequence(
+        floor(col("env._1") / b).cast("long"), floor(col("env._3") / b).cast("long"))))
+      .withColumn("by", explode(sequence(
+        floor(col("env._2") / b).cast("long"), floor(col("env._4") / b).cast("long"))))
+      .drop("env")
+
+  /** Point-in-polygon join: points(lonCol, latCol) ⋈ polys(geomCol) via
+    * bucket equi-join + exact ray-cast test. Polygons must be in the same
+    * CRS as the points (4326 here). */
+  def spatialJoin(points: DataFrame, polys: DataFrame, lonCol: String,
+      latCol: String, geomCol: String, b: Double): DataFrame = {
+    val pb = polyBuckets(polys, geomCol, b)
+    points
+      .withColumn("bx", floor(col(lonCol) / b).cast("long"))
+      .withColumn("by", floor(col(latCol) / b).cast("long"))
+      .join(pb, Seq("bx", "by"))
+      .filter(G.stContainsPoint(col(geomCol), col(lonCol), col(latCol)))
+      .drop("bx", "by")
+  }
+
+  // ---- pipelines (§3.2 / §3.3 re-architected) ---------------------------
+
+  /** Mangrove geometries: the flagship SQL at load_report.py:471-476 —
+    * view → ILIKE filter → per-category ST_Union, transformed to 4326. */
+  def mangroveGeoms(s: SparkSession, sfDir: String): DataFrame =
+    linkedView(s, sfDir)
+      .filter(Relational.asciiLower(col("KETERANGAN")).contains("mangrove"))
+      .withColumn("geom4326", G.stTransform(col("geom"), col("geom_srid"), lit(Crs.WGS84)))
+      .groupBy(col("KETERANGAN").as("keterangan"))
+      .agg(G.stUnionCollect(col("geom4326")).as("geom"))
+
+  /** Monthly NDVI per category for one year: scenes ⋈ geoms spatially,
+    * NDVI arithmetic, per-cell-month median composite, per-category-month
+    * mean, month-spine LEFT JOIN for missing months (R2/J4). */
+  def monthlyNdvi(s: SparkSession, sfDir: String, year: Int): DataFrame = {
+    val geoms = mangroveGeoms(s, sfDir)
+    val sc = scenes(s, sfDir)
+      .filter(col("date").between(lit(s"$year-01-01"), lit(s"$year-12-31")))
+    val joined = spatialJoin(sc, broadcast(geoms), "cell_lon", "cell_lat", "geom",
+      bucketSizeDeg(sfDir))
+      .withColumn("ndvi", (col("sr_b5") - col("sr_b4")) / (col("sr_b5") + col("sr_b4")))
+      .withColumn("month_ts", date_trunc("month", col("date")))
+    val composited = joined
+      .groupBy(col("keterangan"), col("cell_lon"), col("cell_lat"), col("month_ts"))
+      .agg(expr("percentile_approx(ndvi, 0.5, 10000)").as("ndvi_med"))
+      .groupBy(col("keterangan"), col("month_ts"))
+      .agg(avg(col("ndvi_med")).as("ndvi"))
+    val spine = geoms.select(col("keterangan"))
+      .crossJoin(s.range(12).select(
+        expr(s"add_months(date '$year-01-01', id)").cast("timestamp").as("month_ts")))
+    spine.join(composited, Seq("keterangan", "month_ts"), "left")
+      .select(col("keterangan"), date_format(col("month_ts"), "yyyy-MM").as("month"),
+        round(col("ndvi"), 6).as("ndvi"))
+  }
+
+  /** Multi-year monthly series 2018–2023 (R3): one groupBy over the whole
+    * range + full month spine (nulls where data is missing). */
+  def annualNdviSeries(s: SparkSession, sfDir: String): DataFrame = {
+    val geoms = mangroveGeoms(s, sfDir)
+    val joined = spatialJoin(scenes(s, sfDir), broadcast(geoms), "cell_lon", "cell_lat",
+      "geom", bucketSizeDeg(sfDir))
+      .withColumn("ndvi", (col("sr_b5") - col("sr_b4")) / (col("sr_b5") + col("sr_b4")))
+      .withColumn("month_ts", date_trunc("month", col("date")))
+    val composited = joined
+      .groupBy(col("keterangan"), col("cell_lon"), col("cell_lat"), col("month_ts"))
+      .agg(expr("percentile_approx(ndvi, 0.5, 10000)").as("ndvi_med"))
+      .groupBy(col("keterangan"), col("month_ts"))
+      .agg(avg(col("ndvi_med")).as("ndvi"))
+    val spine = geoms.select(col("keterangan"))
+      .crossJoin(s.range(monthsTotal).select(
+        expr("add_months(date '2018-01-01', id)").cast("timestamp").as("month_ts")))
+    spine.join(composited, Seq("keterangan", "month_ts"), "left")
+      .select(col("keterangan"), date_format(col("month_ts"), "yyyy-MM").as("month"),
+        round(col("ndvi"), 6).as("ndvi"))
+  }
+
+  /** The flagship report (§3.2): area + variance + argmax + inference +
+    * Metric/Value pivot, reproducing summary_report.csv semantics. */
+  def report(s: SparkSession, sfDir: String): DataFrame = {
+    val geoms = mangroveGeoms(s, sfDir)
+    // total area: reference measures in Web-Mercator m² / 10⁴ → ha
+    // (distorted on purpose — load_report.py:376-380)
+    val area = geoms
+      .withColumn("geom3857", G.stTransform(col("geom"), lit(Crs.WGS84), lit(Crs.WebMercator)))
+      .agg(sum(G.stArea(col("geom3857")) / 10000.0).as("total_ha"))
+    val variance = monthlyNdvi(s, sfDir, 2023)
+      .groupBy(col("keterangan"))
+      .agg(round(var_samp(col("ndvi")), 12).as("variance"))
+      .orderBy(desc_nulls_last("variance"), asc_nulls_first("keterangan"))
+      .limit(1)
+      .withColumn("inference",
+        when(col("variance") > 0.5, lit("High variance observed, indicating significant changes in vegetation."))
+          .when(col("variance") > 0.2, lit("Moderate variance observed, indicating some changes in vegetation."))
+          .otherwise(lit("Low variance observed, indicating stable vegetation.")))
+    // One 1-row frame holding every scalar, cached so the five Metric/Value
+    // union branches don't each re-run the NDVI + area pipelines.
+    val scalars = area.crossJoin(variance).cache()
+    def row(metric: String, value: Column) =
+      scalars.select(lit(metric).as("Metric"), value.cast("string").as("Value"))
+    row("Analysis Type", lit("mangrove"))
+      .unionAll(row("Total Mangrove Area (hectares)", round(col("total_ha"), 2)))
+      .unionAll(row("Highest Variation Area", col("keterangan")))
+      .unionAll(row("Variance of Highest Variation", col("variance")))
+      .unionAll(row("Inference", col("inference")))
+  }
+
+  /** Zonal mean elevation per admin region (§3.3, R1 = J2 + A3). */
+  def zonalElevation(s: SparkSession, sfDir: String): DataFrame =
+    spatialJoin(elevation(s, sfDir).filter(col("elev").isNotNull),
+      broadcast(admin(s, sfDir)), "cell_lon", "cell_lat", "geom", 0.01)
+      .groupBy(col("name_1"))
+      .agg(round(avg(col("elev")), 4).as("mean_elevation"), count(lit(1)).as("n_cells"))
+      .orderBy(asc_nulls_first("name_1"))
+
+  /** Elevation histogram: 20 m left-closed bins of per-region means
+    * (spatial_analysis_indonesia.r:58-66). */
+  def elevationHistogram(s: SparkSession, sfDir: String): DataFrame = {
+    val zonal = zonalElevation(s, sfDir)
+    val mn = zonal.agg(min(col("mean_elevation")).as("mn"))
+    zonal.crossJoin(broadcast(mn))
+      .select(floor((col("mean_elevation") - col("mn")) / 20.0).as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as("freq"))
+      .orderBy(asc_nulls_first("bin"))
+  }
+
+  // ---- driver-contract queries (rows-only checks; oracle impossible in
+  // SQL because inputs are generated + geometric) --------------------------
+
+  private val q40 = Q("q40_flagship_report", (s, dir) => report(s, dir),
+    None, "flagship §3.2 pipeline → summary report (ref load_report.py:452-523)")
+  private val q41 = Q("q41_zonal_elevation", (s, dir) => zonalElevation(s, dir),
+    None, "R1 zonal mean via envelope-bucket spatial join (ref spatial_analysis_indonesia.r:50-56)")
+  private val q42 = Q("q42_elevation_histogram", (s, dir) => elevationHistogram(s, dir),
+    None, "A8 histogram of zonal means (ref spatial_analysis_indonesia.r:58-66)")
+  private val q43 = Q("q43_ndvi_monthly", (s, dir) =>
+    monthlyNdvi(s, dir, 2023).orderBy(asc_nulls_first("keterangan"), asc_nulls_first("month")),
+    None, "R2 monthly NDVI with month-spine nulls (ref load_report.py:60-89)")
+  private val q44 = Q("q44_ndvi_series", (s, dir) =>
+    annualNdviSeries(s, dir).orderBy(asc_nulls_first("keterangan"), asc_nulls_first("month")),
+    None, "R3 multi-year NDVI series (ref load_report.py:118-169)")
+  private val q45 = Q("q45_parcel_scene_count", (s, dir) => {
+    val sc = scenes(s, dir)
+    spatialJoin(sc, parcels(s, dir).select(col("id"),
+      G.stTransform(col("geom"), col("geom_srid"), lit(Crs.WGS84)).as("geom")),
+      "cell_lon", "cell_lat", "geom", bucketSizeDeg(dir))
+      .groupBy(col("id")).agg(count(lit(1)).as("n_scenes"))
+      .orderBy(asc_nulls_first("id"))
+  }, None, "J3 scenes×parcels spatial join at full fan-out (ref load_report.py:74,136,487-508)")
+  private val q46 = Q("q46_area_by_category", (s, dir) =>
+    linkedView(s, dir)
+      .withColumn("geom3857", G.stTransform(col("geom"), col("geom_srid"), lit(Crs.WebMercator)))
+      .groupBy(col("KETERANGAN").as("keterangan"))
+      .agg(round(sum(G.stArea(col("geom3857")) / 10000.0), 4).as("area_ha"),
+        count(lit(1)).as("n_parcels"))
+      .orderBy(asc_nulls_first("keterangan")),
+    None, "G2+G3 per-category Web-Mercator area in ha (ref load_report.py:369-380)")
+  private val q47 = Q("q47_centroid_bounds", (s, dir) =>
+    linkedView(s, dir)
+      .withColumn("geom4326", G.stTransform(col("geom"), col("geom_srid"), lit(Crs.WGS84)))
+      .withColumn("c", G.stCentroid(col("geom4326")))
+      .withColumn("env", G.stEnvelope(col("geom4326")))
+      .groupBy(col("KETERANGAN").as("keterangan"))
+      .agg(round(avg(element_at(col("c"), 1)), 6).as("centroid_lon"),
+        round(avg(element_at(col("c"), 2)), 6).as("centroid_lat"),
+        round(min(col("env._1")), 6).as("xmin"), round(min(col("env._2")), 6).as("ymin"),
+        round(max(col("env._3")), 6).as("xmax"), round(max(col("env._4")), 6).as("ymax"))
+      .orderBy(asc_nulls_first("keterangan")),
+    None, "G4 centroid + G5/A10 total_bounds (ref load_report.py:322-337)")
+
+  val all: Seq[Q] = Seq(q40, q41, q42, q43, q44, q45, q46, q47)
+}
