@@ -7,7 +7,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   private def modules: Seq[Q] =
-    ops.Relational.all ++ ops.TextOps.all ++ ops.Spatial.all
+    ops.Relational.all ++ ops.TextOps.all ++ ops.Spatial.all ++
+      llm.Dedup.all ++ llm.Multimodal.all ++ streaming.Streams.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's flagship mangrove report pipeline (SURVEY.md §3.2). */

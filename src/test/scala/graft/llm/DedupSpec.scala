@@ -1,0 +1,106 @@
+package graft.llm
+
+import graft.Sessions
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Correctness of the near-dup detectors on planted duplicates (the driver
+  * corpus is dup-free, so pair queries are legitimately empty there —
+  * these tests prove the detectors actually fire). */
+class DedupSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = Sessions.build("local[8]", 8)
+
+  private def docsDf(rows: Seq[(Long, String)]) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  private val base = "spark sql engine runs declarative plans over columnar data " +
+    "with predicate pushdown and whole stage codegen for fast scans"
+  private val nearDup = base.replace("fast", "quick") // one token changed
+  private val unrelated = "completely different words about cooking pasta with " +
+    "tomato sauce basil garlic olive oil and fresh parmesan cheese grated"
+
+  test("minhash LSH finds the planted near-dup pair and not the unrelated one") {
+    val docs = docsDf(Seq((1L, base), (2L, nearDup), (3L, unrelated)))
+    val pairs = Dedup.minhashPairs(spark, docs).collect()
+    val found = pairs.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(found.contains((1L, 2L)), s"expected (1,2) in $found")
+    assert(!found.contains((1L, 3L)) && !found.contains((2L, 3L)))
+    val j = pairs.find(r => r.getLong(0) == 1L && r.getLong(1) == 2L).get.getDouble(3)
+    assert(j > 0.5, s"exact jaccard of near-dup should be high, got $j")
+  }
+
+  test("exact jaccard of identical docs is 1.0") {
+    val docs = docsDf(Seq((1L, base), (2L, base)))
+    val pairs = Dedup.minhashPairs(spark, docs).collect()
+    assert(pairs.length === 1)
+    assert(pairs.head.getDouble(2) === 1.0) // est
+    assert(pairs.head.getDouble(3) === 1.0) // exact
+  }
+
+  test("simhash: near-dup within small hamming distance, unrelated far") {
+    val docs = docsDf(Seq((1L, base), (2L, nearDup), (3L, unrelated)))
+    val sigs = Dedup.simhash(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sigs(1L), sigs(2L)) <= 8)
+    assert(ham(sigs(1L), sigs(3L)) > 12)
+    val pairs = Dedup.simhashPairs(docs, maxHamming = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+  }
+
+  test("embedding LSH near-dup: planted high-cosine pair found, exact cosine verified") {
+    import spark.implicits._
+    val r = new scala.util.Random(7)
+    val v1 = Array.fill(Dedup.Dim)(r.nextGaussian().toFloat)
+    // near-dup: tiny perturbation; unrelated: fresh random vector
+    val v2 = v1.map(x => x + 0.01f * r.nextGaussian().toFloat)
+    val v3 = Array.fill(Dedup.Dim)(r.nextGaussian().toFloat)
+    val emb = Seq((1L, v1.toSeq), (2L, v2.toSeq), (3L, v3.toSeq))
+      .toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDups(spark, emb, 0.9).collect()
+    assert(pairs.length === 1)
+    assert((pairs.head.getLong(0), pairs.head.getLong(1)) === (1L, 2L))
+    assert(pairs.head.getDouble(2) > 0.99)
+  }
+
+  test("ann top-k returns at most k per query with scores in [-1,1]") {
+    import spark.implicits._
+    val r = new scala.util.Random(13)
+    val emb = (0L until 100L).map(i => (i, Seq.fill(Dedup.Dim)(r.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val topk = Dedup.annTopK(spark, emb, 10).collect()
+    val perQ = topk.groupBy(_.getLong(0)).view.mapValues(_.length).toMap
+    assert(perQ.keySet.subsetOf((0L until 5L).toSet))
+    assert(perQ.values.forall(_ <= 10))
+    assert(topk.forall(r => math.abs(r.getDouble(2)) <= 1.0))
+  }
+
+  test("multimodal feature extraction is deterministic with real batch shape") {
+    import spark.implicits._
+    val media = Seq(
+      Multimodal.MediaRow(1L, "img", "hello world".getBytes),
+      Multimodal.MediaRow(2L, "audio", Array[Byte](1, 2, 3, 4, 5)))
+      .toDS()
+    val out = Multimodal.extractFeatures(media).collect().sortBy(_.doc_id)
+    assert(out.length === 2)
+    assert(out(0).n_bytes === 11)
+    assert(out(0).features.sum > 0.999 && out(0).features.sum < 1.001)
+    // deterministic: same input → same fake dims
+    val again = Multimodal.extractFeatures(media).collect().sortBy(_.doc_id)
+    assert(out.map(_.width).toSeq === again.map(_.width).toSeq)
+  }
+
+  test("streaming tumbling agg equals batch twin on the same input") {
+    val dir = "/root/testdata/sf0.001"
+    val stream = graft.streaming.Streams.streamTumblingHour(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).sorted
+    val batch = graft.SparkEntry.queries("q17_tumbling_hour")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).sorted
+    assert(stream === batch)
+  }
+}
