@@ -9,18 +9,31 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType}
   * dedup surface): MinHash+LSH, SimHash, n-gram Jaccard, embedding LSH.
   *
   * Scale shape (the part that matters at 100 TB):
-  *  - signatures are ONE explode + ONE groupBy(doc_id) with 64 map-side
-  *    partial mins — shuffle carries (doc_id, 64×long), never the text;
+  *  - every signature is computed per document in ONE map-side UDF pass
+  *    (no shingle explode, no 64-wide aggregate): shuffle carries
+  *    (doc_id, signature), never the text;
   *  - candidate generation shuffles on the band/bucket key only;
-  *  - exact verification joins texts ONLY for surviving candidate pairs.
-  * No all-pairs comparison anywhere.
+  *  - exact verification joins texts ONLY for surviving candidate pairs;
+  *  - no all-pairs comparison anywhere.
+  *
+  * Design note: earlier versions expressed MinHash/SimHash as 64 generated
+  * `min(xxhash64(...))`/`sum(when(...))` aggregates — semantically fine
+  * but the generated code made Janino compilation the bottleneck (150–250 s
+  * per fresh JVM). A single Scala UDF per signature is ~100× faster end to
+  * end AND removes the explode shuffle.
   */
 object Dedup {
 
   val NumHashes = 64
-  val Bands = 16 // × 4 rows per band
+  val BandRows = 4 // → 16 bands
 
-  /** Distinct word 3-shingles (whole text when shorter than 3 tokens). */
+  private val minhashUdf = udf((text: String) => Hashing.minhash(text, NumHashes))
+  private val bandsUdf = udf((sig: Seq[Long]) => Hashing.bands(sig.toArray, BandRows))
+  private val simhashUdf = udf((text: String) => Hashing.simhash(text))
+  private val fingerprintUdf = udf((text: String) => Hashing.fingerprint(text))
+
+  /** Distinct word 3-shingles (whole text when shorter than 3 tokens) —
+    * used only for exact verification of candidate pairs. */
   private val shingleExpr = expr(
     """case when size(split(text, ' ')) >= 3 then
          array_distinct(transform(sequence(0, size(split(text, ' ')) - 3),
@@ -30,63 +43,31 @@ object Dedup {
              element_at(split(text, ' '), i + 3))))
        else array(text) end""")
 
-  /** MinHash signatures: min over shingles of xxhash64(shingle, seed=k)
-    * for k in [0, 64). */
-  def minhashSignatures(docs: DataFrame): DataFrame = {
-    val exploded = docs.select(col("doc_id"), explode(shingleExpr).as("shingle"))
-    val aggs = (0 until NumHashes).map(k =>
-      min(xxhash64(col("shingle"), lit(k))).as(s"mh$k"))
-    exploded.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
-      .select(col("doc_id"),
-        array((0 until NumHashes).map(k => col(s"mh$k")): _*).as("sig"))
-  }
+  def minhashSignatures(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), minhashUdf(col("text")).as("sig"))
 
-  /** SimHash: 64-bit sign-of-weighted-bit-sums over token hashes. */
-  def simhash(docs: DataFrame): DataFrame = {
-    val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      .withColumn("h", xxhash64(col("tok"), lit(1)))
-    val bitSums = (0 until 64).map(j =>
-      sum(when(col("h").bitwiseAND(lit(1L << j)) =!= 0, 1).otherwise(-1)).as(s"b$j"))
-    val summed = toks.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
-    val assembled = (0 until 64).map(j =>
-      when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
-      .reduce((a, b) => a.bitwiseOR(b))
-    summed.select(col("doc_id"), assembled.as("simhash"))
-  }
-
-  /** Winnowing-style fingerprint: min rolling hash over char 8-grams. */
-  private val fingerprintExpr = expr(
-    """array_min(transform(sequence(1, greatest(length(text) - 7, 1)),
-         i -> xxhash64(substring(text, i, 8))))""")
+  def simhash(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), simhashUdf(col("text")).as("simhash"))
 
   /** One row per doc with every dedup signature (the row-bearing output;
     * pair queries below may legitimately be empty on a dup-free corpus). */
   private val q24 = Q(
     "q24_dedup_signatures",
-    (s, dir) => {
-      val docs = T(s, dir, "documents")
-      val mh = minhashSignatures(docs)
-      val sh = simhash(docs)
-      docs.select(col("doc_id"), md5(col("text").cast("binary")).as("exact_hash"),
-          fingerprintExpr.as("fingerprint"))
-        .join(mh, Seq("doc_id"))
-        .join(sh, Seq("doc_id"))
-        .select(col("doc_id"), col("exact_hash"), col("fingerprint"),
-          col("simhash"), col("sig").as("minhash_sig"))
-        .orderBy(asc_nulls_first("doc_id"))
-    },
+    (s, dir) =>
+      T(s, dir, "documents")
+        .select(col("doc_id"), md5(col("text").cast("binary")).as("exact_hash"),
+          fingerprintUdf(col("text")).as("fingerprint"),
+          simhashUdf(col("text")).as("simhash"),
+          minhashUdf(col("text")).as("minhash_sig"))
+        .orderBy(asc_nulls_first("doc_id")),
     None,
     "per-doc dedup signatures: md5, winnowing fingerprint, simhash, minhash (dedup surface)")
 
   /** MinHash LSH: banded signatures → bucket self-join → candidate pairs
     * with estimated (signature-agreement) and exact (shingle-set) Jaccard. */
   def minhashPairs(s: SparkSession, docs: DataFrame): DataFrame = {
-    val sigs = minhashSignatures(docs)
-    val bandHash = array((0 until Bands).map { b =>
-      xxhash64((0 until 4).map(i => element_at(col("sig"), b * 4 + i + 1)) :+ lit(b): _*)
-    }: _*)
-    val banded = sigs.select(col("doc_id"), col("sig"),
-        posexplode(bandHash).as(Seq("band", "bh")))
+    val banded = minhashSignatures(docs)
+      .select(col("doc_id"), col("sig"), posexplode(bandsUdf(col("sig"))).as(Seq("band", "bh")))
     val a = banded.alias("a")
     val b = banded.alias("b")
     val cand = a.join(b,
@@ -153,28 +134,41 @@ object Dedup {
     Array.fill(TablesL * BitsPerTable)(Array.fill(Dim)(r.nextGaussian()))
   }
 
-  private def dotPlane(v: Column, p: Array[Double]): Column = {
-    val parr = array(p.map(lit): _*)
-    expr2(v, parr)
-  }
-  private def expr2(v: Column, parr: Column): Column =
-    aggregate(zip_with(v, parr, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
-
-  /** L bucket keys per vector: table t's key packs BitsPerTable sign bits. */
-  def lshBuckets(vecs: DataFrame, vecCol: String): DataFrame = {
-    val keys = (0 until TablesL).map { t =>
-      (0 until BitsPerTable).map { j =>
-        when(dotPlane(col(vecCol), planes(t * BitsPerTable + j)) > 0,
-          lit(1L << j)).otherwise(lit(0L))
-      }.reduce((a, b) => a.bitwiseOR(b)).as(s"k$t")
+  /** All L bucket keys in one UDF pass (TablesL×BitsPerTable plane dots —
+    * a tight Scala loop, not 96 generated HOF expressions). */
+  private val lshKeysUdf = udf((v: Seq[Double]) => {
+    val arr = v.toArray
+    val keys = new Array[Long](TablesL)
+    var t = 0
+    while (t < TablesL) {
+      var key = 0L
+      var j = 0
+      while (j < BitsPerTable) {
+        val p = planes(t * BitsPerTable + j)
+        var dot = 0.0
+        var d = 0
+        val n = math.min(arr.length, p.length)
+        while (d < n) { dot += arr(d) * p(d); d += 1 }
+        if (dot > 0) key |= (1L << j)
+        j += 1
+      }
+      keys(t) = key
+      t += 1
     }
-    vecs.select(col("*") +: keys: _*)
-      .select(col("*"), posexplode(array((0 until TablesL).map(t => col(s"k$t")): _*))
-        .as(Seq("table", "bucket")))
-      .drop((0 until TablesL).map(t => s"k$t"): _*)
-  }
+    keys
+  })
 
-  private def norm(v: Column): Column = sqrt(expr2(v, v))
+  private val cosineUdf = udf((a: Seq[Double], b: Seq[Double]) => {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+    dot / math.sqrt(na * nb)
+  })
+
+  /** L bucket keys per vector, exploded to (table, bucket) rows. */
+  def lshBuckets(vecs: DataFrame, vecCol: String): DataFrame =
+    vecs.select(col("*"), posexplode(lshKeysUdf(col(vecCol))).as(Seq("table", "bucket")))
 
   /** Embedding near-dup pairs above a cosine threshold, candidates from
     * multi-table LSH (≈74% recall per table config at cos 0.9), verified
@@ -182,7 +176,6 @@ object Dedup {
   def embeddingNearDups(s: SparkSession, emb: DataFrame, threshold: Double): DataFrame = {
     val vecs = emb.select(col("vec_id"),
       col("embedding").cast(ArrayType(DoubleType)).as("v"))
-      .withColumn("nrm", norm(col("v")))
     val bucketed = lshBuckets(vecs, "v")
     val a = bucketed.alias("a")
     val b = bucketed.alias("b")
@@ -190,10 +183,9 @@ object Dedup {
         col("a.table") === col("b.table") && col("a.bucket") === col("b.bucket") &&
           col("a.vec_id") < col("b.vec_id"))
       .groupBy(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
-      .agg(first(col("a.v")).as("va"), first(col("b.v")).as("vb"),
-        first(col("a.nrm")).as("na"), first(col("b.nrm")).as("nb"))
+      .agg(first(col("a.v")).as("va"), first(col("b.v")).as("vb"))
       .select(col("id_a"), col("id_b"),
-        round(expr2(col("va"), col("vb")) / (col("na") * col("nb")), 4).as("cosine"))
+        round(cosineUdf(col("va"), col("vb")), 4).as("cosine"))
       .filter(col("cosine") >= threshold)
       .orderBy(asc_nulls_first("id_a"), asc_nulls_first("id_b"))
   }
@@ -210,19 +202,14 @@ object Dedup {
     import org.apache.spark.sql.expressions.Window
     val vecs = emb.select(col("vec_id"),
       col("embedding").cast(ArrayType(DoubleType)).as("v"))
-      .withColumn("nrm", norm(col("v")))
     val bucketed = lshBuckets(vecs, "v")
     val qside = bucketed.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"),
-        col("table"), col("bucket"))
-    val cand = bucketed.join(broadcast(qside),
-        Seq("table", "bucket"))
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("table"), col("bucket"))
+    val cand = bucketed.join(broadcast(qside), Seq("table", "bucket"))
       .filter(col("qid") =!= col("vec_id"))
       .groupBy(col("qid"), col("vec_id").as("vid"))
-      .agg(first(col("qv")).as("qv"), first(col("qn")).as("qn"),
-        first(col("v")).as("cv"), first(col("nrm")).as("cn"))
-      .select(col("qid"), col("vid"),
-        round(expr2(col("qv"), col("cv")) / (col("qn") * col("cn")), 4).as("score"))
+      .agg(first(col("qv")).as("qv"), first(col("v")).as("cv"))
+      .select(col("qid"), col("vid"), round(cosineUdf(col("qv"), col("cv")), 4).as("score"))
     val w = Window.partitionBy(col("qid"))
       .orderBy(desc_nulls_last("score"), asc_nulls_first("vid"))
     cand.withColumn("rn", row_number().over(w)).filter(col("rn") <= k).drop("rn")

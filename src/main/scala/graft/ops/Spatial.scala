@@ -197,25 +197,44 @@ object Spatial {
       .groupBy(col("KETERANGAN").as("keterangan"))
       .agg(G.stUnionCollect(col("geom4326")).as("geom"))
 
-  /** Monthly NDVI per category for one year: scenes ⋈ geoms spatially,
-    * NDVI arithmetic, per-cell-month median composite, per-category-month
+  /** Mangrove parcels at parcel granularity (pre-union): the spatial join
+    * runs against SMALL per-parcel polygons — joining against the unioned
+    * multipolygon instead forces a parse of a ~180-part WKB blob per
+    * candidate row (measured: old-gen thrash + 100× slowdown at sf0.1).
+    * Parcels are disjoint, so point-in-union ⟺ point-in-any-parcel. */
+  private def mangroveParcels(s: SparkSession, sfDir: String): DataFrame =
+    linkedView(s, sfDir)
+      .filter(Relational.asciiLower(col("KETERANGAN")).contains("mangrove"))
+      .select(col("KETERANGAN").as("keterangan"),
+        G.stTransform(col("geom"), col("geom_srid"), lit(Crs.WGS84)).as("geom"))
+
+  /** Monthly NDVI per category for one year: scenes ⋈ parcels spatially,
+    * NDVI arithmetic, per-cell-month median composite (exact percentile:
+    * groups are a handful of scenes per cell-month, where a per-group
+    * approx sketch costs far more memory than the data), per-category-month
     * mean, month-spine LEFT JOIN for missing months (R2/J4). */
   def monthlyNdvi(s: SparkSession, sfDir: String, year: Int): DataFrame = {
-    val geoms = mangroveGeoms(s, sfDir)
     val sc = scenes(s, sfDir)
       .filter(col("date").between(lit(s"$year-01-01"), lit(s"$year-12-31")))
-    val joined = spatialJoin(sc, broadcast(geoms), "cell_lon", "cell_lat", "geom",
+    ndviByMonth(s, sc, mangroveParcels(s, sfDir), sfDir,
+      s.range(12).select(
+        expr(s"add_months(date '$year-01-01', id)").cast("timestamp").as("month_ts")))
+  }
+
+  /** Shared NDVI aggregation: join → median composite → category mean →
+    * month-spine left join. */
+  private def ndviByMonth(s: SparkSession, sc: DataFrame, parcelsGeo: DataFrame,
+      sfDir: String, months: DataFrame): DataFrame = {
+    val joined = spatialJoin(sc, broadcast(parcelsGeo), "cell_lon", "cell_lat", "geom",
       bucketSizeDeg(sfDir))
       .withColumn("ndvi", (col("sr_b5") - col("sr_b4")) / (col("sr_b5") + col("sr_b4")))
       .withColumn("month_ts", date_trunc("month", col("date")))
     val composited = joined
       .groupBy(col("keterangan"), col("cell_lon"), col("cell_lat"), col("month_ts"))
-      .agg(expr("percentile_approx(ndvi, 0.5, 10000)").as("ndvi_med"))
+      .agg(expr("percentile(ndvi, 0.5)").as("ndvi_med"))
       .groupBy(col("keterangan"), col("month_ts"))
       .agg(avg(col("ndvi_med")).as("ndvi"))
-    val spine = geoms.select(col("keterangan"))
-      .crossJoin(s.range(12).select(
-        expr(s"add_months(date '$year-01-01', id)").cast("timestamp").as("month_ts")))
+    val spine = parcelsGeo.select(col("keterangan")).distinct().crossJoin(months)
     spine.join(composited, Seq("keterangan", "month_ts"), "left")
       .select(col("keterangan"), date_format(col("month_ts"), "yyyy-MM").as("month"),
         round(col("ndvi"), 6).as("ndvi"))
@@ -223,24 +242,10 @@ object Spatial {
 
   /** Multi-year monthly series 2018–2023 (R3): one groupBy over the whole
     * range + full month spine (nulls where data is missing). */
-  def annualNdviSeries(s: SparkSession, sfDir: String): DataFrame = {
-    val geoms = mangroveGeoms(s, sfDir)
-    val joined = spatialJoin(scenes(s, sfDir), broadcast(geoms), "cell_lon", "cell_lat",
-      "geom", bucketSizeDeg(sfDir))
-      .withColumn("ndvi", (col("sr_b5") - col("sr_b4")) / (col("sr_b5") + col("sr_b4")))
-      .withColumn("month_ts", date_trunc("month", col("date")))
-    val composited = joined
-      .groupBy(col("keterangan"), col("cell_lon"), col("cell_lat"), col("month_ts"))
-      .agg(expr("percentile_approx(ndvi, 0.5, 10000)").as("ndvi_med"))
-      .groupBy(col("keterangan"), col("month_ts"))
-      .agg(avg(col("ndvi_med")).as("ndvi"))
-    val spine = geoms.select(col("keterangan"))
-      .crossJoin(s.range(monthsTotal).select(
+  def annualNdviSeries(s: SparkSession, sfDir: String): DataFrame =
+    ndviByMonth(s, scenes(s, sfDir), mangroveParcels(s, sfDir), sfDir,
+      s.range(monthsTotal).select(
         expr("add_months(date '2018-01-01', id)").cast("timestamp").as("month_ts")))
-    spine.join(composited, Seq("keterangan", "month_ts"), "left")
-      .select(col("keterangan"), date_format(col("month_ts"), "yyyy-MM").as("month"),
-        round(col("ndvi"), 6).as("ndvi"))
-  }
 
   /** The flagship report (§3.2): area + variance + argmax + inference +
     * Metric/Value pivot, reproducing summary_report.csv semantics. */
@@ -260,16 +265,23 @@ object Spatial {
         when(col("variance") > 0.5, lit("High variance observed, indicating significant changes in vegetation."))
           .when(col("variance") > 0.2, lit("Moderate variance observed, indicating some changes in vegetation."))
           .otherwise(lit("Low variance observed, indicating stable vegetation.")))
-    // One 1-row frame holding every scalar, cached so the five Metric/Value
-    // union branches don't each re-run the NDVI + area pipelines.
-    val scalars = area.crossJoin(variance).cache()
-    def row(metric: String, value: Column) =
-      scalars.select(lit(metric).as("Metric"), value.cast("string").as("Value"))
-    row("Analysis Type", lit("mangrove"))
-      .unionAll(row("Total Mangrove Area (hectares)", round(col("total_ha"), 2)))
-      .unionAll(row("Highest Variation Area", col("keterangan")))
-      .unionAll(row("Variance of Highest Variation", col("variance")))
-      .unionAll(row("Inference", col("inference")))
+    // Materialize the four scalars in ONE pass (a 1-row collect — the
+    // legitimate driver-side pivot of final scalars, not a data loop).
+    // Building the report as a union of selects over a cached frame instead
+    // makes Spark schedule the five branches as independent stages that
+    // race to materialize the same cache: 5× the pipeline, nondeterministic
+    // 40–110 s at sf0.1. This shape is one pipeline execution, always.
+    val r = area.crossJoin(variance).collect()(0)
+    val totalHa = BigDecimal(r.getAs[Double]("total_ha"))
+      .setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
+    import s.implicits._
+    Seq(
+      ("Analysis Type", "mangrove"),
+      ("Total Mangrove Area (hectares)", totalHa),
+      ("Highest Variation Area", r.getAs[String]("keterangan")),
+      ("Variance of Highest Variation", r.getAs[Double]("variance").toString),
+      ("Inference", r.getAs[String]("inference"))
+    ).toDF("Metric", "Value")
   }
 
   /** Zonal mean elevation per admin region (§3.3, R1 = J2 + A3). */
