@@ -1,0 +1,67 @@
+package graft.ops
+
+import graft.Q
+import graft.sources.Gpkg
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Ingest surface (S-series, SURVEY.md §2.1): scans, id generation,
+  * idempotent sinks, namespace convention — the load_data.py pipeline
+  * re-expressed as one Spark job (SURVEY.md §3.1). */
+object Ingest {
+
+  /** S2: headered CSV scan with schema inference (load_data.py:60-68). */
+  def readCsv(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("header", "true").option("inferSchema", "true").csv(path)
+
+  /** W1: deterministic 1-based id column, id first (load_data.py:70-79).
+    * Exact sequential ids need a global ordering — a single-partition
+    * window. Fine for dimension-sized inputs; for fact-scale data use
+    * [[distributedId]] instead. */
+  def addIdColumn(df: DataFrame, orderBy: String): DataFrame = {
+    val withId = df.withColumn("id",
+      row_number().over(Window.orderBy(asc_nulls_first(orderBy))).cast("long"))
+    withId.select(col("id") +: df.columns.map(col).toIndexedSeq: _*)
+  }
+
+  /** W1 at scale: unique (non-contiguous) ids without any shuffle —
+    * partition-local counters offset by partition id. */
+  def distributedId(df: DataFrame): DataFrame =
+    df.withColumn("id", monotonically_increasing_id())
+
+  /** S8/S9: idempotent overwrite sink (if_exists='replace',
+    * load_data.py:89,102). */
+  def overwriteParquet(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).parquet(path)
+
+  /** S11: single-file headered CSV sink (load_report.py:446-448). */
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.coalesce(1).write.mode(SaveMode.Overwrite)
+      .option("header", "true").csv(path)
+
+  /** S7: namespace convention — temp views prefixed `staging_`
+    * (CREATE SCHEMA IF NOT EXISTS staging, load_data.py:22-30). */
+  def registerStaging(df: DataFrame, name: String): Unit =
+    df.createOrReplaceTempView(s"staging_$name")
+
+  /** S12 + the reference's ACTUAL view on its ACTUAL data:
+    * lu.gpkg ⋈ lu.csv on TEMA projecting id/TEMA/LUSE/KETERANGAN/JENIS/
+    * SUMBER (query/view_linked_data.sql:1-13) — runnable end-to-end from
+    * the reference's own files. */
+  private val q51 = Q(
+    "q51_reference_linked_view",
+    (s, _) => {
+      val lu = addIdColumn(
+        Gpkg.readLayer(s, "/root/reference/data/lu.gpkg", "lu").drop("fid"), "KETERANGAN")
+      val dim = readCsv(s, "/root/reference/data/lu.csv")
+      lu.join(broadcast(dim), Seq("TEMA"))
+        .select(col("id").as("ID"), col("TEMA"), col("LUSE"), col("KETERANGAN"),
+          col("JENIS"), col("SUMBER"))
+        .orderBy(asc_nulls_first("ID"))
+    },
+    None,
+    "S2 CSV scan + S12 view + J1 join + W1 id on the reference's own data")
+
+  val all: Seq[Q] = Seq(q51)
+}
