@@ -47,6 +47,7 @@ object Sessions {
   def build(master: String, shufflePartitions: Int): SparkSession = {
     val s = SparkSession.builder()
       .master(master)
+      .withExtensions(new graft.geo.GraftExtensions)
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")

@@ -1,0 +1,60 @@
+package graft.geo
+
+import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, TernaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{BooleanType, DataType}
+
+/** Native Catalyst expressions for the spatial hot path (SURVEY.md §2.7).
+  *
+  * `StContainsPoint` is the predicate evaluated once per candidate row of
+  * every spatial join (J2/J3). As a Scala UDF it sits behind ScalaUDF's
+  * conversion + closure-call machinery and blocks null-intolerant
+  * optimizations; as a native `TernaryExpression` with `doGenCode` it
+  * inlines into whole-stage codegen as a static call — the same shape
+  * Spark's own built-ins use. */
+object GeoCodegen {
+  /** Static entry point referenced from generated code. */
+  def containsWkb(wkb: Array[Byte], x: Double, y: Double): Boolean =
+    Geo.contains(Wkb.parse(wkb), x, y)
+}
+
+case class StContainsPoint(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+
+  // no ImplicitCastInputTypes: AbstractDataType is private[sql]; callers
+  // (GeoExpressions / spark.sql) pass (binary, double, double) directly
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "st_contains_point"
+
+  override protected def nullSafeEval(g: Any, x: Any, y: Any): Any =
+    GeoCodegen.containsWkb(g.asInstanceOf[Array[Byte]],
+      x.asInstanceOf[Double], y.asInstanceOf[Double])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (g, x, y) => s"graft.geo.GeoCodegen.containsWkb($g, $x, $y)")
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): StContainsPoint = copy(f, s, t)
+}
+
+/** SparkSessionExtensions hook: injects the native spatial functions into
+  * the session's FunctionRegistry, making them available to spark.sql and
+  * `call_function`. Enable with
+  * `.config("spark.sql.extensions", "graft.geo.GraftExtensions")` or
+  * `.withExtensions(new GraftExtensions)`. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("st_contains_point"),
+      new ExpressionInfo(classOf[StContainsPoint].getName, "st_contains_point"),
+      (exprs: Seq[Expression]) => StContainsPoint(exprs(0), exprs(1), exprs(2))))
+  }
+}
+
+object GeoExpressions {
+  /** Column API for the native predicate (via the registered function, so
+    * it works on any session built with GraftExtensions). */
+  def stContainsPointNative(geom: Column, x: Column, y: Column): Column =
+    org.apache.spark.sql.functions.call_function("st_contains_point", geom, x, y)
+}

@@ -182,7 +182,8 @@ object Spatial {
       .withColumn("bx", floor(col(lonCol) / b).cast("long"))
       .withColumn("by", floor(col(latCol) / b).cast("long"))
       .join(pb, Seq("bx", "by"))
-      .filter(G.stContainsPoint(col(geomCol), col(lonCol), col(latCol)))
+      .filter(graft.geo.GeoExpressions.stContainsPointNative(
+        col(geomCol), col(lonCol), col(latCol)))
       .drop("bx", "by")
   }
 

@@ -43,12 +43,16 @@ object TextOps {
           col("doc_id"),
           size(split(col("text"), " ")).cast(LongType).as("n_tokens"),
           expr(s"cast(size(filter(split(text, ' '), x -> x in $stopList)) as bigint)").as("n_stop"),
+          // BPE-ish pre-tokenizer: letter runs | digit runs | single punct
+          size(expr("""regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\s]', 0)"""))
+            .cast(LongType).as("n_bpe_tokens"),
           length(col("text")).cast(LongType).as("n_chars_calc"))
         .withColumn("stop_ratio", round(col("n_stop") / col("n_tokens"), 4))
         .orderBy(asc_nulls_first("doc_id")),
     Some(s"""SELECT doc_id,
       len(string_split(text, ' ')) AS n_tokens,
       len(list_filter(string_split(text, ' '), x -> x IN $stopList)) AS n_stop,
+      len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS n_bpe_tokens,
       CAST(length(text) AS BIGINT) AS n_chars_calc,
       round(len(list_filter(string_split(text, ' '), x -> x IN $stopList)) / len(string_split(text, ' ')), 4) AS stop_ratio
       FROM documents ORDER BY doc_id ASC NULLS FIRST"""),
@@ -77,9 +81,8 @@ object TextOps {
       ORDER BY doc_id ASC NULLS FIRST"""),
     "quality scoring + filter (builder-prompt text-analysis surface)")
 
-  /** Language-ID by function-word evidence (SQL-expressible heuristic twin;
-    * the richer char-n-gram scorer lives in graft.functions.LangId with
-    * ScalaTest coverage, no oracle). */
+  /** Language-ID by function-word evidence (n-gram-heuristic family,
+    * expressed SQL-side so the DuckDB oracle can check it exactly). */
   private val q23 = Q(
     "q23_langid_stopwords",
     (s, dir) => {
