@@ -44,5 +44,74 @@ object Streams {
       FROM events GROUP BY 1 ORDER BY hour ASC NULLS FIRST"""),
     "streaming tumbling-window agg, complete mode; agrees with batch q17 (SURVEY §2.9)")
 
-  val all: Seq[Q] = Seq(q50)
+  /** Gap-based sessionization (30-min inactivity) — the classic stateful
+    * streaming analytic, here in its batch form: lag → new-session flag →
+    * running sum → per-session agg. Fully window-function shaped, so the
+    * DuckDB oracle checks it exactly. Stateful streaming twin:
+    * [[statefulUserCounts]] (mapGroupsWithState). */
+  private val q52 = Q(
+    "q52_sessionization",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(asc_nulls_first("ts_us"))
+      T(s, dir, "events")
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("value"))
+        .withColumn("new_sess",
+          when(col("ts_us") - lag(col("ts_us"), 1).over(w) > 1800L * 1000000L, 1)
+            .when(lag(col("ts_us"), 1).over(w).isNull, 1)
+            .otherwise(0))
+        .withColumn("sess_id", sum(col("new_sess"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("sess_id"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_value"),
+          min(col("ts_us")).as("start_us"), max(col("ts_us")).as("end_us"))
+        .orderBy(asc_nulls_first("user_id"), asc_nulls_first("sess_id"))
+    },
+    Some("""WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, value FROM events),
+      f AS (SELECT user_id, ts_us, value,
+              CASE WHEN lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us ASC NULLS FIRST) IS NULL THEN 1
+                   WHEN ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us ASC NULLS FIRST) > 1800000000 THEN 1
+                   ELSE 0 END AS new_sess
+            FROM e),
+      g AS (SELECT user_id, ts_us, value,
+              CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us ASC NULLS FIRST
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_id
+            FROM f)
+      SELECT user_id, sess_id, COUNT(*) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+             min(ts_us) AS start_us, max(ts_us) AS end_us
+      FROM g GROUP BY user_id, sess_id
+      ORDER BY user_id ASC NULLS FIRST, sess_id ASC NULLS FIRST"""),
+    "gap sessionization: lag/running-sum windows + per-session agg (SURVEY §2.9 extension)")
+
+  /** Stateful streaming: running per-user event counts via
+    * mapGroupsWithState (update mode) — the KeyValueGroupedDataset state
+    * API over the replayed events stream. */
+  def statefulUserCounts(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val schema = s.read.parquet(s"$dir/events.parquet").schema
+    val stream = s.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .select(col("user_id"))
+      .as[Long]
+    val counted = stream.groupByKey(identity)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[Long], state: GroupState[Long]) =>
+          val total = state.getOption.getOrElse(0L) + rows.size
+          state.update(total)
+          (user, total)
+      }
+      .toDF("user_id", "n_events")
+    val name = s"stateful_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = counted.writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(name).groupBy(col("user_id"))
+      .agg(max(col("n_events")).as("n_events"))
+      .orderBy(asc_nulls_first("user_id"))
+  }
+
+  val all: Seq[Q] = Seq(q50, q52)
 }

@@ -95,6 +95,16 @@ class DedupSpec extends AnyFunSuite {
     assert(out.map(_.width).toSeq === again.map(_.width).toSeq)
   }
 
+  test("stateful mapGroupsWithState counts equal batch groupBy counts") {
+    val dir = "/root/testdata/sf0.001"
+    val stateful = graft.streaming.Streams.statefulUserCounts(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    val batch = graft.T(spark, dir, "events")
+      .groupBy(org.apache.spark.sql.functions.col("user_id"))
+      .count().collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(stateful === batch)
+  }
+
   test("streaming tumbling agg equals batch twin on the same input") {
     val dir = "/root/testdata/sf0.001"
     val stream = graft.streaming.Streams.streamTumblingHour(spark, dir)
