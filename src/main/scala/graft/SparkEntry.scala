@@ -8,7 +8,7 @@ object SparkEntry {
 
   private def modules: Seq[Q] =
     ops.Relational.all ++ ops.TextOps.all ++ ops.Spatial.all ++
-      llm.Dedup.all ++ llm.Multimodal.all ++ streaming.Streams.all ++
+      llm.Dedup.all ++ llm.Ivf.all ++ llm.Multimodal.all ++ streaming.Streams.all ++
       sources.Gpkg.all ++ ops.Ingest.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
