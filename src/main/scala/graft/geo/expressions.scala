@@ -53,8 +53,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 }
 
 object GeoExpressions {
+
+  /** Idempotently register the native functions on an EXISTING session —
+    * needed because the driver's t1 smoke calls SparkEntry.entry(spark)
+    * with a session built WITHOUT GraftExtensions. */
+  def ensureRegistered(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "st_contains_point",
+      (exprs: Seq[Expression]) => StContainsPoint(exprs(0), exprs(1), exprs(2)),
+      "scala_udf")
+
   /** Column API for the native predicate (via the registered function, so
-    * it works on any session built with GraftExtensions). */
+    * it works on any session built with GraftExtensions or after
+    * ensureRegistered). */
   def stContainsPointNative(geom: Column, x: Column, y: Column): Column =
     org.apache.spark.sql.functions.call_function("st_contains_point", geom, x, y)
 }

@@ -177,6 +177,7 @@ object Spatial {
     * CRS as the points (4326 here). */
   def spatialJoin(points: DataFrame, polys: DataFrame, lonCol: String,
       latCol: String, geomCol: String, b: Double): DataFrame = {
+    graft.geo.GeoExpressions.ensureRegistered(points.sparkSession)
     val pb = polyBuckets(polys, geomCol, b)
     points
       .withColumn("bx", floor(col(lonCol) / b).cast("long"))
