@@ -16,9 +16,17 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("q40_flagship_report")(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2.
+    * Every query first (idempotently) registers the native geo expressions
+    * on the incoming session — the driver may pass a session built without
+    * GraftExtensions. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    modules.map(q => q.name -> q.fn).toMap
+    modules.map { q =>
+      q.name -> { (s: SparkSession, dir: String) =>
+        geo.GeoExpressions.ensureRegistered(s)
+        q.fn(s, dir)
+      }
+    }.toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */

@@ -1,7 +1,7 @@
 package graft.geo
 
 import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, TernaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types.{BooleanType, DataType}
 
@@ -14,9 +14,10 @@ import org.apache.spark.sql.types.{BooleanType, DataType}
   * inlines into whole-stage codegen as a static call — the same shape
   * Spark's own built-ins use. */
 object GeoCodegen {
-  /** Static entry point referenced from generated code. */
+  /** Static entry points referenced from generated code. */
   def containsWkb(wkb: Array[Byte], x: Double, y: Double): Boolean =
     Geo.contains(Wkb.parse(wkb), x, y)
+  def areaWkb(wkb: Array[Byte]): Double = Geo.area(Wkb.parse(wkb))
 }
 
 case class StContainsPoint(first: Expression, second: Expression, third: Expression)
@@ -38,6 +39,16 @@ case class StContainsPoint(first: Expression, second: Expression, third: Express
       f: Expression, s: Expression, t: Expression): StContainsPoint = copy(f, s, t)
 }
 
+case class StArea(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def prettyName: String = "st_area"
+  override protected def nullSafeEval(g: Any): Any =
+    GeoCodegen.areaWkb(g.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, g => s"graft.geo.GeoCodegen.areaWkb($g)")
+  override protected def withNewChildInternal(c: Expression): StArea = copy(c)
+}
+
 /** SparkSessionExtensions hook: injects the native spatial functions into
   * the session's FunctionRegistry, making them available to spark.sql and
   * `call_function`. Enable with
@@ -49,6 +60,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       org.apache.spark.sql.catalyst.FunctionIdentifier("st_contains_point"),
       new ExpressionInfo(classOf[StContainsPoint].getName, "st_contains_point"),
       (exprs: Seq[Expression]) => StContainsPoint(exprs(0), exprs(1), exprs(2))))
+    e.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("st_area_native"),
+      new ExpressionInfo(classOf[StArea].getName, "st_area_native"),
+      (exprs: Seq[Expression]) => StArea(exprs(0))))
   }
 }
 
@@ -57,15 +72,23 @@ object GeoExpressions {
   /** Idempotently register the native functions on an EXISTING session —
     * needed because the driver's t1 smoke calls SparkEntry.entry(spark)
     * with a session built WITHOUT GraftExtensions. */
-  def ensureRegistered(spark: SparkSession): Unit =
+  def ensureRegistered(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "st_contains_point",
       (exprs: Seq[Expression]) => StContainsPoint(exprs(0), exprs(1), exprs(2)),
       "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "st_area_native",
+      (exprs: Seq[Expression]) => StArea(exprs(0)),
+      "scala_udf")
+  }
 
   /** Column API for the native predicate (via the registered function, so
     * it works on any session built with GraftExtensions or after
     * ensureRegistered). */
   def stContainsPointNative(geom: Column, x: Column, y: Column): Column =
     org.apache.spark.sql.functions.call_function("st_contains_point", geom, x, y)
+
+  def stAreaNative(geom: Column): Column =
+    org.apache.spark.sql.functions.call_function("st_area_native", geom)
 }

@@ -257,7 +257,7 @@ object Spatial {
     // (distorted on purpose — load_report.py:376-380)
     val area = geoms
       .withColumn("geom3857", G.stTransform(col("geom"), lit(Crs.WGS84), lit(Crs.WebMercator)))
-      .agg(sum(G.stArea(col("geom3857")) / 10000.0).as("total_ha"))
+      .agg(sum(graft.geo.GeoExpressions.stAreaNative(col("geom3857")) / 10000.0).as("total_ha"))
     val variance = monthlyNdvi(s, sfDir, 2023)
       .groupBy(col("keterangan"))
       .agg(round(var_samp(col("ndvi")), 12).as("variance"))
@@ -332,7 +332,7 @@ object Spatial {
     linkedView(s, dir)
       .withColumn("geom3857", G.stTransform(col("geom"), col("geom_srid"), lit(Crs.WebMercator)))
       .groupBy(col("KETERANGAN").as("keterangan"))
-      .agg(round(sum(G.stArea(col("geom3857")) / 10000.0), 4).as("area_ha"),
+      .agg(round(sum(graft.geo.GeoExpressions.stAreaNative(col("geom3857")) / 10000.0), 4).as("area_ha"),
         count(lit(1)).as("n_parcels"))
       .orderBy(asc_nulls_first("keterangan")),
     None, "G2+G3 per-category Web-Mercator area in ha (ref load_report.py:369-380)")

@@ -88,7 +88,7 @@ object Gpkg {
         .withColumn("geom3857",
           G.stTransform(col("geom"), col("geom_srid"), lit(Crs.WebMercator)))
         .groupBy(col("KETERANGAN").as("keterangan"))
-        .agg(round(sum(G.stArea(col("geom3857")) / 10000.0), 2).as("area_ha"),
+        .agg(round(sum(graft.geo.GeoExpressions.stAreaNative(col("geom3857")) / 10000.0), 2).as("area_ha"),
           count(lit(1)).as("n_features"))
         .orderBy(asc_nulls_first("keterangan"))
     },
