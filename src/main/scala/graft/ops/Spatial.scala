@@ -174,7 +174,13 @@ object Spatial {
 
   /** Point-in-polygon join: points(lonCol, latCol) ⋈ polys(geomCol) via
     * bucket equi-join + exact ray-cast test. Polygons must be in the same
-    * CRS as the points (4326 here). */
+    * CRS as the points (4326 here).
+    *
+    * Broadcast policy: callers pass `broadcast(polys)` when the polygon
+    * side is dimension-sized (this repo's fixtures). For polygon sets too
+    * big to broadcast, pass the frame unhinted — the plan degrades to a
+    * shuffle join co-partitioned on (bx, by), which is exactly the
+    * scale-out shape. */
   def spatialJoin(points: DataFrame, polys: DataFrame, lonCol: String,
       latCol: String, geomCol: String, b: Double): DataFrame = {
     graft.geo.GeoExpressions.ensureRegistered(points.sparkSession)
