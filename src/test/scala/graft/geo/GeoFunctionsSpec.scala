@@ -1,0 +1,62 @@
+package graft.geo
+
+import graft.Sessions
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The registered SQL UDF surface (GeoFunctions.register): every st_*
+  * function callable from spark.sql, including the ST_Union aggregator
+  * and the accessors not exercised by the pipeline queries (G4/G5/G6/G8). */
+class GeoFunctionsSpec extends AnyFunSuite {
+
+  private lazy val spark = {
+    val s = Sessions.build("local[4]", 4)
+    GeoFunctions.register(s)
+    s
+  }
+
+  private def box(cx: Double, cy: Double, h: Double) =
+    Wkb.write(Wkb.Poly(Wkb.Polygon(Array(Wkb.Ring(
+      Array(cx - h, cx + h, cx + h, cx - h, cx - h),
+      Array(cy - h, cy - h, cy + h, cy + h, cy - h))))))
+
+  test("scalar st_* functions via spark.sql") {
+    import spark.implicits._
+    Seq((1L, box(5, 5, 2)), (2L, box(100, 100, 1))).toDF("id", "g")
+      .createOrReplaceTempView("geoms")
+    val row = spark.sql("""
+      select st_area(g) area, st_geometry_type(g) gt, st_centroid(g) c,
+             st_envelope(g) env, st_num_parts(g) np,
+             size(st_exterior_rings(g)[0]) ring_len,
+             st_contains_point(g, 5.0D, 5.0D) inside
+      from geoms where id = 1""").collect()(0)
+    assert(row.getDouble(0) === 16.0)
+    assert(row.getString(1) === "Polygon")
+    assert(row.getSeq[Double](2) === Seq(5.0, 5.0))
+    assert(row.getStruct(3).getDouble(0) === 3.0) // xmin
+    assert(row.getInt(4) === 1)
+    assert(row.getInt(5) === 5) // closed ring: 5 points
+    assert(row.getBoolean(6))
+  }
+
+  test("st_union_collect aggregates parts via spark.sql") {
+    import spark.implicits._
+    Seq(("a", box(0, 0, 1)), ("a", box(10, 0, 1)), ("b", box(0, 10, 2)))
+      .toDF("k", "g").createOrReplaceTempView("parts")
+    val got = spark.sql("""
+      select k, st_area(st_union_collect(g)) area,
+             st_num_parts(st_union_collect(g)) np
+      from parts group by k order by k""").collect()
+    assert(got(0).getString(0) === "a")
+    assert(got(0).getDouble(1) === 8.0 && got(0).getInt(2) === 2)
+    assert(got(1).getDouble(1) === 16.0 && got(1).getInt(2) === 1)
+  }
+
+  test("st_transform via spark.sql: UTM envelope center round-trips") {
+    import spark.implicits._
+    Seq(Tuple1(box(475000, 9878000, 100))).toDF("g").createOrReplaceTempView("t")
+    val area = spark.sql(
+      "select st_area(st_transform(st_transform(g, 100000, 4326), 4326, 32750)) from t")
+      .collect()(0).getDouble(0)
+    assert(math.abs(area - 200.0 * 200.0) < 1e-3)
+  }
+}
