@@ -279,16 +279,31 @@ object Spatial {
     // makes Spark schedule the five branches as independent stages that
     // race to materialize the same cache: 5× the pipeline, nondeterministic
     // 40–110 s at sf0.1. This shape is one pipeline execution, always.
-    val r = area.crossJoin(variance).collect()(0)
-    val totalHa = BigDecimal(r.getAs[Double]("total_ha"))
-      .setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
+    // Left join so a category set with no scene data (variance frame empty
+    // or all-null) still yields the 5-row report with "n/a" values instead
+    // of crashing — mirrors the reference's defensive empty-collection
+    // branches (load_report.py:139-153).
+    val rOpt = area.crossJoin(variance).collect().headOption
+      .orElse(area.collect().headOption)
+    def fmt(f: org.apache.spark.sql.Row => String): String =
+      rOpt.flatMap(r => Option(f(r))).getOrElse("n/a")
+    val totalHa = fmt { r =>
+      if (r.isNullAt(r.fieldIndex("total_ha"))) null
+      else BigDecimal(r.getAs[Double]("total_ha"))
+        .setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
+    }
+    def strField(name: String): String = fmt { r =>
+      if (r.schema.fieldNames.contains(name) && !r.isNullAt(r.fieldIndex(name)))
+        r.get(r.fieldIndex(name)).toString
+      else null
+    }
     import s.implicits._
     Seq(
       ("Analysis Type", "mangrove"),
       ("Total Mangrove Area (hectares)", totalHa),
-      ("Highest Variation Area", r.getAs[String]("keterangan")),
-      ("Variance of Highest Variation", r.getAs[Double]("variance").toString),
-      ("Inference", r.getAs[String]("inference"))
+      ("Highest Variation Area", strField("keterangan")),
+      ("Variance of Highest Variation", strField("variance")),
+      ("Inference", strField("inference"))
     ).toDF("Metric", "Value")
   }
 
