@@ -62,6 +62,38 @@ object Multimodal {
     }
   }
 
+  /** STUB resize: deterministic re-derivation of features at a target
+    * geometry (a real codec would rescale pixel data; the plumbing —
+    * typed output schema, per-partition batching — is what's real here). */
+  def resize(media: Dataset[MediaRow], w: Int, h: Int): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val (_, _, feats) = decodeStub(r.format, r.media)
+        MediaFeatures(r.doc_id, r.format, r.media.length, w, h, feats)
+      }
+    }
+  }
+
+  /** STUB frame sampling for "video" payloads: n evenly-spaced byte-range
+    * frames, each with its own feature vector — the exploded (doc, frame)
+    * shape a real video pipeline produces. */
+  final case class FrameFeatures(doc_id: Long, frame: Int, features: Array[Double])
+
+  def sampleFrames(media: Dataset[MediaRow], n: Int): Dataset[FrameFeatures] = {
+    import media.sparkSession.implicits._
+    media.flatMap { r =>
+      val len = math.max(1, r.media.length / n)
+      (0 until n).map { i =>
+        val from = math.min(i * len, r.media.length)
+        val until = math.min(from + len, r.media.length)
+        val slice = java.util.Arrays.copyOfRange(r.media, from, until)
+        val (_, _, feats) = decodeStub(r.format, slice)
+        FrameFeatures(r.doc_id, i, feats)
+      }
+    }
+  }
+
   private val q48 = Q(
     "q48_multimodal_features",
     (s, dir) => {

@@ -95,6 +95,19 @@ class DedupSpec extends AnyFunSuite {
     assert(out.map(_.width).toSeq === again.map(_.width).toSeq)
   }
 
+  test("multimodal resize and frame sampling keep the typed batch shape") {
+    import spark.implicits._
+    val media = Seq(
+      Multimodal.MediaRow(1L, "img", ("x" * 100).getBytes),
+      Multimodal.MediaRow(2L, "video", ("y" * 240).getBytes)).toDS()
+    val resized = Multimodal.resize(media, 224, 224).collect().sortBy(_.doc_id)
+    assert(resized.forall(r => r.width === 224 && r.height === 224))
+    assert(resized.forall(_.features.sum > 0.99))
+    val frames = Multimodal.sampleFrames(media, 4).collect()
+    assert(frames.length === 8) // 2 docs x 4 frames
+    assert(frames.groupBy(_.doc_id).forall(_._2.map(_.frame).sorted.sameElements(0 until 4)))
+  }
+
   test("stateful mapGroupsWithState counts equal batch groupBy counts") {
     val dir = "/root/testdata/sf0.001"
     val stateful = graft.streaming.Streams.statefulUserCounts(spark, dir)
