@@ -370,5 +370,44 @@ object Spatial {
       .orderBy(asc_nulls_first("keterangan")),
     None, "G4 centroid + G5/A10 total_bounds (ref load_report.py:322-337)")
 
-  val all: Seq[Q] = Seq(q40, q41, q42, q43, q44, q45, q46, q47)
+  /** Oracle-checked spatial join: points derived from events by exact
+    * integer arithmetic, polygons a 5×5 rectangle grid — the full
+    * bucket-join + ray-cast machinery on the Spark side, plain range
+    * comparisons in DuckDB. Ray casting on axis-aligned boxes is exactly
+    * left-closed containment ([min,max) on both axes), which the oracle
+    * mirrors. */
+  private val q53 = Q(
+    "q53_rect_spatial_join",
+    (s, dir) => {
+      val pts = graft.T(s, dir, "events").select(
+        col("event_id"),
+        (pmod(col("event_id"), lit(1000)).cast(DoubleType) / 1000.0 * 10.0).as("px"),
+        (pmod(col("event_id") * 7, lit(1000)).cast(DoubleType) / 1000.0 * 10.0).as("py"),
+        col("value"))
+      val rects = s.range(25).select(
+        col("id").as("rect_id"),
+        G.stMakeBox((col("id") % 5).cast(DoubleType) * 2.0,
+          floor(col("id") / 5).cast(DoubleType) * 2.0,
+          ((col("id") % 5) + 1).cast(DoubleType) * 2.0,
+          (floor(col("id") / 5) + 1).cast(DoubleType) * 2.0).as("geom"))
+      spatialJoin(pts, broadcast(rects), "px", "py", "geom", 1.0)
+        .groupBy(col("rect_id"))
+        .agg(count(lit(1)).as("n_points"),
+          sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+            .cast(DoubleType).as("sum_value"))
+        .orderBy(asc_nulls_first("rect_id"))
+    },
+    Some("""WITH p AS (SELECT event_id,
+               (event_id % 1000) / 1000.0 * 10.0 AS px,
+               ((event_id * 7) % 1000) / 1000.0 * 10.0 AS py, value FROM events),
+      r AS (SELECT i.g * 5 + j.g AS rect_id,
+                   (i.g * 5 + j.g) % 5 * 2.0 AS xmin, CAST(floor((i.g * 5 + j.g) / 5) AS BIGINT) * 2.0 AS ymin
+            FROM generate_series(0, 4) i(g), generate_series(0, 4) j(g))
+      SELECT rect_id, COUNT(*) AS n_points,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      FROM p JOIN r ON px >= xmin AND px < xmin + 2.0 AND py >= ymin AND py < ymin + 2.0
+      GROUP BY rect_id ORDER BY rect_id ASC NULLS FIRST"""),
+    "J2/J3 spatial join, DuckDB-oracle-checked via rectangle containment")
+
+  val all: Seq[Q] = Seq(q40, q41, q42, q43, q44, q45, q46, q47, q53)
 }
