@@ -161,6 +161,65 @@ object Geo {
       Ring(xs, ys)
     })
 
+  private def segsIntersect(ax: Double, ay: Double, bx: Double, by: Double,
+      cx: Double, cy: Double, dx: Double, dy: Double): Boolean = {
+    def orient(px: Double, py: Double, qx: Double, qy: Double,
+        rx: Double, ry: Double): Double =
+      (qx - px) * (ry - py) - (qy - py) * (rx - px)
+    val o1 = orient(ax, ay, bx, by, cx, cy)
+    val o2 = orient(ax, ay, bx, by, dx, dy)
+    val o3 = orient(cx, cy, dx, dy, ax, ay)
+    val o4 = orient(cx, cy, dx, dy, bx, by)
+    (o1 * o2 < 0 && o3 * o4 < 0) ||
+      (o1 == 0 && math.min(ax, bx) <= cx && cx <= math.max(ax, bx)
+        && math.min(ay, by) <= cy && cy <= math.max(ay, by)) ||
+      (o2 == 0 && math.min(ax, bx) <= dx && dx <= math.max(ax, bx)
+        && math.min(ay, by) <= dy && dy <= math.max(ay, by))
+  }
+
+  /** Rectangle-polygon intersection (raster CELLS are boxes, not points —
+    * closer to terra::extract coverage semantics than the center test).
+    * True iff any polygon vertex lies in the box, any box corner lies in
+    * the polygon (hole-aware), or any ring edge crosses a box edge. */
+  def intersectsBox(g: Geom, xmin: Double, ymin: Double,
+      xmax: Double, ymax: Double): Boolean = g match {
+    case Point(x, y) => x >= xmin && x <= xmax && y >= ymin && y <= ymax
+    case other =>
+      val env = envelope(other)
+      if (env.xmax < xmin || env.xmin > xmax || env.ymax < ymin || env.ymin > ymax)
+        return false
+      // any box corner inside the polygon
+      if (contains(other, xmin, ymin) || contains(other, xmax, ymin) ||
+          contains(other, xmin, ymax) || contains(other, xmax, ymax)) return true
+      val boxEdges = Array(
+        (xmin, ymin, xmax, ymin), (xmax, ymin, xmax, ymax),
+        (xmax, ymax, xmin, ymax), (xmin, ymax, xmin, ymin))
+      Wkb.asPolygons(other).exists { p =>
+        p.rings.exists { r =>
+          var i = 0
+          val n = r.size
+          var hit = false
+          while (i < n && !hit) {
+            val j = (i + 1) % n
+            // vertex inside the box
+            if (r.xs(i) >= xmin && r.xs(i) <= xmax &&
+                r.ys(i) >= ymin && r.ys(i) <= ymax) hit = true
+            else {
+              var e = 0
+              while (e < 4 && !hit) {
+                val (ax, ay, bx, by) = boxEdges(e)
+                if (segsIntersect(r.xs(i), r.ys(i), r.xs(j), r.ys(j), ax, ay, bx, by))
+                  hit = true
+                e += 1
+              }
+            }
+            i += 1
+          }
+          hit
+        }
+      }
+  }
+
   /** Union-as-collect: merge parts into one MultiPolygon (observationally
     * equivalent to ST_Union for the reference's non-overlapping parcels —
     * documented deviation, SURVEY.md §7.4). */

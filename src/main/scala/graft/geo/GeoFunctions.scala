@@ -74,18 +74,21 @@ object GeoFunctions {
   val stUnionCollect: Column => Column =
     org.apache.spark.sql.functions.udaf(unionAgg).apply(_)
 
-  /** Register everything for spark.sql use. */
+  /** Register everything for spark.sql use. The functions with native
+    * Catalyst twins (st_contains_point, st_area_native, st_intersects_box)
+    * register via GeoExpressions so the null-safe codegen expressions are
+    * never shadowed by the UDF closures. */
   def register(spark: SparkSession): Unit = {
     spark.udf.register("st_area", stArea)
     spark.udf.register("st_transform", stTransform)
     spark.udf.register("st_centroid", stCentroid)
     spark.udf.register("st_envelope", stEnvelope)
-    spark.udf.register("st_contains_point", stContainsPoint)
     spark.udf.register("st_geometry_type", stGeometryType)
     spark.udf.register("st_exterior_rings", stExteriorRings)
     spark.udf.register("st_num_parts", stNumParts)
     spark.udf.register("st_make_box", stMakeBox)
     spark.udf.register("st_union_collect",
       org.apache.spark.sql.functions.udaf(unionAgg))
+    GeoExpressions.ensureRegistered(spark)
   }
 }

@@ -18,6 +18,9 @@ object GeoCodegen {
   def containsWkb(wkb: Array[Byte], x: Double, y: Double): Boolean =
     Geo.contains(Wkb.parse(wkb), x, y)
   def areaWkb(wkb: Array[Byte]): Double = Geo.area(Wkb.parse(wkb))
+  def intersectsBoxWkb(wkb: Array[Byte], xmin: Double, ymin: Double,
+      xmax: Double, ymax: Double): Boolean =
+    Geo.intersectsBox(Wkb.parse(wkb), xmin, ymin, xmax, ymax)
 }
 
 case class StContainsPoint(first: Expression, second: Expression, third: Expression)
@@ -37,6 +40,28 @@ case class StContainsPoint(first: Expression, second: Expression, third: Express
 
   override protected def withNewChildrenInternal(
       f: Expression, s: Expression, t: Expression): StContainsPoint = copy(f, s, t)
+}
+
+/** st_intersects_box(geom, xmin, ymin, xmax, ymax): rectangle-polygon
+  * intersection — the cell-coverage join predicate (vs the cell-center
+  * StContainsPoint). Evaluated via the quinary fallback eval (no
+  * QuinaryExpression base in Catalyst; interpreted eval is fine since the
+  * bucket equi-join has already reduced candidates). */
+case class StIntersectsBox(children: Seq[Expression]) extends Expression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  require(children.length == 5, "st_intersects_box(geom, xmin, ymin, xmax, ymax)")
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = children.exists(_.nullable)
+  override def prettyName: String = "st_intersects_box"
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val vs = children.map(_.eval(input))
+    if (vs.contains(null)) null
+    else GeoCodegen.intersectsBoxWkb(vs(0).asInstanceOf[Array[Byte]],
+      vs(1).asInstanceOf[Double], vs(2).asInstanceOf[Double],
+      vs(3).asInstanceOf[Double], vs(4).asInstanceOf[Double])
+  }
+  override protected def withNewChildrenInternal(
+      cs: IndexedSeq[Expression]): StIntersectsBox = copy(cs)
 }
 
 case class StArea(child: Expression) extends UnaryExpression {
@@ -64,6 +89,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       org.apache.spark.sql.catalyst.FunctionIdentifier("st_area_native"),
       new ExpressionInfo(classOf[StArea].getName, "st_area_native"),
       (exprs: Seq[Expression]) => StArea(exprs(0))))
+    e.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("st_intersects_box"),
+      new ExpressionInfo(classOf[StIntersectsBox].getName, "st_intersects_box"),
+      (exprs: Seq[Expression]) => StIntersectsBox(exprs)))
   }
 }
 
@@ -81,6 +110,10 @@ object GeoExpressions {
       "st_area_native",
       (exprs: Seq[Expression]) => StArea(exprs(0)),
       "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "st_intersects_box",
+      (exprs: Seq[Expression]) => StIntersectsBox(exprs),
+      "scala_udf")
   }
 
   /** Column API for the native predicate (via the registered function, so
@@ -91,4 +124,9 @@ object GeoExpressions {
 
   def stAreaNative(geom: Column): Column =
     org.apache.spark.sql.functions.call_function("st_area_native", geom)
+
+  def stIntersectsBox(geom: Column, xmin: Column, ymin: Column,
+      xmax: Column, ymax: Column): Column =
+    org.apache.spark.sql.functions.call_function(
+      "st_intersects_box", geom, xmin, ymin, xmax, ymax)
 }

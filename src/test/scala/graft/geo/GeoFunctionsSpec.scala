@@ -38,6 +38,15 @@ class GeoFunctionsSpec extends AnyFunSuite {
     assert(row.getBoolean(6))
   }
 
+  test("st_intersects_box via spark.sql (cell-coverage join predicate)") {
+    import spark.implicits._
+    Seq(Tuple1(box(0, 0, 10))).toDF("g").createOrReplaceTempView("ib")
+    val got = spark.sql("""
+      select st_intersects_box(g, 9.0D, 9.0D, 12.0D, 12.0D) a,
+             st_intersects_box(g, 11.0D, 11.0D, 12.0D, 12.0D) b from ib""").collect()(0)
+    assert(got.getBoolean(0) && !got.getBoolean(1))
+  }
+
   test("st_union_collect aggregates parts via spark.sql") {
     import spark.implicits._
     Seq(("a", box(0, 0, 1)), ("a", box(10, 0, 1)), ("b", box(0, 10, 2)))

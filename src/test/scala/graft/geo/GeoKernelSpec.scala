@@ -106,6 +106,19 @@ class GeoKernelSpec extends AnyFunSuite {
     }
   }
 
+  test("rectangle-polygon intersection: overlap, containment both ways, disjoint, hole") {
+    val g = Poly(square(0, 0, 10))
+    assert(Geo.intersectsBox(g, 5, 5, 15, 15))      // partial overlap
+    assert(Geo.intersectsBox(g, -1, -1, 1, 1))      // box inside polygon
+    assert(Geo.intersectsBox(g, -20, -20, 20, 20))  // polygon inside box
+    assert(!Geo.intersectsBox(g, 11, 11, 15, 15))   // disjoint
+    assert(Geo.intersectsBox(g, 9, -1, 12, 1))      // straddles an edge
+    // box entirely inside a hole → no intersection
+    val holed = Poly(Polygon(Array(square(0, 0, 10).rings(0), square(0, 0, 4).rings(0))))
+    assert(!Geo.intersectsBox(holed, -1, -1, 1, 1))
+    assert(Geo.intersectsBox(holed, 3, 3, 5, 5))    // straddles the hole edge
+  }
+
   test("GPKG blob header strip (flags=0b11: LE + XY envelope)") {
     val wkb = Wkb.write(Poly(square(471700, 9873100, 50)))
     val blob = java.nio.ByteBuffer.allocate(8 + 32 + wkb.length)
