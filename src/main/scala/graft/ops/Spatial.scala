@@ -409,5 +409,55 @@ object Spatial {
       GROUP BY rect_id ORDER BY rect_id ASC NULLS FIRST"""),
     "J2/J3 spatial join, DuckDB-oracle-checked via rectangle containment")
 
-  val all: Seq[Q] = Seq(q40, q41, q42, q43, q44, q45, q46, q47, q53)
+  /** Cell-COVERAGE spatial join (st_intersects_box): raster cells as boxes
+    * rather than center points — every (cell, polygon) pair whose areas
+    * overlap, oracle-checked via interval arithmetic. Cell size 0.377773
+    * guarantees no exact boundary touches (px has 2 decimals), so closed
+    * vs half-open edge semantics cannot diverge between engines. */
+  private val q54 = Q(
+    "q54_coverage_join",
+    (s, dir) => {
+      val cellSize = 0.377773
+      val cells = graft.T(s, dir, "events").select(
+        col("event_id"),
+        (pmod(col("event_id"), lit(1000)).cast(DoubleType) / 1000.0 * 10.0 + 0.0011).as("px"),
+        (pmod(col("event_id") * 7, lit(1000)).cast(DoubleType) / 1000.0 * 10.0 + 0.0011).as("py"))
+      val rects = s.range(25).select(
+        col("id").as("rect_id"),
+        ((col("id") % 5).cast(DoubleType) * 2.0).as("xmin"),
+        (floor(col("id") / 5).cast(DoubleType) * 2.0).as("ymin"))
+        .select(col("rect_id"), col("xmin"), col("ymin"),
+          G.stMakeBox(col("xmin"), col("ymin"), col("xmin") + 2.0, col("ymin") + 2.0).as("geom"))
+      // bucket the cell by its own envelope (cell spans ≤2 buckets/dim at b=1)
+      val b = 1.0
+      val pb = polyBuckets(broadcast(rects), "geom", b)
+      graft.geo.GeoExpressions.ensureRegistered(s)
+      cells
+        .withColumn("bx0", floor(col("px") / b).cast("long"))
+        .withColumn("bx", explode(sequence(col("bx0"),
+          floor((col("px") + cellSize) / b).cast("long"))))
+        .withColumn("by", explode(sequence(floor(col("py") / b).cast("long"),
+          floor((col("py") + cellSize) / b).cast("long"))))
+        .join(pb, Seq("bx", "by"))
+        .filter(graft.geo.GeoExpressions.stIntersectsBox(col("geom"),
+          col("px"), col("py"), col("px") + cellSize, col("py") + cellSize))
+        .select(col("rect_id"), col("event_id")).distinct()
+        .groupBy(col("rect_id"))
+        .agg(count(lit(1)).as("n_cells"))
+        .orderBy(asc_nulls_first("rect_id"))
+    },
+    Some("""WITH p AS (SELECT event_id,
+               (event_id % 1000) / 1000.0 * 10.0 + 0.0011 AS px,
+               ((event_id * 7) % 1000) / 1000.0 * 10.0 + 0.0011 AS py FROM events),
+      r AS (SELECT i.g * 5 + j.g AS rect_id,
+                   (i.g * 5 + j.g) % 5 * 2.0 AS xmin, CAST(floor((i.g * 5 + j.g) / 5) AS BIGINT) * 2.0 AS ymin
+            FROM generate_series(0, 4) i(g), generate_series(0, 4) j(g))
+      SELECT rect_id, COUNT(*) AS n_cells
+      FROM (SELECT DISTINCT rect_id, event_id
+            FROM p JOIN r ON px < xmin + 2.0 AND px + 0.377773 > xmin
+                         AND py < ymin + 2.0 AND py + 0.377773 > ymin)
+      GROUP BY rect_id ORDER BY rect_id ASC NULLS FIRST"""),
+    "cell-coverage spatial join via st_intersects_box, DuckDB-oracle-checked")
+
+  val all: Seq[Q] = Seq(q40, q41, q42, q43, q44, q45, q46, q47, q53, q54)
 }
