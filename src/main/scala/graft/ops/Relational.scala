@@ -380,6 +380,44 @@ object Relational {
       FROM events GROUP BY 1 ORDER BY bucket ASC NULLS FIRST"""),
     "F-series string extraction (ref load_report.py f-string parsing analog)")
 
+  /** Exact distinct-count per group (extension beyond the reference's
+    * surface; the approx HLL twin is approx_count_distinct, kept out of the
+    * oracle because sketches differ across engines). */
+  private val q55 = Q(
+    "q55_count_distinct",
+    (s, dir) =>
+      T(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          count(lit(1)).as("n_events"))
+        .orderBy(asc_nulls_first("event_type")),
+    Some("""SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
+      FROM events GROUP BY event_type ORDER BY event_type ASC NULLS FIRST"""),
+    "exact count-distinct (OLAP extension)")
+
+  /** ROLLUP hierarchy totals: (region, nation) subtotals + grand total —
+    * Spark rollup vs DuckDB GROUP BY ROLLUP. */
+  private val q56 = Q(
+    "q56_rollup",
+    (s, dir) => {
+      val c = T(s, dir, "customer")
+      val n = T(s, dir, "nation")
+      val r = T(s, dir, "region")
+      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .rollup(col("r_name").as("region"), col("n_name").as("nation"))
+        .agg(count(lit(1)).as("n_customers"),
+          sum(dec("c_acctbal")).cast(DoubleType).as("sum_bal"))
+        .orderBy(asc_nulls_first("region"), asc_nulls_first("nation"))
+    },
+    Some("""SELECT r_name AS region, n_name AS nation, COUNT(*) AS n_customers,
+      CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY ROLLUP (r_name, n_name)
+      ORDER BY region ASC NULLS FIRST, nation ASC NULLS FIRST"""),
+    "ROLLUP subtotals/grand total (OLAP extension)")
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
-    q11, q12, q13, q14, q15, q16, q17, q18, q19)
+    q11, q12, q13, q14, q15, q16, q17, q18, q19, q55, q56)
 }
