@@ -418,6 +418,22 @@ object Relational {
       ORDER BY region ASC NULLS FIRST, nation ASC NULLS FIRST"""),
     "ROLLUP subtotals/grand total (OLAP extension)")
 
+  /** Real JSON-path extraction from the props column (q19 is the
+    * regexp fallback twin): get_json_object vs DuckDB json_extract_string. */
+  private val q57 = Q(
+    "q57_json_extract",
+    (s, dir) =>
+      T(s, dir, "events")
+        .select(get_json_object(col("props"), "$.k").cast("int").as("k"), col("value"))
+        .groupBy(col("k"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec("value")).cast(DoubleType).as("sum_value"))
+        .orderBy(asc_nulls_first("k")),
+    Some("""SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k, COUNT(*) AS n,
+      CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      FROM events GROUP BY k ORDER BY k ASC NULLS FIRST"""),
+    "JSON-path extraction (F-series extension; regexp twin = q19)")
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
-    q11, q12, q13, q14, q15, q16, q17, q18, q19, q55, q56)
+    q11, q12, q13, q14, q15, q16, q17, q18, q19, q55, q56, q57)
 }
