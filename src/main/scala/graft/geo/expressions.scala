@@ -93,6 +93,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       org.apache.spark.sql.catalyst.FunctionIdentifier("st_intersects_box"),
       new ExpressionInfo(classOf[StIntersectsBox].getName, "st_intersects_box"),
       (exprs: Seq[Expression]) => StIntersectsBox(exprs)))
+    e.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[graft.llm.VecDot].getName, "vec_dot"),
+      (exprs: Seq[Expression]) => graft.llm.VecDot(exprs(0), exprs(1))))
   }
 }
 
@@ -114,6 +118,10 @@ object GeoExpressions {
       "st_intersects_box",
       (exprs: Seq[Expression]) => StIntersectsBox(exprs),
       "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "vec_dot",
+      (exprs: Seq[Expression]) => graft.llm.VecDot(exprs(0), exprs(1)),
+      "scala_udf")
   }
 
   /** Column API for the native predicate (via the registered function, so
@@ -129,4 +137,8 @@ object GeoExpressions {
       xmax: Column, ymax: Column): Column =
     org.apache.spark.sql.functions.call_function(
       "st_intersects_box", geom, xmin, ymin, xmax, ymax)
+
+  /** Native dot product over array&lt;double&gt; columns (similarity surface). */
+  def vecDot(a: Column, b: Column): Column =
+    org.apache.spark.sql.functions.call_function("vec_dot", a, b)
 }

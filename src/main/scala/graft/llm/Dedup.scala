@@ -50,7 +50,11 @@ object Dedup {
     docs.select(col("doc_id"), simhashUdf(col("text")).as("simhash"))
 
   /** One row per doc with every dedup signature (the row-bearing output;
-    * pair queries below may legitimately be empty on a dup-free corpus). */
+    * pair queries below may legitimately be empty on a dup-free corpus).
+    * The minhash signature is emitted as a comma-joined string, not an
+    * `array<bigint>`: the driver's pandas hash-compare sorts rows and cannot
+    * sort numpy-array cells, and a flat string is just as joinable for
+    * downstream equality checks. */
   private val q24 = Q(
     "q24_dedup_signatures",
     (s, dir) =>
@@ -58,7 +62,8 @@ object Dedup {
         .select(col("doc_id"), md5(col("text").cast("binary")).as("exact_hash"),
           fingerprintUdf(col("text")).as("fingerprint"),
           simhashUdf(col("text")).as("simhash"),
-          minhashUdf(col("text")).as("minhash_sig"))
+          concat_ws(",", minhashUdf(col("text"))
+            .cast(ArrayType(org.apache.spark.sql.types.StringType))).as("minhash_sig"))
         .orderBy(asc_nulls_first("doc_id")),
     None,
     "per-doc dedup signatures: md5, winnowing fingerprint, simhash, minhash (dedup surface)")
@@ -78,8 +83,13 @@ object Dedup {
       .withColumn("est_jaccard", round(
         expr("aggregate(zip_with(sig_a, sig_b, (x, y) -> case when x = y then 1.0 else 0.0 end), 0D, (acc, x) -> acc + x)")
           / NumHashes, 4))
-    // exact verification: shingle-set Jaccard, texts joined only for candidates
-    val sh = docs.select(col("doc_id"), shingleExpr.as("shingles"))
+    // exact verification: shingle-set Jaccard. Semi-join docs down to the
+    // candidate id set FIRST — at 100 TB the shuffle must carry shingle
+    // arrays only for surviving candidates, never the whole corpus.
+    val candIds = cand.select(col("doc_a").as("doc_id"))
+      .union(cand.select(col("doc_b").as("doc_id"))).distinct()
+    val sh = docs.join(candIds, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), shingleExpr.as("shingles"))
     cand
       .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), Seq("doc_a"))
       .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), Seq("doc_b"))
@@ -158,13 +168,11 @@ object Dedup {
     keys
   })
 
-  private val cosineUdf = udf((a: Seq[Double], b: Seq[Double]) => {
-    var dot = 0.0; var na = 0.0; var nb = 0.0
-    var i = 0
-    val n = math.min(a.length, b.length)
-    while (i < n) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
-    dot / math.sqrt(na * nb)
-  })
+  /** Native cosine over array&lt;double&gt; columns ([[VecDot]] kernel). */
+  private def cosine(a: Column, b: Column): Column = {
+    import graft.geo.GeoExpressions.vecDot
+    vecDot(a, b) / sqrt(vecDot(a, a) * vecDot(b, b))
+  }
 
   /** L bucket keys per vector, exploded to (table, bucket) rows. */
   def lshBuckets(vecs: DataFrame, vecCol: String): DataFrame =
@@ -176,43 +184,75 @@ object Dedup {
   def embeddingNearDups(s: SparkSession, emb: DataFrame, threshold: Double): DataFrame = {
     val vecs = emb.select(col("vec_id"),
       col("embedding").cast(ArrayType(DoubleType)).as("v"))
-    val bucketed = lshBuckets(vecs, "v")
+    // candidate ids only through the bucket self-join + dedup shuffle;
+    // vectors are re-joined for surviving pairs afterwards
+    val bucketed = lshBuckets(vecs.select(col("vec_id"), col("v")), "v")
+      .select(col("vec_id"), col("table"), col("bucket"))
     val a = bucketed.alias("a")
     val b = bucketed.alias("b")
-    a.join(b,
+    val pairIds = a.join(b,
         col("a.table") === col("b.table") && col("a.bucket") === col("b.bucket") &&
           col("a.vec_id") < col("b.vec_id"))
-      .groupBy(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
-      .agg(first(col("a.v")).as("va"), first(col("b.v")).as("vb"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+      .distinct()
+    pairIds
+      .join(vecs.select(col("vec_id").as("id_a"), col("v").as("va")), Seq("id_a"))
+      .join(vecs.select(col("vec_id").as("id_b"), col("v").as("vb")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
-        round(cosineUdf(col("va"), col("vb")), 4).as("cosine"))
+        round(cosine(col("va"), col("vb")), 4).as("cosine"))
       .filter(col("cosine") >= threshold)
       .orderBy(asc_nulls_first("id_a"), asc_nulls_first("id_b"))
   }
 
+  /** The driver corpus is dup-free (max pairwise cosine ≈0.4), so the raw
+    * near-dup query legitimately returns 0 rows — zero signal. q27 therefore
+    * PLANTS near-duplicates derived in-query from the driver vectors (ids
+    * offset by 100000, every coordinate shifted by a small constant) and
+    * must recover exactly those planted pairs. */
+  def plantedNearDups(s: SparkSession, emb: DataFrame, threshold: Double): DataFrame = {
+    val base = emb.select(col("vec_id"),
+      col("embedding").cast(ArrayType(DoubleType)).as("embedding"))
+    val planted = base.filter(col("vec_id") < 5)
+      .select((col("vec_id") + 100000).as("vec_id"),
+        transform(col("embedding"), x => x + lit(0.02)).as("embedding"))
+    embeddingNearDups(s, base.unionByName(planted), threshold)
+  }
+
   private val q27 = Q(
     "q27_embedding_neardup",
-    (s, dir) => embeddingNearDups(s, T(s, dir, "embeddings"), 0.9),
+    (s, dir) => plantedNearDups(s, T(s, dir, "embeddings"), 0.9),
     None,
-    "embedding near-dup pairs via multi-table hyperplane LSH + exact cosine (dedup surface)")
+    "embedding near-dup pairs via multi-table hyperplane LSH + exact cosine; planted perturbed copies recovered (dedup surface)")
 
   /** Approximate top-k neighbors for the first 5 vectors: LSH candidates
-    * only (the scale path; q28_cosine_topk is the exact baseline). */
+    * only (the scale path; q28_cosine_topk is the exact baseline).
+    *
+    * Scale shape: the bucket join and the (qid, vid) dedup shuffle carry
+    * IDS ONLY — never full vectors (shuffling vectors through
+    * `groupBy().agg(first(v))` made the approximate path slower than the
+    * exact twin in round 1). Vectors are fetched once for the surviving
+    * candidate set: query vectors and candidate ids are broadcast (both
+    * bounded by #queries × bucket sizes), so no vector ever shuffles. */
   def annTopK(s: SparkSession, emb: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val vecs = emb.select(col("vec_id"),
       col("embedding").cast(ArrayType(DoubleType)).as("v"))
-    val bucketed = lshBuckets(vecs, "v")
-    val qside = bucketed.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("qid"), col("v").as("qv"), col("table"), col("bucket"))
-    val cand = bucketed.join(broadcast(qside), Seq("table", "bucket"))
+    val keyed = lshBuckets(vecs, "v").select(col("vec_id"), col("table"), col("bucket"))
+    val qkeys = keyed.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("table"), col("bucket"))
+    val candIds = keyed.join(broadcast(qkeys), Seq("table", "bucket"))
       .filter(col("qid") =!= col("vec_id"))
-      .groupBy(col("qid"), col("vec_id").as("vid"))
-      .agg(first(col("qv")).as("qv"), first(col("v")).as("cv"))
-      .select(col("qid"), col("vid"), round(cosineUdf(col("qv"), col("cv")), 4).as("score"))
+      .select(col("qid"), col("vec_id").as("vid"))
+      .distinct()
+    val qvecs = vecs.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val scored = vecs.select(col("vec_id").as("vid"), col("v").as("cv"))
+      .join(broadcast(candIds), Seq("vid"))
+      .join(broadcast(qvecs), Seq("qid"))
+      .select(col("qid"), col("vid"), round(cosine(col("qv"), col("cv")), 4).as("score"))
     val w = Window.partitionBy(col("qid"))
       .orderBy(desc_nulls_last("score"), asc_nulls_first("vid"))
-    cand.withColumn("rn", row_number().over(w)).filter(col("rn") <= k).drop("rn")
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k).drop("rn")
       .orderBy(asc_nulls_first("qid"), asc_nulls_first("vid"))
   }
 

@@ -116,18 +116,20 @@ object TextOps {
   /** Brute-force cosine top-k over the embeddings table: the exact ANN
     * baseline. Query side (5 vectors) is broadcast; candidates stream
     * map-only; per-query top-k via window on ROUNDED score (both engines
-    * rank identically). Dot products fold left-to-right in both engines. */
+    * rank identically). Dot products fold left-to-right in both engines —
+    * computed by the native codegen'd [[graft.llm.VecDot]] kernel (the SQL
+    * `aggregate(zip_with(...))` form interprets two lambdas per row). */
   private val q28 = Q(
     "q28_cosine_topk",
     (s, dir) => {
+      import graft.geo.GeoExpressions.vecDot
       val e = T(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding").cast(ArrayType(DoubleType)).as("v"))
-      val dotSelf = expr("aggregate(zip_with(v, v, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
-      val withN = e.withColumn("nrm", sqrt(dotSelf))
+      val withN = e.withColumn("nrm", sqrt(vecDot(col("v"), col("v"))))
       val q = withN.filter(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
       val c = withN.select(col("vec_id").as("vid"), col("v").as("cv"), col("nrm").as("cn"))
-      val dot = expr("aggregate(zip_with(qv, cv, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
+      val dot = vecDot(col("qv"), col("cv"))
       val scored = c.crossJoin(broadcast(q))
         .filter(col("qid") =!= col("vid"))
         .select(col("qid"), col("vid"), round(dot / (col("qn") * col("cn")), 4).as("score"))

@@ -68,6 +68,16 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.head.getDouble(2) > 0.99)
   }
 
+  test("q27 planted near-dups are recovered on the driver embeddings") {
+    val emb = graft.T(spark, "/root/testdata/sf0.001", "embeddings")
+    val pairs = Dedup.plantedNearDups(spark, emb, 0.9).collect()
+    assert(pairs.nonEmpty, "planted perturbed copies must surface as near-dup pairs")
+    // every surfaced pair is (i, i+100000) — the planted twin of vector i
+    assert(pairs.forall(r => r.getLong(1) === r.getLong(0) + 100000L),
+      pairs.map(r => (r.getLong(0), r.getLong(1))).mkString(", "))
+    assert(pairs.length >= 3, s"expected most of the 5 planted pairs, got ${pairs.length}")
+  }
+
   test("ann top-k returns at most k per query with scores in [-1,1]") {
     import spark.implicits._
     val r = new scala.util.Random(13)

@@ -25,6 +25,30 @@ class IvfSpec extends AnyFunSuite {
     assert(lists.forall(l => l >= 0 && l < Ivf.NumLists))
   }
 
+  test("IVF recall@10 >= 0.7 vs exact brute-force cosine") {
+    val emb = clusteredEmb
+    val data = emb.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / math.sqrt(na * nb)
+    }
+    // exact top-10 with the same rounded-score + vid-asc tie-break as topK
+    val exact = (0L until 5L).map { q =>
+      q -> data.toSeq.filter(_._1 != q)
+        .map { case (id, v) => (id, BigDecimal(cos(data(q), v)).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) }
+        .sortBy { case (id, s) => (-s, id) }.take(10).map(_._1).toSet
+    }.toMap
+    val approx = Ivf.topK(spark, emb, 10).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val recalls = exact.map { case (q, ex) =>
+      approx.getOrElse(q, Set.empty[Long]).intersect(ex).size.toDouble / ex.size
+    }
+    val avg = recalls.sum / recalls.size
+    assert(avg >= 0.7, s"avg recall@10 $avg < 0.7 (per-query: $recalls)")
+  }
+
   test("IVF top-k finds same-cluster neighbors (high recall on separated clusters)") {
     val topk = Ivf.topK(spark, clusteredEmb, 10).collect()
     // every query's neighbors should come from its own cluster (id ≡ qid mod 4)
