@@ -123,7 +123,11 @@ object Spatial {
           + sin(col("month_idx") / lit(12.0) * lit(2 * math.Pi)) * 0.05).as("sr_b5"))
   }
 
-  /** Elevation raster-as-table (FIXTURES.md §A5) with ~2% null cells. */
+  /** Elevation raster-as-table (FIXTURES.md §A5) with ~2% null cells.
+    * Each of the 5 admin strips (vertical, by longitude) gets a distinct
+    * +90 m/strip base trend — without it every strip's sin/hash noise
+    * averages to the same mean and the downstream histogram (q42)
+    * degenerates to a single bin. */
   def elevation(s: SparkSession, sfDir: String): DataFrame = {
     val nCells = math.max(10000, (6000000 * sfFactor(sfDir)).toLong)
     val nx = math.ceil(math.sqrt(nCells.toDouble)).toInt
@@ -135,6 +139,7 @@ object Spatial {
         (lit(latMin) + floor(col("id") / nx) * dLat + dLat / 2).as("cell_lat"),
         when(pmod(xxhash64(col("id"), lit(9)), lit(53)) === 0, lit(null).cast(DoubleType))
           .otherwise(lit(120.0)
+            + floor((col("id") % nx) / math.max(1, nx / 5)) * 90.0
             + sin(col("id").cast(DoubleType) * 0.37) * 180.0
             + u(col("id"), 5) * 260.0).as("elev"))
   }
@@ -459,5 +464,124 @@ object Spatial {
       GROUP BY rect_id ORDER BY rect_id ASC NULLS FIRST"""),
     "cell-coverage spatial join via st_intersects_box, DuckDB-oracle-checked")
 
-  val all: Seq[Q] = Seq(q40, q41, q42, q43, q44, q45, q46, q47, q53, q54)
+  /** Events-derived points shared by the oracle-checked zonal twins
+    * (q58/q59/q60): px/py from exact integer arithmetic (the q53
+    * technique), elev a deterministic 0.1-step measure with a ~2% null
+    * stripe mirroring the elevation fixture's NA cells. */
+  private def oraclePoints(s: SparkSession, dir: String): DataFrame =
+    graft.T(s, dir, "events").select(
+      col("event_id"),
+      (pmod(col("event_id"), lit(1000)).cast(DoubleType) / 1000.0 * 10.0).as("px"),
+      (pmod(col("event_id") * 7, lit(1000)).cast(DoubleType) / 1000.0 * 10.0).as("py"),
+      when(pmod(col("event_id"), lit(53)) === 0, lit(null).cast(DoubleType))
+        .otherwise(pmod(col("event_id"), lit(4000)).cast(DoubleType) / 10.0).as("elev"))
+
+  private val oraclePointsSql =
+    """SELECT event_id,
+         (event_id % 1000) / 1000.0 * 10.0 AS px,
+         ((event_id * 7) % 1000) / 1000.0 * 10.0 AS py,
+         CASE WHEN event_id % 53 = 0 THEN NULL
+              ELSE (event_id % 4000) / 10.0 END AS elev
+       FROM events"""
+
+  /** Decimal-exact mean (sum is order-independent in both engines), rounded
+    * for the hash compare — the Q-scaladoc float-agg convention. */
+  private def exactMean(c: Column): Column =
+    round(sum(c.cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+      .cast(DoubleType) / count(c), 4)
+
+  /** q41's twin, ORACLE-CHECKED: zonal mean elevation through the real
+    * envelope-bucket spatialJoin + ray-cast machinery, zones = 5 vertical
+    * strips (the admin-fixture shape) derivable in DuckDB as plain range
+    * predicates. */
+  private val q58 = Q(
+    "q58_zonal_mean_oracle",
+    (s, dir) => {
+      val pts = oraclePoints(s, dir).filter(col("elev").isNotNull)
+      val strips = s.range(5).select(
+        concat(lit("Region "), (col("id") + 1).cast("string")).as("name_1"),
+        G.stMakeBox(col("id").cast(DoubleType) * 2.0, lit(0.0),
+          (col("id") + 1).cast(DoubleType) * 2.0, lit(10.0)).as("geom"))
+      spatialJoin(pts, broadcast(strips), "px", "py", "geom", 1.0)
+        .groupBy(col("name_1"))
+        .agg(exactMean(col("elev")).as("mean_elev"), count(lit(1)).as("n_cells"))
+        .orderBy(asc_nulls_first("name_1"))
+    },
+    Some(s"""WITH p AS ($oraclePointsSql),
+      r AS (SELECT g AS region_id, g * 2.0 AS xmin FROM generate_series(0, 4) t(g))
+      SELECT 'Region ' || CAST(region_id + 1 AS VARCHAR) AS name_1,
+             round(CAST(SUM(CAST(elev AS DECIMAL(18,6))) AS DOUBLE) / COUNT(elev), 4) AS mean_elev,
+             COUNT(elev) AS n_cells
+      FROM p JOIN r ON px >= xmin AND px < xmin + 2.0
+      WHERE elev IS NOT NULL
+      GROUP BY 1 ORDER BY name_1 ASC NULLS FIRST"""),
+    "R1/J2+A3 zonal mean, DuckDB-oracle-checked (q41 twin via the q53 box technique)")
+
+  /** q42's twin, ORACLE-CHECKED: the full A7+A8 pipeline (min over zonal
+    * means → 20 m left-closed bins → frequency) over a 10×10 zone grid so
+    * the histogram is non-degenerate (several bins). */
+  private val q59 = Q(
+    "q59_zonal_histogram_oracle",
+    (s, dir) => {
+      val pts = oraclePoints(s, dir).filter(col("elev").isNotNull)
+      val rects = s.range(100).select(
+        col("id").as("rect_id"),
+        G.stMakeBox((col("id") % 10).cast(DoubleType), floor(col("id") / 10).cast(DoubleType),
+          (col("id") % 10 + 1).cast(DoubleType), (floor(col("id") / 10) + 1).cast(DoubleType)).as("geom"))
+      val zonal = spatialJoin(pts, broadcast(rects), "px", "py", "geom", 1.0)
+        .groupBy(col("rect_id"))
+        .agg(exactMean(col("elev")).as("mean_elev"))
+      val mn = zonal.agg(min(col("mean_elev")).as("mn"))
+      zonal.crossJoin(broadcast(mn))
+        .select(floor((col("mean_elev") - col("mn")) / 20.0).as("bin"))
+        .groupBy(col("bin")).agg(count(lit(1)).as("freq"))
+        .orderBy(asc_nulls_first("bin"))
+    },
+    Some(s"""WITH p AS ($oraclePointsSql),
+      r AS (SELECT i.g * 10 + j.g AS rect_id,
+                   (i.g * 10 + j.g) % 10 * 1.0 AS xmin,
+                   CAST(floor((i.g * 10 + j.g) / 10) AS BIGINT) * 1.0 AS ymin
+            FROM generate_series(0, 9) i(g), generate_series(0, 9) j(g)),
+      z AS (SELECT rect_id,
+                   round(CAST(SUM(CAST(elev AS DECIMAL(18,6))) AS DOUBLE) / COUNT(elev), 4) AS mean_elev
+            FROM p JOIN r ON px >= xmin AND px < xmin + 1.0 AND py >= ymin AND py < ymin + 1.0
+            WHERE elev IS NOT NULL GROUP BY rect_id),
+      m AS (SELECT min(mean_elev) AS mn FROM z)
+      SELECT CAST(floor((mean_elev - mn) / 20.0) AS BIGINT) AS bin, COUNT(*) AS freq
+      FROM z, m GROUP BY 1 ORDER BY bin ASC NULLS FIRST"""),
+    "A7+A8 histogram of zonal means, DuckDB-oracle-checked (q42 twin, non-degenerate)")
+
+  /** q45's twin, ORACLE-CHECKED: per-polygon point count at full fan-out
+    * with ZERO-count polygons preserved (left join after the spatial join —
+    * the reference's per-geometry loop emits empty collections too,
+    * load_report.py:139-153). 36 rects over [0,12]² vs points in [0,10)² ⇒
+    * 11 rects provably empty. */
+  private val q60 = Q(
+    "q60_left_spatial_count_oracle",
+    (s, dir) => {
+      val pts = oraclePoints(s, dir)
+      val rects = s.range(36).select(
+        col("id").as("rect_id"),
+        G.stMakeBox((col("id") % 6).cast(DoubleType) * 2.0,
+          floor(col("id") / 6).cast(DoubleType) * 2.0,
+          (col("id") % 6 + 1).cast(DoubleType) * 2.0,
+          (floor(col("id") / 6) + 1).cast(DoubleType) * 2.0).as("geom"))
+      val counts = spatialJoin(pts, broadcast(rects), "px", "py", "geom", 2.0)
+        .groupBy(col("rect_id")).agg(count(lit(1)).as("n"))
+      rects.select(col("rect_id"))
+        .join(counts, Seq("rect_id"), "left")
+        .select(col("rect_id"), coalesce(col("n"), lit(0L)).as("n_points"))
+        .orderBy(asc_nulls_first("rect_id"))
+    },
+    Some(s"""WITH p AS ($oraclePointsSql),
+      r AS (SELECT i.g * 6 + j.g AS rect_id,
+                   (i.g * 6 + j.g) % 6 * 2.0 AS xmin,
+                   CAST(floor((i.g * 6 + j.g) / 6) AS BIGINT) * 2.0 AS ymin
+            FROM generate_series(0, 5) i(g), generate_series(0, 5) j(g))
+      SELECT rect_id, COUNT(px) AS n_points
+      FROM r LEFT JOIN p ON px >= xmin AND px < xmin + 2.0 AND py >= ymin AND py < ymin + 2.0
+      GROUP BY rect_id ORDER BY rect_id ASC NULLS FIRST"""),
+    "J3+A6 zero-preserving spatial count, DuckDB-oracle-checked (q45 twin)")
+
+  val all: Seq[Q] = Seq(q40, q41, q42, q43, q44, q45, q46, q47, q53, q54, q58, q59, q60)
 }

@@ -56,9 +56,17 @@ class SpatialPipelineSpec extends AnyFunSuite {
     assert(rows.length === 5)
     rows.foreach { r =>
       val mean = r.getDouble(1)
-      assert(mean > -60.0 && mean < 560.0, s"mean $mean outside elev range")
+      assert(mean > -60.0 && mean < 1000.0, s"mean $mean outside elev range")
       assert(r.getLong(2) > 0)
     }
+    // the per-strip base trend must separate the regional means
+    val means = rows.map(_.getDouble(1)).sorted
+    assert(means.last - means.head > 60.0, s"strip trend missing: $means")
+  }
+
+  test("elevation histogram is non-degenerate (>= 3 bins)") {
+    val bins = Spatial.elevationHistogram(spark, dir).collect()
+    assert(bins.length >= 3, s"degenerate histogram: ${bins.mkString(", ")}")
   }
 
   test("area by category: Web-Mercator ha, every category covered") {
