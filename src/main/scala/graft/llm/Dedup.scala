@@ -227,29 +227,26 @@ object Dedup {
   /** Approximate top-k neighbors for the first 5 vectors: LSH candidates
     * only (the scale path; q28_cosine_topk is the exact baseline).
     *
-    * Scale shape: the bucket join and the (qid, vid) dedup shuffle carry
-    * IDS ONLY — never full vectors (shuffling vectors through
-    * `groupBy().agg(first(v))` made the approximate path slower than the
-    * exact twin in round 1). Vectors are fetched once for the surviving
-    * candidate set: query vectors and candidate ids are broadcast (both
-    * bounded by #queries × bucket sizes), so no vector ever shuffles. */
+    * Scale shape: candidate vectors stream map-side through the broadcast
+    * bucket join (query vectors ride the broadcast) and the score is
+    * computed IMMEDIATELY, so the only shuffle carries (qid, vid, score)
+    * scalars — no full vector ever shuffles. Round 1 shuffled both
+    * vectors per pair through `groupBy().agg(first(v))`, which made the
+    * approximate path slower than the exact twin. A pair colliding in
+    * multiple tables recomputes one 64-dim dot per collision — cheaper
+    * map-side than a dedup exchange of vectors. */
   def annTopK(s: SparkSession, emb: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val vecs = emb.select(col("vec_id"),
       col("embedding").cast(ArrayType(DoubleType)).as("v"))
-    val keyed = lshBuckets(vecs, "v").select(col("vec_id"), col("table"), col("bucket"))
-    val qkeys = keyed.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("qid"), col("table"), col("bucket"))
-    val candIds = keyed.join(broadcast(qkeys), Seq("table", "bucket"))
+    val bucketed = lshBuckets(vecs, "v")
+    val qside = bucketed.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("table"), col("bucket"))
+    val scored = bucketed.join(broadcast(qside), Seq("table", "bucket"))
       .filter(col("qid") =!= col("vec_id"))
-      .select(col("qid"), col("vec_id").as("vid"))
-      .distinct()
-    val qvecs = vecs.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("qid"), col("v").as("qv"))
-    val scored = vecs.select(col("vec_id").as("vid"), col("v").as("cv"))
-      .join(broadcast(candIds), Seq("vid"))
-      .join(broadcast(qvecs), Seq("qid"))
-      .select(col("qid"), col("vid"), round(cosine(col("qv"), col("cv")), 4).as("score"))
+      .select(col("qid"), col("vec_id").as("vid"),
+        round(cosine(col("qv"), col("v")), 4).as("score"))
+      .groupBy(col("qid"), col("vid")).agg(first(col("score")).as("score"))
     val w = Window.partitionBy(col("qid"))
       .orderBy(desc_nulls_last("score"), asc_nulls_first("vid"))
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k).drop("rn")

@@ -348,8 +348,11 @@ object Spatial {
     None, "R3 multi-year NDVI series (ref load_report.py:118-169)")
   private val q45 = Q("q45_parcel_scene_count", (s, dir) => {
     val sc = scenes(s, dir)
-    spatialJoin(sc, parcels(s, dir).select(col("id"),
-      G.stTransform(col("geom"), col("geom_srid"), lit(Crs.WGS84)).as("geom")),
+    // parcels are dimension-sized (3.1k rows at sf0.1) → broadcast; the
+    // unhinted shuffle-join degradation documented on spatialJoin remains
+    // the path for polygon sets too large to broadcast
+    spatialJoin(sc, broadcast(parcels(s, dir).select(col("id"),
+      G.stTransform(col("geom"), col("geom_srid"), lit(Crs.WGS84)).as("geom"))),
       "cell_lon", "cell_lat", "geom", bucketSizeDeg(dir))
       .groupBy(col("id")).agg(count(lit(1)).as("n_scenes"))
       .orderBy(asc_nulls_first("id"))
