@@ -115,13 +115,29 @@ object Spatial {
       .filter(col("month_idx") =!= 14) // 2019-03 globally sceneless
       .filter(pmod(xxhash64(col("cell_id"), col("month_idx"), lit(7)), lit(37)) =!= 0)
       .select(
-        expr("add_months(date '2018-01-01', month_idx)").as("date"),
+        expr("add_months(date '2018-01-01', month_idx)").as("month_start"),
+        col("cell_id"), col("month_idx"),
         (lit(lonMin) + (col("cell_id") % nx) * dLon + dLon / 2).as("cell_lon"),
         (lit(latMin) + floor(col("cell_id") / nx) * dLat + dLat / 2).as("cell_lat"),
         (lit(0.10) + u(col("cell_id") * 100 + col("month_idx"), 3) * 0.15).as("sr_b4"),
         (lit(0.20) + u(col("cell_id") * 100 + col("month_idx"), 4) * 0.35
           + sin(col("month_idx") / lit(12.0) * lit(2 * math.Pi)) * 0.05).as("sr_b5"))
+      // day-granular acquisition date (uniform over the month incl. day
+      // 29/30/31) so the GEE month-end quirk is observable
+      .withColumn("date", expr(
+        """date_add(month_start, cast(least(
+             pmod(xxhash64(cell_id, month_idx, 11), 31),
+             datediff(last_day(month_start), month_start)) as int))"""))
+      .drop("month_start", "cell_id", "month_idx")
   }
+
+  /** The reference's month-window quirk, replicated not fixed
+    * (load_report.py:69-70,130-131): windows run 01..28 (Feb) / 01..30
+    * (other months) and GEE `filterDate`'s end bound is EXCLUSIVE — so
+    * Feb day-28/29 and day-30/31 scenes silently vanish from every NDVI
+    * aggregate. */
+  def geeMonthWindow(dateCol: Column): Column =
+    dayofmonth(dateCol) < when(month(dateCol) === 2, 28).otherwise(30)
 
   /** Elevation raster-as-table (FIXTURES.md §A5) with ~2% null cells.
     * Each of the 5 admin strips (vertical, by longitude) gets a distinct
@@ -238,7 +254,8 @@ object Spatial {
     * month-spine left join. */
   private def ndviByMonth(s: SparkSession, sc: DataFrame, parcelsGeo: DataFrame,
       sfDir: String, months: DataFrame): DataFrame = {
-    val joined = spatialJoin(sc, broadcast(parcelsGeo), "cell_lon", "cell_lat", "geom",
+    val joined = spatialJoin(sc.filter(geeMonthWindow(col("date"))),
+      broadcast(parcelsGeo), "cell_lon", "cell_lat", "geom",
       bucketSizeDeg(sfDir))
       .withColumn("ndvi", (col("sr_b5") - col("sr_b4")) / (col("sr_b5") + col("sr_b4")))
       .withColumn("month_ts", date_trunc("month", col("date")))

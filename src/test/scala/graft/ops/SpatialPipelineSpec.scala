@@ -69,6 +69,24 @@ class SpatialPipelineSpec extends AnyFunSuite {
     assert(bins.length >= 3, s"degenerate histogram: ${bins.mkString(", ")}")
   }
 
+  test("GEE month-end quirk: Feb>=28 and day>=30 scenes excluded (exclusive end)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq("2023-01-29", "2023-01-30", "2023-01-31", "2023-02-27",
+      "2023-02-28", "2024-02-29", "2023-04-29", "2023-04-30")
+      .toDF("d").select(to_date(col("d")).as("date"))
+    val kept = df.filter(Spatial.geeMonthWindow(col("date")))
+      .collect().map(_.getDate(0).toString).sorted
+    assert(kept === Array("2023-01-29", "2023-02-27", "2023-04-29"))
+  }
+
+  test("scenes fixture has day-29/30/31 acquisitions so the quirk is observable") {
+    import org.apache.spark.sql.functions._
+    val dropped = Spatial.scenes(spark, dir)
+      .filter(!Spatial.geeMonthWindow(col("date"))).count()
+    assert(dropped > 0, "no quirk-affected scenes in the fixture")
+  }
+
   test("area by category: Web-Mercator ha, every category covered") {
     val rows = Spatial.all.find(_.name == "q46_area_by_category").get
       .fn(spark, dir).collect()
