@@ -220,9 +220,80 @@ object Geo {
       }
   }
 
+  /** Proper segment crossing: interiors intersect at a single point.
+    * Strict orientation signs, so shared endpoints and collinear touching
+    * do NOT count — adjacency is not overlap. */
+  private def properCross(ax: Double, ay: Double, bx: Double, by: Double,
+      cx: Double, cy: Double, dx: Double, dy: Double): Boolean = {
+    def orient(px: Double, py: Double, qx: Double, qy: Double,
+        rx: Double, ry: Double): Double =
+      (qx - px) * (ry - py) - (qy - py) * (rx - px)
+    val o1 = orient(ax, ay, bx, by, cx, cy)
+    val o2 = orient(ax, ay, bx, by, dx, dy)
+    val o3 = orient(cx, cy, dx, dy, ax, ay)
+    val o4 = orient(cx, cy, dx, dy, bx, by)
+    o1 * o2 < 0 && o3 * o4 < 0
+  }
+
+  private def onRing(r: Ring, x: Double, y: Double): Boolean = {
+    var i = 0
+    val n = r.size
+    while (i < n) {
+      val j = (i + 1) % n
+      val cross = (r.xs(j) - r.xs(i)) * (y - r.ys(i)) - (r.ys(j) - r.ys(i)) * (x - r.xs(i))
+      if (cross == 0.0 &&
+          x >= math.min(r.xs(i), r.xs(j)) && x <= math.max(r.xs(i), r.xs(j)) &&
+          y >= math.min(r.ys(i), r.ys(j)) && y <= math.max(r.ys(i), r.ys(j))) return true
+      i += 1
+    }
+    false
+  }
+
+  private def strictlyInside(p: Polygon, x: Double, y: Double): Boolean =
+    contains(Poly(p), x, y) && !p.rings.exists(onRing(_, x, y))
+
+  /** Interior-overlap test for two simple polygon parts: true when a shell
+    * vertex of one lies strictly inside the other or any shell edges
+    * properly cross. Boundary touching (shared edges, shared vertices)
+    * is NOT overlap. Best-effort limitation (documented): two polygons
+    * whose boundaries are collinear everywhere (e.g. exact duplicates)
+    * have no strict vertex containment and no proper crossing — the union
+    * guard catches byte-identical duplicates separately. */
+  def overlaps(a: Polygon, b: Polygon): Boolean = {
+    val ea = envelope(Poly(a)); val eb = envelope(Poly(b))
+    if (ea.xmax <= eb.xmin || ea.xmin >= eb.xmax ||
+        ea.ymax <= eb.ymin || ea.ymin >= eb.ymax) return false
+    val sa = a.shell; val sb = b.shell
+    var i = 0
+    while (i < sa.size) {
+      if (strictlyInside(b, sa.xs(i), sa.ys(i))) return true
+      i += 1
+    }
+    i = 0
+    while (i < sb.size) {
+      if (strictlyInside(a, sb.xs(i), sb.ys(i))) return true
+      i += 1
+    }
+    i = 0
+    while (i < sa.size) {
+      val i2 = (i + 1) % sa.size
+      var j = 0
+      while (j < sb.size) {
+        val j2 = (j + 1) % sb.size
+        if (properCross(sa.xs(i), sa.ys(i), sa.xs(i2), sa.ys(i2),
+          sb.xs(j), sb.ys(j), sb.xs(j2), sb.ys(j2))) return true
+        j += 1
+      }
+      i += 1
+    }
+    false
+  }
+
   /** Union-as-collect: merge parts into one MultiPolygon (observationally
     * equivalent to ST_Union for the reference's non-overlapping parcels —
-    * documented deviation, SURVEY.md §7.4). */
+    * documented deviation, SURVEY.md §7.4). The aggregator guards the
+    * deviation's silent-wrong-answer window by failing loudly on
+    * overlapping inputs (see GeoFunctions.stUnionCollect). */
   def unionCollect(gs: Seq[Geom]): Geom =
     MultiPoly(gs.toArray.flatMap(Wkb.asPolygons))
 }

@@ -65,7 +65,33 @@ object GeoFunctions {
       val sorted = b.sortWith { (l, r) =>
         java.util.Arrays.compareUnsigned(l, r) < 0
       }
-      Wkb.write(Geo.unionCollect(sorted.map(Wkb.parse)))
+      // union-as-collect is only area/NDVI-equivalent to a true dissolve
+      // when inputs are disjoint — fail LOUDLY instead of double-counting.
+      // Byte-identical duplicates are adjacent after the sort; interior
+      // overlaps are caught by the pairwise kernel test (envelope-
+      // prefiltered; boundary adjacency is fine).
+      var dup = sorted
+      while (dup.nonEmpty && dup.tail.nonEmpty) {
+        if (java.util.Arrays.equals(dup.head, dup.tail.head))
+          throw new IllegalStateException(
+            "st_union_collect: duplicate geometry in union group — " +
+              "union-as-collect would double-count its area")
+        dup = dup.tail
+      }
+      val parts = sorted.flatMap(bs => Wkb.asPolygons(Wkb.parse(bs))).toArray
+      var i = 0
+      while (i < parts.length) {
+        var j = i + 1
+        while (j < parts.length) {
+          if (Geo.overlaps(parts(i), parts(j)))
+            throw new IllegalStateException(
+              s"st_union_collect: overlapping parts ($i, $j) in union group — " +
+                "union-as-collect would double-count the intersection area")
+          j += 1
+        }
+        i += 1
+      }
+      Wkb.write(Wkb.MultiPoly(parts))
     }
     def bufferEncoder: Encoder[List[Array[Byte]]] = Encoders.kryo[List[Array[Byte]]]
     def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY

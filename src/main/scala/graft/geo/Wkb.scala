@@ -45,6 +45,12 @@ object Wkb {
     val rawType = buf.getInt()
     val hasSrid = (rawType & 0x20000000) != 0
     if (hasSrid) buf.getInt() // skip srid
+    // EWKB Z/M flags and ISO-WKB 1000/2000/3000 type offsets carry extra
+    // per-vertex doubles — silently masking them off would read Z values
+    // as the next vertex's X and corrupt every coordinate. Fail fast.
+    if ((rawType & 0xC0000000) != 0 || (rawType & 0x1FFFFFFF) > 999)
+      throw new IllegalArgumentException(
+        f"unsupported 3-D/measured WKB geometry (type word 0x$rawType%08x): only 2-D supported")
     rawType & 0xFF match {
       case TPoint   => Point(buf.getDouble(), buf.getDouble())
       case TPolygon => Poly(readPolygon(buf))

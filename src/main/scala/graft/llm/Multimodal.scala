@@ -8,46 +8,75 @@ import org.apache.spark.sql.functions._
   * binary columns + typed metadata, decoded/feature-extracted in batched
   * per-partition passes.
   *
-  * The Spark-side plumbing is REAL (schema, typed Dataset, mapPartitions
-  * batch shape, partition-parallel decode); the codec itself is a STUB —
-  * no image/audio libraries exist in this container, so `decodeStub`
-  * derives deterministic fake dimensions + a byte-histogram feature vector
-  * from the bytes. Swap `decodeStub` for a real JNI/Java codec at
-  * deployment; nothing else changes. */
+  * The Spark-side plumbing is real (schema, typed Dataset, mapPartitions
+  * batch shape, partition-parallel decode), and so are two codecs: BMP
+  * and WAV headers parse for real via [[Codecs]] (width/height resp.
+  * sample-rate/channels come from the actual container bytes). Formats
+  * without a JVM-parseable container in this environment fall back to
+  * `decodeStub` — a deterministic stand-in that is disclosed, not passed
+  * off as a codec. Swap the stub for a JNI/Java codec at deployment;
+  * nothing else changes. */
 object Multimodal {
 
-  /** Input row: media blob + declared format ("img"/"audio"). */
+  /** Input row: media blob + declared format ("img"/"audio"/"bin"). */
   final case class MediaRow(doc_id: Long, format: String, media: Array[Byte])
 
-  /** Output row: decoded metadata + fixed-width feature vector. */
+  /** Output row: decoded metadata + fixed-width feature vector.
+    * For WAV payloads width/height carry sample-rate/channels (documented
+    * overload of the two geometry slots). `codec` says which decoder ran. */
   final case class MediaFeatures(
       doc_id: Long, format: String, n_bytes: Int,
-      width: Int, height: Int, features: Array[Double])
+      width: Int, height: Int, codec: String, features: Array[Double])
 
-  /** STUB decoder — deterministic stand-in for an image/audio codec.
-    * Real plumbing boundary: one call per media blob, executed inside a
-    * partition iterator (so a real codec could batch/reuse native
-    * buffers across rows). */
+  /** STUB decoder — deterministic stand-in for formats with no JVM codec
+    * here. One call per media blob, executed inside a partition iterator
+    * (so a real codec could batch/reuse native buffers across rows). */
   def decodeStub(format: String, bytes: Array[Byte]): (Int, Int, Array[Double]) = {
     val h = java.util.Arrays.hashCode(bytes)
     val width = 16 + math.floorMod(h, 1920)
     val height = 16 + math.floorMod(h / 7, 1080)
-    val hist = new Array[Double](8)
-    var i = 0
-    while (i < bytes.length) { hist(math.floorMod(bytes(i), 8)) += 1.0; i += 1 }
-    val total = math.max(1.0, bytes.length.toDouble)
-    (width, height, hist.map(_ / total))
+    (width, height, histogram(bytes, 0))
   }
 
+  /** Normalized byte histogram over `bytes[from..)` — the stand-in feature
+    * vector for every codec path. */
+  private def histogram(bytes: Array[Byte], from: Int): Array[Double] = {
+    val h = new Array[Double](8)
+    var i = math.min(math.max(0, from), bytes.length)
+    val n = math.max(1.0, (bytes.length - i).toDouble)
+    while (i < bytes.length) { h(math.floorMod(bytes(i), 8)) += 1.0; i += 1 }
+    h.map(_ / n)
+  }
+
+  /** Decode dispatch: sniff the container magic, parse for real when it is
+    * BMP or WAV, else stub. Returns (width, height, features, codec). */
+  def decode(format: String, bytes: Array[Byte]): (Int, Int, Array[Double], String) =
+    Codecs.parseBmp(bytes) match {
+      case Some(bmp) => (bmp.width, bmp.height, histogram(bytes, bmp.dataOffset), "bmp")
+      case None => Codecs.parseWav(bytes) match {
+        case Some(w) => (w.sampleRate, w.channels, histogram(bytes, 44), "wav")
+        case None =>
+          val (wd, ht, f) = decodeStub(format, bytes)
+          (wd, ht, f, "stub")
+      }
+    }
+
   /** Media table synthesized from documents (the driver set has no binary
-    * column): text bytes stand in for an encoded payload. */
+    * column): text bytes become REAL BMP and WAV containers for 2/3 of the
+    * rows (exercising the actual parsers), raw bytes for the rest
+    * (exercising the stub fallback). */
   def mediaTable(s: SparkSession, dir: String): Dataset[MediaRow] = {
     import s.implicits._
     T(s, dir, "documents")
-      .select(col("doc_id"),
-        when(col("doc_id") % 2 === 0, lit("img")).otherwise(lit("audio")).as("format"),
-        col("text").cast("binary").as("media"))
-      .as[MediaRow]
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val payload = text.getBytes("UTF-8")
+        id % 3 match {
+          case 0 => MediaRow(id, "img", Codecs.wrapBmp(payload, 16))
+          case 1 => MediaRow(id, "audio", Codecs.wrapWav(payload, 16000, 1))
+          case _ => MediaRow(id, "bin", payload)
+        }
+      }
   }
 
   /** Decode + feature-extract, partition-parallel (no shuffle). */
@@ -56,26 +85,26 @@ object Multimodal {
     media.mapPartitions { rows =>
       // per-partition init point for a real codec (native context reuse)
       rows.map { r =>
-        val (w, h, feats) = decodeStub(r.format, r.media)
-        MediaFeatures(r.doc_id, r.format, r.media.length, w, h, feats)
+        val (w, h, feats, codec) = decode(r.format, r.media)
+        MediaFeatures(r.doc_id, r.format, r.media.length, w, h, codec, feats)
       }
     }
   }
 
-  /** STUB resize: deterministic re-derivation of features at a target
-    * geometry (a real codec would rescale pixel data; the plumbing —
-    * typed output schema, per-partition batching — is what's real here). */
+  /** Resize to a target geometry: features re-derived from the decoded
+    * payload (a real codec would rescale pixel data; the typed output
+    * schema and per-partition batching are the real plumbing). */
   def resize(media: Dataset[MediaRow], w: Int, h: Int): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       rows.map { r =>
-        val (_, _, feats) = decodeStub(r.format, r.media)
-        MediaFeatures(r.doc_id, r.format, r.media.length, w, h, feats)
+        val (_, _, feats, codec) = decode(r.format, r.media)
+        MediaFeatures(r.doc_id, r.format, r.media.length, w, h, codec, feats)
       }
     }
   }
 
-  /** STUB frame sampling for "video" payloads: n evenly-spaced byte-range
+  /** Frame sampling for "video" payloads: n evenly-spaced byte-range
     * frames, each with its own feature vector — the exploded (doc, frame)
     * shape a real video pipeline produces. */
   final case class FrameFeatures(doc_id: Long, frame: Int, features: Array[Double])
@@ -88,8 +117,7 @@ object Multimodal {
         val from = math.min(i * len, r.media.length)
         val until = math.min(from + len, r.media.length)
         val slice = java.util.Arrays.copyOfRange(r.media, from, until)
-        val (_, _, feats) = decodeStub(r.format, slice)
-        FrameFeatures(r.doc_id, i, feats)
+        FrameFeatures(r.doc_id, i, histogram(slice, 0))
       }
     }
   }
@@ -99,13 +127,14 @@ object Multimodal {
     (s, dir) => {
       import s.implicits._
       extractFeatures(mediaTable(s, dir)).toDF()
-        .select(col("doc_id"), col("format"), col("n_bytes"), col("width"),
-          col("height"), round(element_at(col("features"), 1), 6).as("f0"),
+        .select(col("doc_id"), col("format"), col("codec"), col("n_bytes"),
+          col("width"), col("height"),
+          round(element_at(col("features"), 1), 6).as("f0"),
           round(element_at(col("features"), 8), 6).as("f7"))
         .orderBy(asc_nulls_first("doc_id"))
     },
     None,
-    "multimodal decode/feature plumbing over binary media columns (STUB codec)")
+    "multimodal decode/feature plumbing: real BMP/WAV header codecs + stub fallback")
 
   val all: Seq[Q] = Seq(q48)
 }

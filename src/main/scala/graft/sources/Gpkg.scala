@@ -28,6 +28,7 @@ object Gpkg {
       .filter(_._2(0) == layer)
       .map(r => (r._2(1).asInstanceOf[String], r._2(3).asInstanceOf[Long].toInt))
       .toMap
+    val pkIdx = db.rowidAliasIndex(table)
     val rows = db.rows(layer).map { case (rowid, vals) =>
       val out = new Array[Any](cols.length + geomCols.size)
       var extra = cols.length
@@ -45,7 +46,8 @@ object Gpkg {
           extra += 1
         } else {
           // INTEGER PRIMARY KEY is stored null in the record → rowid
-          out(i) = if (v == null && i == 0) rowid else v
+          // (at its declared position, not necessarily column 0)
+          out(i) = if (v == null && i == pkIdx) rowid else v
         }
       }
       Row.fromSeq(out.toIndexedSeq)
@@ -57,6 +59,9 @@ object Gpkg {
     val coerced = rows.map { r =>
       Row.fromSeq(r.toSeq.zipWithIndex.map {
         case (v: Long, i) if fields(i).dataType == IntegerType => v.toInt
+        case (v: Long, i) if fields(i).dataType == DoubleType => v.toDouble
+        case (v, i) if fields(i).dataType == StringType && v != null &&
+          !v.isInstanceOf[String] => v.toString
         case (v, _) => v
       })
     }
@@ -65,15 +70,26 @@ object Gpkg {
       StructType(fields.toIndexedSeq))
   }
 
+  /** Column type inferred over ALL rows, not the first non-null value:
+    * SQLite columns are dynamically typed (a REAL-affinity column stores
+    * whole numbers as INTEGER serials), so a column can yield both Long
+    * and Double — widen to Double; any other mix degrades to String. */
   private def inferType(rows: Seq[Row], i: Int): DataType = {
-    val vs = rows.iterator.map(_.get(i)).filter(_ != null)
-    if (!vs.hasNext) StringType
-    else vs.next() match {
-      case _: Long => LongType
-      case _: Double => DoubleType
-      case _: Array[Byte] => BinaryType
-      case _ => StringType
+    var long = false; var dbl = false; var bytes = false; var other = false
+    rows.foreach { r =>
+      r.get(i) match {
+        case null =>
+        case _: Long => long = true
+        case _: Double => dbl = true
+        case _: Array[Byte] => bytes = true
+        case _ => other = true
+      }
     }
+    if (other || (bytes && (long || dbl))) StringType
+    else if (bytes) BinaryType
+    else if (dbl) DoubleType
+    else if (long) LongType
+    else StringType
   }
 
   /** Golden-parity query (SURVEY.md §5.2): the reference's flagship area

@@ -168,8 +168,9 @@ object Sqlite {
       out.toSeq
     }
 
-    /** Column names parsed from CREATE TABLE sql (top-level commas). */
-    def columnNames(t: Table): Seq[String] = {
+    /** Column definitions parsed from CREATE TABLE sql (top-level commas,
+      * table-level constraints dropped). */
+    private def columnDefs(t: Table): Seq[String] = {
       val body = t.sql.substring(t.sql.indexOf('(') + 1, t.sql.lastIndexOf(')'))
       var depth = 0
       val parts = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -186,9 +187,22 @@ object Sqlite {
           p.toUpperCase.startsWith("PRIMARY KEY") ||
           p.toUpperCase.startsWith("FOREIGN KEY") || p.toUpperCase.startsWith("UNIQUE") ||
           p.toUpperCase.startsWith("CHECK"))
-        .map(p => p.split("\\s+")(0).stripPrefix("\"").stripSuffix("\"")
-          .stripPrefix("`").stripSuffix("`").stripPrefix("[").stripSuffix("]"))
     }
+
+    /** Column names parsed from CREATE TABLE sql. */
+    def columnNames(t: Table): Seq[String] =
+      columnDefs(t).map(p => p.split("\\s+")(0).stripPrefix("\"").stripSuffix("\"")
+        .stripPrefix("`").stripSuffix("`").stripPrefix("[").stripSuffix("]"))
+
+    /** Index of the rowid-alias column (declared INTEGER PRIMARY KEY) in
+      * [[columnNames]] order, or -1. SQLite stores that column as null in
+      * the record payload; readers must substitute the rowid — at WHATEVER
+      * position the column was declared, not necessarily first. */
+    def rowidAliasIndex(t: Table): Int =
+      columnDefs(t).indexWhere { d =>
+        val u = d.toUpperCase
+        u.contains("INTEGER") && u.contains("PRIMARY KEY")
+      }
 
     /** All rows of a named table as (rowid, values). INTEGER PRIMARY KEY
       * columns are stored as null in the record — callers substitute the

@@ -60,6 +60,55 @@ class GeoFunctionsSpec extends AnyFunSuite {
     assert(got(1).getDouble(1) === 16.0 && got(1).getInt(2) === 1)
   }
 
+  private def rootMessages(t: Throwable): String = {
+    var m = List.empty[String]
+    var c: Throwable = t
+    while (c != null) { m ::= String.valueOf(c.getMessage); c = c.getCause }
+    m.mkString(" | ")
+  }
+
+  test("st_union_collect fails loudly on overlapping parts (dissolve guard)") {
+    import spark.implicits._
+    Seq(("a", box(0, 0, 2)), ("a", box(1, 1, 2)))
+      .toDF("k", "g").createOrReplaceTempView("overlap_parts")
+    val e = intercept[Throwable] {
+      spark.sql("select k, st_area(st_union_collect(g)) from overlap_parts group by k")
+        .collect()
+    }
+    assert(rootMessages(e).contains("overlapping parts"), rootMessages(e))
+  }
+
+  test("st_union_collect fails loudly on duplicate parts") {
+    import spark.implicits._
+    Seq(("a", box(0, 0, 2)), ("a", box(0, 0, 2)))
+      .toDF("k", "g").createOrReplaceTempView("dup_parts")
+    val e = intercept[Throwable] {
+      spark.sql("select k, st_area(st_union_collect(g)) from dup_parts group by k")
+        .collect()
+    }
+    assert(rootMessages(e).contains("duplicate geometry"), rootMessages(e))
+  }
+
+  test("st_union_collect accepts edge-adjacent (touching, disjoint-interior) parts") {
+    import spark.implicits._
+    // [-1,1] and [1,3]: shared edge x=1 — adjacency is not overlap
+    Seq(("a", box(0, 0, 1)), ("a", box(2, 0, 1)))
+      .toDF("k", "g").createOrReplaceTempView("adj_parts")
+    val got = spark.sql(
+      "select st_area(st_union_collect(g)) from adj_parts group by k").collect()
+    assert(got(0).getDouble(0) === 8.0)
+  }
+
+  test("Geo.overlaps kernel: containment, proper crossing, adjacency") {
+    def rect(x0: Double, y0: Double, x1: Double, y1: Double) =
+      Wkb.Polygon(Array(Wkb.Ring(
+        Array(x0, x1, x1, x0, x0), Array(y0, y0, y1, y1, y0))))
+    assert(Geo.overlaps(rect(-2, -2, 2, 2), rect(-1, -1, 1, 1))) // contained
+    assert(Geo.overlaps(rect(-3, -1, 3, 1), rect(-1, -3, 1, 3))) // plus-sign cross
+    assert(!Geo.overlaps(rect(-1, -1, 1, 1), rect(1, -1, 3, 1))) // edge-adjacent
+    assert(!Geo.overlaps(rect(-1, -1, 1, 1), rect(5, 5, 6, 6)))  // far apart
+  }
+
   test("st_transform via spark.sql: UTM envelope center round-trips") {
     import spark.implicits._
     Seq(Tuple1(box(475000, 9878000, 100))).toDF("g").createOrReplaceTempView("t")

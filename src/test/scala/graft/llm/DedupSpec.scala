@@ -90,6 +90,35 @@ class DedupSpec extends AnyFunSuite {
     assert(topk.forall(r => math.abs(r.getDouble(2)) <= 1.0))
   }
 
+  test("BMP codec: wrapped payload round-trips exact header dimensions") {
+    val payload = Array.tabulate(100)(_.toByte)
+    val bmp = Codecs.wrapBmp(payload, 16)
+    val parsed = Codecs.parseBmp(bmp)
+    assert(parsed === Some(Codecs.Bmp(16, 3, 24, 54))) // 100 bytes / 48-byte rows → 3 rows
+    assert(Codecs.parseBmp("not a bitmap".getBytes) === None)
+    val (w, h, _, codec) = Multimodal.decode("img", bmp)
+    assert((w, h, codec) === (16, 3, "bmp"))
+  }
+
+  test("WAV codec: wrapped payload round-trips rate/channels/bits") {
+    val wav = Codecs.wrapWav(Array.tabulate(64)(_.toByte), 16000, 2)
+    val parsed = Codecs.parseWav(wav)
+    assert(parsed === Some(Codecs.Wav(16000, 2, 16, 64)))
+    assert(Codecs.parseWav("RIFFxxxxJUNK".getBytes) === None)
+    val (rate, ch, _, codec) = Multimodal.decode("audio", wav)
+    assert((rate, ch, codec) === (16000, 2, "wav"))
+  }
+
+  test("media table exercises all three codec paths on driver data") {
+    val out = Multimodal.extractFeatures(
+      Multimodal.mediaTable(spark, "/root/testdata/sf0.001")).collect()
+    val byCodec = out.groupBy(_.codec).view.mapValues(_.length).toMap
+    assert(byCodec.keySet === Set("bmp", "wav", "stub"), byCodec.toString)
+    // real BMP path: width is the wrap width, not a hash
+    assert(out.filter(_.codec == "bmp").forall(_.width === 16))
+    assert(out.filter(_.codec == "wav").forall(r => r.width === 16000 && r.height === 1))
+  }
+
   test("multimodal feature extraction is deterministic with real batch shape") {
     import spark.implicits._
     val media = Seq(
