@@ -138,6 +138,19 @@ object Wkb {
     (srid, java.util.Arrays.copyOfRange(blob, 8 + envBytes, blob.length))
   }
 
+  /** Encode a GPKG geometry blob (writer twin of [[fromGpkg]]): 'GP',
+    * version 0, flags 0b11 (little-endian + 32-byte envelope), srid, the
+    * envelope in GPKG order (minx, maxx, miny, maxy), then the WKB. */
+  def toGpkg(srid: Int, wkb: Array[Byte]): Array[Byte] = {
+    val env = graft.geo.Geo.envelope(parse(wkb))
+    val out = ByteBuffer.allocate(8 + 32 + wkb.length).order(ByteOrder.LITTLE_ENDIAN)
+    out.put('G'.toByte).put('P'.toByte).put(0.toByte).put(3.toByte)
+    out.putInt(srid)
+    out.putDouble(env.xmin).putDouble(env.xmax).putDouble(env.ymin).putDouble(env.ymax)
+    out.put(wkb)
+    out.array()
+  }
+
   /** Normalize any parsed geometry to MultiPolygon parts (the reference's
     * Polygon-vs-MultiPolygon dispatch, load_report.py:45-57). */
   def asPolygons(g: Geom): Array[Polygon] = g match {

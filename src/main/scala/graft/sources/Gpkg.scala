@@ -92,6 +92,124 @@ object Gpkg {
     else StringType
   }
 
+  /** S10 geo sink: write a DataFrame as a single-layer GeoPackage — the
+    * writer twin of [[readLayer]], closing the reference's st_write /
+    * to_postgis loop (spatial_analysis_indonesia.r:118-131,
+    * load_data.py:82-93). The geometry column must hold WKB with a sibling
+    * srid column. Driver-side like the reader (a GPKG is a small artifact;
+    * big vector data belongs in Parquet); emits the required gpkg_*
+    * metadata tables so sqlite3/GDAL can open the result. Overwrites the
+    * target file (`append=FALSE` / `if_exists='replace'` semantics). */
+  def writeLayer(df: DataFrame, path: String, layer: String,
+      geomCol: String = "geom", sridCol: String = "geom_srid"): Unit = {
+    import SqliteWriter.TableSpec
+    val schema = df.schema
+    require(schema.fieldNames.contains(geomCol), s"missing geometry column $geomCol")
+    require(schema.fieldNames.contains(sridCol), s"missing srid column $sridCol")
+    val collected = df.collect()
+    val gi = schema.fieldIndex(geomCol)
+    val si = schema.fieldIndex(sridCol)
+    val srids = collected.iterator.filterNot(_.isNullAt(si))
+      .map(r => r.get(si) match { case i: Int => i; case l: Long => l.toInt }).toSet
+    require(srids.size == 1, s"layer $layer: need exactly one SRID, got $srids")
+    val srid = srids.head
+    require(srid != 0, s"layer $layer: no CRS (srid=0)") // mirror the reader guard
+
+    // every column except the srid sibling is written (geom becomes a blob)
+    val attrs = schema.fields.zipWithIndex.filter { case (_, i) => i != si }
+    def decl(dt: DataType): String = dt match {
+      case LongType | IntegerType | ShortType | ByteType | BooleanType => "INTEGER"
+      case DoubleType | FloatType => "REAL"
+      case BinaryType => "BLOB"
+      case _ => "TEXT"
+    }
+    def toSqlite(v: Any): Any = v match {
+      case null => null
+      case i: Int => i.toLong
+      case s: Short => s.toLong
+      case b: Byte => b.toLong
+      case b: Boolean => if (b) 1L else 0L
+      case f: Float => f.toDouble
+      case l: Long => l
+      case d: Double => d
+      case s: String => s
+      case b: Array[Byte] => b
+      case other => other.toString
+    }
+
+    // layer stats for gpkg_contents / gpkg_geometry_columns
+    var xmin = Double.PositiveInfinity; var ymin = Double.PositiveInfinity
+    var xmax = Double.NegativeInfinity; var ymax = Double.NegativeInfinity
+    var geomType = "GEOMETRY"
+    collected.foreach { r =>
+      if (!r.isNullAt(gi)) {
+        val g = Wkb.parse(r.getAs[Array[Byte]](gi))
+        val e = graft.geo.Geo.envelope(g)
+        if (e.xmin < xmin) xmin = e.xmin
+        if (e.ymin < ymin) ymin = e.ymin
+        if (e.xmax > xmax) xmax = e.xmax
+        if (e.ymax > ymax) ymax = e.ymax
+        geomType = graft.geo.Geo.geometryType(g).toUpperCase
+      }
+    }
+
+    val layerSql = (s"""CREATE TABLE "$layer" ("fid" INTEGER PRIMARY KEY""" +:
+      attrs.map { case (f, _) =>
+        if (f.name == geomCol) s""""${f.name}" $geomType"""
+        else s""""${f.name}" ${decl(f.dataType)}"""
+      }.toSeq).mkString(", ") + ")"
+    val layerRows: Seq[Seq[Any]] = collected.toSeq.zipWithIndex.map { case (r, i) =>
+      (i + 1).toLong +: attrs.map { case (f, idx) =>
+        if (f.name == geomCol) {
+          if (r.isNullAt(idx)) null
+          else Wkb.toGpkg(srid, r.getAs[Array[Byte]](idx))
+        } else toSqlite(r.get(idx))
+      }.toSeq
+    }
+
+    val srsSql = """CREATE TABLE gpkg_spatial_ref_sys (srs_name TEXT NOT NULL, srs_id INTEGER NOT NULL PRIMARY KEY, organization TEXT NOT NULL, organization_coordsys_id INTEGER NOT NULL, definition TEXT NOT NULL, description TEXT)"""
+    val srsRows = (Seq(
+      Seq[Any]("Undefined cartesian SRS", -1L, "NONE", -1L, "undefined", null),
+      Seq[Any]("Undefined geographic SRS", 0L, "NONE", 0L, "undefined", null),
+      Seq[Any]("WGS 84", 4326L, "EPSG", 4326L, "GEOGCS[\"WGS 84\"]", null)) ++
+      (if (srid != 4326) Seq(Seq[Any](s"srid $srid", srid.toLong, "NONE", srid.toLong, "undefined", null)) else Nil))
+    // NOTE: no TEXT PRIMARY KEY / UNIQUE here — those would require SQLite
+    // autoindex b-trees the writer deliberately does not emit
+    val contentsSql = """CREATE TABLE gpkg_contents (table_name TEXT NOT NULL, data_type TEXT NOT NULL, identifier TEXT, description TEXT DEFAULT '', last_change DATETIME, min_x DOUBLE, min_y DOUBLE, max_x DOUBLE, max_y DOUBLE, srs_id INTEGER)"""
+    val contentsRows = Seq(Seq[Any](layer, "features", layer, "",
+      "2026-01-01T00:00:00.000Z", xmin, ymin, xmax, ymax, srid.toLong))
+    val geomColsSql = """CREATE TABLE gpkg_geometry_columns (table_name TEXT NOT NULL, column_name TEXT NOT NULL, geometry_type_name TEXT NOT NULL, srs_id INTEGER NOT NULL, z TINYINT NOT NULL, m TINYINT NOT NULL)"""
+    val geomColsRows = Seq(Seq[Any](layer, geomCol, geomType, srid.toLong, 0L, 0L))
+
+    new java.io.File(path).delete()
+    SqliteWriter.write(path, Seq(
+      TableSpec("gpkg_spatial_ref_sys", srsSql, srsRows),
+      TableSpec("gpkg_contents", contentsSql, contentsRows),
+      TableSpec("gpkg_geometry_columns", geomColsSql, geomColsRows),
+      TableSpec(layer, layerSql, layerRows)))
+  }
+
+  /** Write→read round trip on the generated parcel fixture: the S10 sink
+    * and the S1 scan composed, proving the writer emits what the reader
+    * (and the golden-parity pipeline) consumes. */
+  private val q61 = Q(
+    "q61_gpkg_roundtrip",
+    (s, dir) => {
+      val parcels = graft.ops.Spatial.parcels(s, dir)
+        .select(col("id"), col("KETERANGAN"), col("LUSE"), col("TEMA"),
+          col("geom"), col("geom_srid"))
+      val path = java.io.File.createTempFile("graft_roundtrip", ".gpkg").getAbsolutePath
+      writeLayer(parcels, path, "parcels")
+      val back = readLayer(s, path, "parcels")
+      back
+        .groupBy(col("KETERANGAN").as("keterangan"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(graft.geo.GeoExpressions.stAreaNative(col("geom")) / 10000.0), 2).as("area_ha"))
+        .orderBy(asc_nulls_first("keterangan"))
+    },
+    None,
+    "S10 geo sink + S1 scan round trip (GeoPackage writer twin of the reader)")
+
   /** Golden-parity query (SURVEY.md §5.2): the reference's flagship area
     * computation on its OWN data — lu.gpkg → ILIKE '%mangrove%' →
     * transform srid 100000 → 4326 → 3857 → shoelace area / 10⁴ ha.
@@ -111,5 +229,5 @@ object Gpkg {
     None,
     "S1 GeoPackage scan + reference golden area on the reference's own lu.gpkg")
 
-  val all: Seq[Q] = Seq(q49)
+  val all: Seq[Q] = Seq(q49, q61)
 }

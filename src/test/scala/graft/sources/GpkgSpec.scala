@@ -38,4 +38,51 @@ class GpkgSpec extends AnyFunSuite {
     assert(rows.length === 1)
     assert(rows.head.getDouble(1) === 4.16)
   }
+
+  test("writer: parcels write->read round trip preserves attributes and geometry bytes") {
+    val parcels = graft.ops.Spatial.parcels(spark, "/root/testdata/sf0.001")
+    val out = java.io.File.createTempFile("gpkg_rt", ".gpkg").getAbsolutePath
+    Gpkg.writeLayer(parcels, out, "parcels")
+    val back = Gpkg.readLayer(spark, out, "parcels")
+    def key(r: org.apache.spark.sql.Row, idIdx: Int, kIdx: Int, gIdx: Int) =
+      (r.getLong(idIdx), r.getString(kIdx),
+        java.util.Arrays.hashCode(r.getAs[Array[Byte]](gIdx)))
+    val orig = parcels.collect()
+      .map(r => key(r, 0, 1, 4)).sortBy(_._1)
+    val rt = back.select(col("id"), col("KETERANGAN"), col("geom"), col("geom_srid"))
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        java.util.Arrays.hashCode(r.getAs[Array[Byte]](2)))).sortBy(_._1)
+    assert(rt.length === orig.length)
+    assert(rt.toSeq === orig.toSeq)
+    assert(back.select("geom_srid").distinct().collect().map(_.getInt(0)).toSeq
+      === Seq(graft.geo.Crs.Utm50SAlias))
+  }
+
+  test("writer: multi-leaf + overflow payloads round trip through the reader") {
+    import SqliteWriter.TableSpec
+    val out = java.io.File.createTempFile("sqlite_rt", ".db").getAbsolutePath
+    val rows = (1L to 300L).map(i => Seq[Any](i, "v" * (if (i == 7) 9000 else 50), i * 0.5))
+    SqliteWriter.write(out, Seq(
+      TableSpec("t", "CREATE TABLE t (id INTEGER PRIMARY KEY, s TEXT, d REAL)", rows)))
+    val db = Sqlite.open(out)
+    val got = db.rows("t").map { case (rowid, vals) =>
+      (rowid, vals(1).asInstanceOf[String].length, vals(2).asInstanceOf[Double])
+    }
+    assert(got.length === 300)
+    assert(got.find(_._1 == 7L).get._2 === 9000)
+    assert(got.forall { case (id, _, d) => d === id * 0.5 })
+  }
+
+  test("writer: rejects DDL that would need an autoindex") {
+    import SqliteWriter.TableSpec
+    val out = java.io.File.createTempFile("sqlite_bad", ".db").getAbsolutePath
+    intercept[IllegalArgumentException] {
+      SqliteWriter.write(out, Seq(
+        TableSpec("t", "CREATE TABLE t (k TEXT PRIMARY KEY)", Seq(Seq[Any]("a")))))
+    }
+    intercept[IllegalArgumentException] {
+      SqliteWriter.write(out, Seq(
+        TableSpec("t", "CREATE TABLE t (k TEXT UNIQUE)", Seq(Seq[Any]("a")))))
+    }
+  }
 }
