@@ -3,7 +3,7 @@ package graft.ops
 import graft.{Q, T}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{ArrayType, DecimalType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DecimalType, DoubleType, LongType}
 import org.apache.spark.sql.expressions.Window
 
 /** Pure-relational operator inventory from SURVEY.md §2.2–§2.5 and §2.8,
@@ -434,6 +434,111 @@ object Relational {
       FROM events GROUP BY k ORDER BY k ASC NULLS FIRST"""),
     "JSON-path extraction (F-series extension; regexp twin = q19)")
 
+  /** As-of join (the classic operator Spark lacks as a built-in): for each
+    * "trade" event, the latest "quote" value at-or-before its timestamp,
+    * per user. Spark-first shape: union both sides tagged, ONE shuffle on
+    * the partition key, then `last(_, ignoreNulls)` over a rows-window —
+    * no range explosion, no per-row probe; at 100 TB this is a single
+    * sort-within-partitions pass. DuckDB oracle uses its native ASOF JOIN.
+    * Timestamps are second-truncated on both sides: events.ts carries
+    * sub-microsecond precision that Spark floors to µs on read (see [[graft.T]]),
+    * so the join key must sit at a granularity both engines agree on.
+    * Quotes are deduped to one per (user, second) by max event_id so the
+    * as-of pick is deterministic in both engines. */
+  private val q62 = Q(
+    "q62_asof_join",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = T(s, dir, "events").select(col("event_id"), col("user_id"),
+        date_trunc("second", col("ts")).as("tss"), col("value"))
+      val trades = ev.filter(pmod(col("event_id"), lit(5)) === 0)
+        .select(col("user_id"), col("tss"), col("event_id"), col("value").as("tval"))
+      val quotes = ev.filter(pmod(col("event_id"), lit(5)) =!= 0)
+        .groupBy(col("user_id"), col("tss"))
+        .agg(max_by(col("value"), col("event_id")).as("qv"))
+      val tagged = trades
+        .withColumn("is_trade", lit(1))
+        .withColumn("qv", lit(null).cast(DoubleType))
+        .unionByName(quotes.select(col("user_id"), col("tss"),
+          lit(null).cast(LongType).as("event_id"),
+          lit(null).cast(DoubleType).as("tval"),
+          lit(0).as("is_trade"), col("qv")))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(asc("tss"), asc("is_trade"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      tagged
+        .withColumn("asof_qval", last(col("qv"), ignoreNulls = true).over(w))
+        .filter(col("is_trade") === 1)
+        .select(col("event_id"), col("user_id"),
+          date_format(col("tss"), "yyyy-MM-dd HH:mm:ss").as("ts_str"),
+          col("tval"), col("asof_qval"))
+        .orderBy(asc_nulls_first("event_id"))
+    },
+    Some("""WITH e AS (SELECT event_id, user_id, date_trunc('second', ts) AS tss, value FROM events),
+      t AS (SELECT user_id, tss, event_id, value AS tval FROM e WHERE event_id % 5 = 0),
+      q AS (SELECT user_id, tss, max_by(value, event_id) AS qv
+            FROM e WHERE event_id % 5 <> 0 GROUP BY user_id, tss)
+      SELECT t.event_id, t.user_id, strftime(t.tss, '%Y-%m-%d %H:%M:%S') AS ts_str,
+             t.tval, q.qv AS asof_qval
+      FROM t ASOF LEFT JOIN q ON t.user_id = q.user_id AND t.tss >= q.tss
+      ORDER BY event_id ASC NULLS FIRST"""),
+    "as-of join via tagged union + ignoreNulls last() window (custom-operator extension; DuckDB native ASOF oracle)")
+
+  /** CUBE over (region, nation): all grouping-set combinations (q56's
+    * ROLLUP sibling, completing the grouping-sets surface). */
+  private val q63 = Q(
+    "q63_cube",
+    (s, dir) => {
+      val c = T(s, dir, "customer")
+      val n = T(s, dir, "nation")
+      val r = T(s, dir, "region")
+      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .cube(col("r_name").as("region"), col("n_name").as("nation"))
+        .agg(count(lit(1)).as("n_customers"),
+          sum(dec("c_acctbal")).cast(DoubleType).as("sum_bal"))
+        .orderBy(asc_nulls_first("region"), asc_nulls_first("nation"))
+    },
+    Some("""SELECT r_name AS region, n_name AS nation, COUNT(*) AS n_customers,
+      CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY CUBE (r_name, n_name)
+      ORDER BY region ASC NULLS FIRST, nation ASC NULLS FIRST"""),
+    "CUBE grouping sets (OLAP extension; ROLLUP twin = q56)")
+
+  /** Ranking + frame-navigation windows (lag/lead/row_number): first 3
+    * orders per customer with previous/next order prices. */
+  private val q64 = Q(
+    "q64_window_nav",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      // both engines rank on the SAME truncated date string (zero-padded
+      // yyyy-MM-dd sorts chronologically), so any time-of-day component in
+      // o_orderdate cannot skew the tie-break differently per engine
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(asc("od"), asc("o_orderkey"))
+      T(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("od"), col("o_totalprice"))
+        .withColumn("rn", row_number().over(w).cast(LongType))
+        .withColumn("prev_price", lag(col("o_totalprice"), 1).over(w))
+        .withColumn("next_price", lead(col("o_totalprice"), 1).over(w))
+        .filter(col("rn") <= 3)
+        .orderBy(asc_nulls_first("o_custkey"), asc_nulls_first("rn"))
+    },
+    Some("""WITH b AS (SELECT o_custkey, o_orderkey,
+        strftime(o_orderdate, '%Y-%m-%d') AS od, o_totalprice FROM orders),
+      w AS (SELECT o_custkey, o_orderkey, od, o_totalprice,
+        row_number() OVER (PARTITION BY o_custkey ORDER BY od ASC, o_orderkey ASC) AS rn,
+        lag(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY od ASC, o_orderkey ASC) AS prev_price,
+        lead(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY od ASC, o_orderkey ASC) AS next_price
+      FROM b)
+      SELECT o_custkey, o_orderkey, od, o_totalprice, rn, prev_price, next_price
+      FROM w WHERE rn <= 3
+      ORDER BY o_custkey ASC NULLS FIRST, rn ASC NULLS FIRST"""),
+    "lag/lead/row_number navigation windows (W-series extension)")
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
-    q11, q12, q13, q14, q15, q16, q17, q18, q19, q55, q56, q57)
+    q11, q12, q13, q14, q15, q16, q17, q18, q19, q55, q56, q57, q62, q63, q64)
 }
