@@ -73,6 +73,37 @@ class GpkgSpec extends AnyFunSuite {
     assert(got.forall { case (id, _, d) => d === id * 0.5 })
   }
 
+  test("writer: seeded random rows round-trip (mixed types, nulls, wide values)") {
+    import SqliteWriter.TableSpec
+    val r = new scala.util.Random(20260812L)
+    def randVal(i: Int): Any = r.nextInt(6) match {
+      case 0 => null
+      case 1 => r.nextLong()
+      case 2 => r.nextDouble() * 1e6
+      case 3 => r.nextInt(1 << r.nextInt(16)).toString * (1 + r.nextInt(3))
+      case 4 => Array.fill[Byte](r.nextInt(5000))(r.nextInt().toByte)
+      case 5 => Long.MinValue + r.nextInt(100) // 9-byte varint territory
+    }
+    val rows = (1L to 120L).map(i => Seq[Any](i, randVal(1), randVal(2), randVal(3)))
+      .map { vs => vs.head +: (1 to 3).map(_ => randVal(r.nextInt(6))) }
+    val out = java.io.File.createTempFile("sqlite_rand", ".db").getAbsolutePath
+    SqliteWriter.write(out, Seq(TableSpec("t",
+      "CREATE TABLE t (id INTEGER PRIMARY KEY, a, b, c)", rows)))
+    val got = Sqlite.open(out).rows("t").sortBy(_._1)
+    assert(got.length === 120)
+    got.zip(rows).foreach { case ((rowid, vals), expect) =>
+      assert(rowid === expect.head)
+      // pk column reads back as the rowid; compare the payload columns
+      (1 to 3).foreach { c =>
+        (vals(c), expect(c)) match {
+          case (a: Array[Byte], b: Array[Byte]) =>
+            assert(java.util.Arrays.equals(a, b), s"row $rowid col $c blob")
+          case (a, b) => assert(a === b, s"row $rowid col $c")
+        }
+      }
+    }
+  }
+
   test("writer: rejects DDL that would need an autoindex") {
     import SqliteWriter.TableSpec
     val out = java.io.File.createTempFile("sqlite_bad", ".db").getAbsolutePath
