@@ -113,5 +113,55 @@ object Streams {
       .orderBy(asc_nulls_first("user_id"))
   }
 
-  val all: Seq[Q] = Seq(q50, q52)
+  /** Stream-stream interval join: "trades" joined to all same-user
+    * "quotes" in a 24 h lookback, both sides replayed as watermarked
+    * streams (the state-bounding shape: watermark + time-range condition
+    * lets Spark drop quote state older than the bound). The raw pair
+    * stream drains append-mode into a memory sink; the per-trade
+    * aggregation happens batch-side on the drained table. Timestamps are
+    * second-truncated — events.ts carries sub-µs precision Spark floors
+    * on read, so the join bound must sit at a granularity the DuckDB
+    * oracle agrees on. */
+  def streamIntervalJoin(s: SparkSession, dir: String): DataFrame = {
+    val schema = s.read.parquet(s"$dir/events.parquet").schema
+    def src = s.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .withColumn("tss", date_trunc("second", expr("timestamp_micros(ts div 1000)")))
+    val trades = src.filter(pmod(col("event_id"), lit(5)) === 0)
+      .select(col("event_id").as("trade_id"), col("user_id"), col("tss").as("t_ts"))
+      .withWatermark("t_ts", "25 hours")
+    val quotes = src.filter(pmod(col("event_id"), lit(5)) =!= 0)
+      .select(col("event_id").as("quote_id"), col("user_id").as("q_user"),
+        col("tss").as("q_ts"), col("value").as("qval"))
+      .withWatermark("q_ts", "25 hours")
+    val joined = trades.join(quotes,
+      col("user_id") === col("q_user") &&
+        col("q_ts") >= col("t_ts") - expr("interval 24 hours") &&
+        col("q_ts") <= col("t_ts"))
+      .select(col("trade_id"), col("quote_id"), col("qval"))
+    val name = s"stream_ij_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(name)
+      .groupBy(col("trade_id"))
+      .agg(count(lit(1)).as("n_quotes"),
+        sum(col("qval").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_qval"))
+      .orderBy(asc_nulls_first("trade_id"))
+  }
+
+  private val q65 = Q(
+    "q65_stream_interval_join",
+    (s, dir) => streamIntervalJoin(s, dir),
+    Some("""WITH e AS (SELECT event_id, user_id, date_trunc('second', ts) AS tss, value FROM events),
+      t AS (SELECT event_id AS trade_id, user_id, tss FROM e WHERE event_id % 5 = 0),
+      q AS (SELECT event_id, user_id, tss, value FROM e WHERE event_id % 5 <> 0)
+      SELECT t.trade_id, COUNT(*) AS n_quotes,
+             CAST(SUM(CAST(q.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_qval
+      FROM t JOIN q ON t.user_id = q.user_id
+                   AND q.tss >= t.tss - INTERVAL 24 HOUR AND q.tss <= t.tss
+      GROUP BY t.trade_id ORDER BY trade_id ASC NULLS FIRST"""),
+    "stream-stream interval join with watermarks, oracle-checked vs the batch-equivalent SQL (SURVEY §2.9 extension)")
+
+  val all: Seq[Q] = Seq(q50, q52, q65)
 }

@@ -157,6 +157,30 @@ class DedupSpec extends AnyFunSuite {
     assert(stateful === batch)
   }
 
+  test("stream-stream interval join equals its batch twin on the same input") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val dir = "/root/testdata/sf0.001"
+    val stream = graft.streaming.Streams.streamIntervalJoin(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted
+    val ev = graft.T(spark, dir, "events")
+      .select(col("event_id"), col("user_id"),
+        date_trunc("second", col("ts")).as("tss"), col("value"))
+    val t = ev.filter(pmod(col("event_id"), lit(5)) === 0)
+      .select(col("event_id").as("trade_id"), col("user_id"), col("tss").as("t_ts"))
+    val q = ev.filter(pmod(col("event_id"), lit(5)) =!= 0)
+      .select(col("user_id").as("q_user"), col("tss").as("q_ts"), col("value").as("qval"))
+    val batch = t.join(q,
+        col("user_id") === col("q_user") &&
+          col("q_ts") >= col("t_ts") - expr("interval 24 hours") &&
+          col("q_ts") <= col("t_ts"))
+      .groupBy(col("trade_id"))
+      .agg(count(lit(1)).as("n_quotes"),
+        sum(col("qval").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_qval"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted
+    assert(stream.nonEmpty && (stream.toSeq === batch.toSeq))
+  }
+
   test("streaming tumbling agg equals batch twin on the same input") {
     val dir = "/root/testdata/sf0.001"
     val stream = graft.streaming.Streams.streamTumblingHour(spark, dir)
