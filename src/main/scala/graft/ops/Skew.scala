@@ -22,4 +22,28 @@ object Skew {
       .agg(sum(valueCol).as("__psum"), count(lit(1)).as("__pcnt"))
       .groupBy(col(key))
       .agg(sum(col("__psum")).as(sumName), sum(col("__pcnt")).as(cntName))
+
+  /** Oracle-checked driver entry: salted aggregation over l_returnflag —
+    * 3 distinct keys over the whole fact table is the textbook hot-key
+    * shape. The decimal partials make the two-phase result bit-equal to
+    * the plain GROUP BY the oracle runs. */
+  private val q66 = graft.Q(
+    "q66_salted_agg",
+    (s, dir) => {
+      import org.apache.spark.sql.types.{DecimalType, DoubleType}
+      val li = graft.T(s, dir, "lineitem")
+      saltedSumCount(li, "l_returnflag",
+        col("l_quantity").cast(DecimalType(18, 2)), 32, "sum_qty", "n_rows")
+        .select(col("l_returnflag"),
+          col("sum_qty").cast(DoubleType).as("sum_qty"), col("n_rows"))
+        .orderBy(asc_nulls_first("l_returnflag"))
+    },
+    Some("""SELECT l_returnflag,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      COUNT(*) AS n_rows
+      FROM lineitem GROUP BY l_returnflag
+      ORDER BY l_returnflag ASC NULLS FIRST"""),
+    "two-phase salted hot-key aggregation, oracle-equal to the plain GROUP BY (scale surface)")
+
+  val all: Seq[graft.Q] = Seq(q66)
 }

@@ -1,0 +1,77 @@
+package graft.ops
+
+import graft.{Sessions, SparkEntry}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan shape assertions: the scale properties the engine
+  * promises (broadcasts on dimension sides, shuffle-join degradation for
+  * big polygon sets, column pruning, filter pushdown) are checked against
+  * the ACTUAL planned query, so a regression that silently flips a join
+  * strategy or widens a scan fails the build — not just the bench. */
+class PlanShapeSpec extends AnyFunSuite {
+
+  private lazy val spark = Sessions.build("local[4]", 4)
+  private val dir = "/root/testdata/sf0.001"
+
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  test("q04 star join: every dimension side is a broadcast hash join") {
+    val p = planOf("q04_revenue_by_nation")
+    assert(p.contains("BroadcastHashJoin"), p.take(500))
+    assert(!p.contains("SortMergeJoin"), "fact-side shuffle join crept into the star join")
+  }
+
+  test("q01 scan prunes to the 5 referenced lineitem columns") {
+    val p = planOf("q01_pricing_summary")
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(read.contains("l_returnflag") && read.contains("l_quantity"))
+    assert(!read.contains("l_partkey") && !read.contains("l_shipdate"),
+      s"unpruned scan: $read")
+  }
+
+  test("q02 pushes the not-null predicate into the parquet scan") {
+    val p = planOf("q02_ilike_filter")
+    assert(p.contains("PushedFilters: [IsNotNull"), "no pushed filters on the part scan")
+  }
+
+  test("spatial join: broadcast polygon side plans as BHJ on bucket keys") {
+    val p = planOf("q45_parcel_scene_count")
+    assert(p.contains("BroadcastHashJoin"), "parcel side should broadcast")
+    assert(p.contains("st_contains_point"), "exact predicate must ride the join")
+  }
+
+  test("spatial join: unhinted polygon side degrades to a shuffle join at scale") {
+    // fixture polys sit under the auto-broadcast threshold; disabling it
+    // simulates a polygon side too big to broadcast — the promised
+    // degradation is a co-partitioned shuffle join on the bucket keys
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val pts = Spatial.elevation(spark, dir).filter(col("elev").isNotNull)
+      val polys = Spatial.admin(spark, dir) // deliberately NOT broadcast
+      val p = Spatial.spatialJoin(pts, polys, "cell_lon", "cell_lat", "geom", 0.01)
+        .queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        "unhinted spatial join must co-partition on bucket keys, not broadcast-or-die")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
+  test("q30 ANN shuffle carries scalars, not vectors") {
+    val p = planOf("q30_ann_lsh_topk")
+    // the aggregate after scoring groups (qid, vid) with a first(score):
+    // its exchange must not carry the embedding array column
+    val exchangeLines = p.linesIterator.filter(_.contains("hashpartitioning")).toSeq
+    assert(exchangeLines.nonEmpty)
+    assert(!exchangeLines.exists(_.contains("embedding")),
+      "vector column found in a shuffle of the approximate path")
+  }
+
+  test("q62 as-of join is one window over one exchange (no range join)") {
+    val p = planOf("q62_asof_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "as-of join must not plan a quadratic join")
+    assert(p.contains("Window"), "missing the ignoreNulls last() window")
+  }
+}
