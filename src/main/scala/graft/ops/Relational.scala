@@ -539,6 +539,23 @@ object Relational {
       ORDER BY o_custkey ASC NULLS FIRST, rn ASC NULLS FIRST"""),
     "lag/lead/row_number navigation windows (W-series extension)")
 
+  /** HLL scale-path twin of q55: at 100 TB, countDistinct's exact
+    * distinct-shuffle is the bottleneck and the HyperLogLog++ sketch
+    * (fixed-size per group, map-side mergeable) is the path. No DuckDB
+    * oracle — sketch implementations differ across engines — so the
+    * error bound vs the exact twin is pinned by spec instead
+    * (ApproxSpec: relative error < 5% at rsd 0.02). */
+  private val q67 = Q(
+    "q67_approx_distinct",
+    (s, dir) =>
+      T(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+          count(lit(1)).as("n_events"))
+        .orderBy(asc_nulls_first("event_type")),
+    None,
+    "HLL++ approximate count-distinct, the q55 scale path (error-bound spec vs exact)")
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
-    q11, q12, q13, q14, q15, q16, q17, q18, q19, q55, q56, q57, q62, q63, q64)
+    q11, q12, q13, q14, q15, q16, q17, q18, q19, q55, q56, q57, q62, q63, q64, q67)
 }

@@ -21,4 +21,18 @@ class SkewSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).sortBy(_._1)
     assert(salted === direct)
   }
+
+  test("approx count-distinct stays within 5% of exact per group (q67 vs q55)") {
+    val dir = "/root/testdata/sf0.001"
+    val exact = graft.SparkEntry.queries("q55_count_distinct")(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val approx = graft.SparkEntry.queries("q67_approx_distinct")(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(approx.keySet === exact.keySet)
+    exact.foreach { case (k, ex) =>
+      val ap = approx(k)
+      val relErr = math.abs(ap - ex).toDouble / math.max(1L, ex)
+      assert(relErr < 0.05, s"group $k: approx $ap vs exact $ex (err $relErr)")
+    }
+  }
 }
