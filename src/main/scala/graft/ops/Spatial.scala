@@ -245,35 +245,38 @@ object Spatial {
   def monthlyNdvi(s: SparkSession, sfDir: String, year: Int): DataFrame = {
     val sc = scenes(s, sfDir)
       .filter(col("date").between(lit(s"$year-01-01"), lit(s"$year-12-31")))
-    ndviByMonth(s, sc, mangroveParcels(s, sfDir), sfDir,
+    ndviByMonth(s, sc, mangroveParcels(s, sfDir), bucketSizeDeg(sfDir),
       s.range(12).select(
         expr(s"add_months(date '$year-01-01', id)").cast("timestamp").as("month_ts")))
   }
 
   /** Shared NDVI aggregation: join → median composite → category mean →
-    * month-spine left join. */
+    * month-spine left join. The category mean is a decimal-cast sum (exact,
+    * summation-order-independent — double `avg` drifts in the last ulp
+    * across partition orders, which both breaks run-to-run determinism and
+    * makes a cross-engine oracle compare impossible). */
   private def ndviByMonth(s: SparkSession, sc: DataFrame, parcelsGeo: DataFrame,
-      sfDir: String, months: DataFrame): DataFrame = {
+      b: Double, months: DataFrame): DataFrame = {
     val joined = spatialJoin(sc.filter(geeMonthWindow(col("date"))),
-      broadcast(parcelsGeo), "cell_lon", "cell_lat", "geom",
-      bucketSizeDeg(sfDir))
+      broadcast(parcelsGeo), "cell_lon", "cell_lat", "geom", b)
       .withColumn("ndvi", (col("sr_b5") - col("sr_b4")) / (col("sr_b5") + col("sr_b4")))
       .withColumn("month_ts", date_trunc("month", col("date")))
     val composited = joined
       .groupBy(col("keterangan"), col("cell_lon"), col("cell_lat"), col("month_ts"))
       .agg(expr("percentile(ndvi, 0.5)").as("ndvi_med"))
       .groupBy(col("keterangan"), col("month_ts"))
-      .agg(avg(col("ndvi_med")).as("ndvi"))
+      .agg(round(sum(col("ndvi_med").cast(org.apache.spark.sql.types.DecimalType(28, 14)))
+        .cast(DoubleType) / count(col("ndvi_med")), 6).as("ndvi"))
     val spine = parcelsGeo.select(col("keterangan")).distinct().crossJoin(months)
     spine.join(composited, Seq("keterangan", "month_ts"), "left")
       .select(col("keterangan"), date_format(col("month_ts"), "yyyy-MM").as("month"),
-        round(col("ndvi"), 6).as("ndvi"))
+        col("ndvi"))
   }
 
   /** Multi-year monthly series 2018–2023 (R3): one groupBy over the whole
     * range + full month spine (nulls where data is missing). */
   def annualNdviSeries(s: SparkSession, sfDir: String): DataFrame =
-    ndviByMonth(s, scenes(s, sfDir), mangroveParcels(s, sfDir), sfDir,
+    ndviByMonth(s, scenes(s, sfDir), mangroveParcels(s, sfDir), bucketSizeDeg(sfDir),
       s.range(monthsTotal).select(
         expr("add_months(date '2018-01-01', id)").cast("timestamp").as("month_ts")))
 
@@ -603,5 +606,111 @@ object Spatial {
       GROUP BY rect_id ORDER BY rect_id ASC NULLS FIRST"""),
     "J3+A6 zero-preserving spatial count, DuckDB-oracle-checked (q45 twin)")
 
-  val all: Seq[Q] = Seq(q40, q41, q42, q43, q44, q45, q46, q47, q53, q54, q58, q59, q60)
+  // ---- NDVI analytical core, ORACLE-CHECKED (q43/q44 twins) --------------
+
+  /** Synthetic scene table for the NDVI oracle twins: every column derived
+    * from `events.event_id` by exact integer arithmetic, so DuckDB
+    * reproduces bit-identical doubles (IEEE ops on identical inputs are
+    * deterministic). 20×20 cell grid over [0,10)², `nMonths` months from
+    * `startYear`-01; month index `dropMi` has no scenes (exercises the
+    * month-spine null path, mirroring the fixture's sceneless 2019-03);
+    * days run 1..28 (Feb) / 1..30 (others) so the GEE month-end quirk
+    * (geeMonthWindow) drops rows at BOTH bounds. `mixed` folds in
+    * `event_id div (400*nMonths)` so day/b4/b5 decorrelate from the
+    * (cell, month) residue class. */
+  private def ndviOracleScenes(s: SparkSession, dir: String, nMonths: Int,
+      startYear: Int, dropMi: Int): DataFrame = {
+    val p = 400L * nMonths
+    graft.T(s, dir, "events").select(col("event_id"))
+      .withColumn("mi", expr(s"(event_id div 400) % $nMonths").cast("int"))
+      .filter(col("mi") =!= dropMi)
+      .withColumn("mixed", expr(s"event_id + event_id div $p"))
+      .withColumn("day", expr(
+        "cast(CASE WHEN mi % 12 = 1 THEN mixed % 28 + 1 ELSE mixed % 30 + 1 END as int)"))
+      .select(
+        expr(s"make_date($startYear + mi div 12, mi % 12 + 1, day)").as("date"),
+        ((col("event_id") % 20).cast(DoubleType) * 0.5 + 0.25).as("cell_lon"),
+        (expr("(event_id div 20) % 20").cast(DoubleType) * 0.5 + 0.25).as("cell_lat"),
+        (lit(0.1) + (col("mixed") % 150).cast(DoubleType) / 1000.0).as("sr_b4"),
+        (lit(0.2) + ((col("mixed") * 3) % 350).cast(DoubleType) / 1000.0).as("sr_b5"))
+  }
+
+  /** 5 vertical strip "parcels" over the twin grid — keterangan k ⟺
+    * floor(px/2)=k, a plain range predicate in DuckDB. */
+  private def ndviOracleStrips(s: SparkSession): DataFrame =
+    s.range(5).select(
+      concat(lit("Mangrove "), (col("id") + 1).cast("string")).as("keterangan"),
+      G.stMakeBox(col("id").cast(DoubleType) * 2.0, lit(0.0),
+        (col("id") + 1).cast(DoubleType) * 2.0, lit(10.0)).as("geom"))
+
+  /** DuckDB mirror of ndviByMonth over ndviOracleScenes: same month-window
+    * quirk, same strip containment, two-level median→decimal-mean, month
+    * spine with nulls. */
+  private def ndviOracleSql(nMonths: Int, startYear: Int, dropMi: Int): String = {
+    val p = 400L * nMonths
+    s"""WITH base AS (
+         SELECT event_id,
+                CAST((event_id // 400) % $nMonths AS INT) AS mi,
+                event_id + event_id // $p AS mixed
+         FROM events WHERE (event_id // 400) % $nMonths <> $dropMi),
+       sc AS (
+         SELECT mi,
+                CASE WHEN mi % 12 = 1 THEN mixed % 28 + 1 ELSE mixed % 30 + 1 END AS day,
+                (event_id % 20) * 0.5 + 0.25 AS px,
+                ((event_id // 20) % 20) * 0.5 + 0.25 AS py,
+                0.1 + (mixed % 150) / 1000.0 AS sr_b4,
+                0.2 + ((mixed * 3) % 350) / 1000.0 AS sr_b5
+         FROM base),
+       filt AS (
+         SELECT * FROM sc
+         WHERE day < CASE WHEN mi % 12 = 1 THEN 28 ELSE 30 END),
+       med AS (
+         SELECT CAST(floor(px / 2.0) AS BIGINT) AS strip, px, py, mi,
+                median((sr_b5 - sr_b4) / (sr_b5 + sr_b4)) AS ndvi_med
+         FROM filt GROUP BY 1, 2, 3, 4),
+       agg AS (
+         SELECT strip, mi,
+                round(CAST(SUM(CAST(ndvi_med AS DECIMAL(28,14))) AS DOUBLE)
+                      / COUNT(*), 6) AS ndvi
+         FROM med GROUP BY 1, 2),
+       spine AS (SELECT s.g AS strip, m.g AS mi
+                 FROM generate_series(0, 4) s(g),
+                      generate_series(0, ${nMonths - 1}) m(g))
+       SELECT 'Mangrove ' || CAST(spine.strip + 1 AS VARCHAR) AS keterangan,
+              CAST($startYear + spine.mi // 12 AS VARCHAR) || '-' ||
+                lpad(CAST(spine.mi % 12 + 1 AS VARCHAR), 2, '0') AS month,
+              agg.ndvi AS ndvi
+       FROM spine LEFT JOIN agg ON spine.strip = agg.strip AND spine.mi = agg.mi
+       ORDER BY keterangan ASC NULLS FIRST, month ASC NULLS FIRST"""
+  }
+
+  /** q43's twin, ORACLE-CHECKED: the R2 monthly-NDVI pipeline — ndviByMonth
+    * verbatim (geeMonthWindow filter → bucket spatial join → NDVI → per-cell
+    * median composite → per-category decimal mean → month-spine LEFT JOIN)
+    * on events-derived scenes, vs DuckDB median/generate_series. One
+    * sceneless month (March) proves the spine-null path. */
+  private val q68 = Q(
+    "q68_ndvi_monthly_oracle",
+    (s, dir) => ndviByMonth(s, ndviOracleScenes(s, dir, 12, 2023, 2),
+      ndviOracleStrips(s), 1.0,
+      s.range(12).select(
+        expr("add_months(date '2023-01-01', id)").cast("timestamp").as("month_ts")))
+      .orderBy(asc_nulls_first("keterangan"), asc_nulls_first("month")),
+    Some(ndviOracleSql(12, 2023, 2)),
+    "R2 monthly NDVI (median composite + spine), DuckDB-oracle-checked q43 twin")
+
+  /** q44's twin, ORACLE-CHECKED: the R3 multi-year series over a 72-month
+    * spine with the fixture's sceneless 2019-03 (mi=14) reproduced. */
+  private val q69 = Q(
+    "q69_ndvi_series_oracle",
+    (s, dir) => ndviByMonth(s, ndviOracleScenes(s, dir, 72, 2018, 14),
+      ndviOracleStrips(s), 1.0,
+      s.range(monthsTotal).select(
+        expr("add_months(date '2018-01-01', id)").cast("timestamp").as("month_ts")))
+      .orderBy(asc_nulls_first("keterangan"), asc_nulls_first("month")),
+    Some(ndviOracleSql(72, 2018, 14)),
+    "R3 multi-year NDVI series, DuckDB-oracle-checked q44 twin")
+
+  val all: Seq[Q] = Seq(q40, q41, q42, q43, q44, q45, q46, q47, q53, q54,
+    q58, q59, q60, q68, q69)
 }
