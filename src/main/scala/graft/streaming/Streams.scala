@@ -116,12 +116,19 @@ object Streams {
   /** Stream-stream interval join: "trades" joined to all same-user
     * "quotes" in a 24 h lookback, both sides replayed as watermarked
     * streams (the state-bounding shape: watermark + time-range condition
-    * lets Spark drop quote state older than the bound). The raw pair
-    * stream drains append-mode into a memory sink; the per-trade
-    * aggregation happens batch-side on the drained table. Timestamps are
-    * second-truncated — events.ts carries sub-µs precision Spark floors
-    * on read, so the join bound must sit at a granularity the DuckDB
-    * oracle agrees on. */
+    * lets Spark drop quote state older than the bound).
+    *
+    * Scale shape: the raw (trade, quote) pair stream is NEVER collected —
+    * each micro-batch is partial-aggregated per trade inside foreachBatch
+    * and the (trade_id, n, sum) partials appended to parquet; the final
+    * pass merges partials. Append-mode join output emits each pair exactly
+    * once across batches, so sum-of-partials is exact; decimal partials
+    * keep the merge order-independent. (The previous shape drained the
+    * unaggregated pair stream into a driver-resident memory sink —
+    * unbounded driver memory at scale, and the slowest bench query.)
+    * Timestamps are second-truncated — events.ts carries sub-µs precision
+    * Spark floors on read, so the join bound must sit at a granularity the
+    * DuckDB oracle agrees on. */
   def streamIntervalJoin(s: SparkSession, dir: String): DataFrame = {
     val schema = s.read.parquet(s"$dir/events.parquet").schema
     def src = s.readStream.schema(schema)
@@ -138,15 +145,23 @@ object Streams {
       col("user_id") === col("q_user") &&
         col("q_ts") >= col("t_ts") - expr("interval 24 hours") &&
         col("q_ts") <= col("t_ts"))
-      .select(col("trade_id"), col("quote_id"), col("qval"))
-    val name = s"stream_ij_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      .select(col("trade_id"), col("qval"))
+    val partialsDir = java.nio.file.Files
+      .createTempDirectory("graft_ij_partials_").toString
     val q = joined.writeStream.outputMode("append")
-      .format("memory").queryName(name).start()
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.groupBy(col("trade_id"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("qval").cast(DecimalType(18, 2))).as("s"))
+          .write.mode("append").parquet(partialsDir)
+        ()
+      }
+      .start()
     try q.processAllAvailable() finally q.stop()
-    s.table(name)
+    s.read.parquet(partialsDir)
       .groupBy(col("trade_id"))
-      .agg(count(lit(1)).as("n_quotes"),
-        sum(col("qval").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_qval"))
+      .agg(sum(col("n")).as("n_quotes"),
+        sum(col("s")).cast(DoubleType).as("sum_qval"))
       .orderBy(asc_nulls_first("trade_id"))
   }
 
