@@ -341,15 +341,17 @@ object Spatial {
       .orderBy(asc_nulls_first("name_1"))
 
   /** Elevation histogram: 20 m left-closed bins of per-region means
-    * (spatial_analysis_indonesia.r:58-66). */
-  def elevationHistogram(s: SparkSession, sfDir: String): DataFrame = {
-    val zonal = zonalElevation(s, sfDir)
-    val mn = zonal.agg(min(col("mean_elevation")).as("mn"))
-    zonal.crossJoin(broadcast(mn))
+    * (spatial_analysis_indonesia.r:58-66). The global min comes from a
+    * whole-frame window over the zone-count-sized zonal output — one pass;
+    * the previous agg-then-cross-join shape executed the elevation scan +
+    * spatial join subtree twice. */
+  def elevationHistogram(s: SparkSession, sfDir: String): DataFrame =
+    zonalElevation(s, sfDir)
+      .withColumn("mn", min(col("mean_elevation"))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy()))
       .select(floor((col("mean_elevation") - col("mn")) / 20.0).as("bin"))
       .groupBy(col("bin")).agg(count(lit(1)).as("freq"))
       .orderBy(asc_nulls_first("bin"))
-  }
 
   // ---- driver-contract queries (rows-only checks; oracle impossible in
   // SQL because inputs are generated + geometric) --------------------------
@@ -551,11 +553,13 @@ object Spatial {
         col("id").as("rect_id"),
         G.stMakeBox((col("id") % 10).cast(DoubleType), floor(col("id") / 10).cast(DoubleType),
           (col("id") % 10 + 1).cast(DoubleType), (floor(col("id") / 10) + 1).cast(DoubleType)).as("geom"))
-      val zonal = spatialJoin(pts, broadcast(rects), "px", "py", "geom", 1.0)
+      // single-pass global min (window over the 100-row zonal frame) — the
+      // agg-then-cross-join shape re-executed the spatial-join subtree
+      spatialJoin(pts, broadcast(rects), "px", "py", "geom", 1.0)
         .groupBy(col("rect_id"))
         .agg(exactMean(col("elev")).as("mean_elev"))
-      val mn = zonal.agg(min(col("mean_elev")).as("mn"))
-      zonal.crossJoin(broadcast(mn))
+        .withColumn("mn", min(col("mean_elev"))
+          .over(org.apache.spark.sql.expressions.Window.partitionBy()))
         .select(floor((col("mean_elev") - col("mn")) / 20.0).as("bin"))
         .groupBy(col("bin")).agg(count(lit(1)).as("freq"))
         .orderBy(asc_nulls_first("bin"))
