@@ -88,17 +88,35 @@ object Ivf {
   /** Index with freshly computed centroids (spec entry point). */
   def index(emb: DataFrame): DataFrame = indexWith(emb, centroidArrays(emb))
 
+  /** Materialize the physical index: parquet partitioned by `list_id`, so
+    * a probe with a `list_id` filter PRUNES whole partitions at the file
+    * source — "a query touches nprobe partitions" realized physically, not
+    * just logically. At 100 TB this is the difference between scanning the
+    * nprobe/NumLists fraction of the corpus and scanning all of it. */
+  def writeIndex(emb: DataFrame, cents: Array[Array[Double]], path: String): Unit =
+    indexWith(emb, cents).write.partitionBy("list_id").mode("overwrite").parquet(path)
+
+  /** Pruned probe-side read of a materialized index. */
+  def readIndex(s: SparkSession, path: String, lists: Seq[Int]): DataFrame =
+    s.read.parquet(path).filter(col("list_id").isin(lists.map(Int.box): _*))
+
   /** Approximate top-k for the first 5 vectors probing NProbe lists.
-    * Centroids are computed once and shared by index + probe sides. */
+    * Centroids are computed once and shared by index + probe sides; the
+    * index goes through the partitioned-parquet layout and the probe scan
+    * reads only the union of the queries' probe lists (bounded by
+    * NumLists; collected driver-side like the centroids). */
   def topK(s: SparkSession, emb: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val cents = centroidArrays(emb)
     val centsCol = typedLit(cents)
-    val idx = indexWith(emb, cents)
-    val qside = idx.filter(col("vec_id") < 5)
+    val idxPath = java.nio.file.Files.createTempDirectory("graft_ivf_idx_").toString
+    writeIndex(emb, cents, idxPath)
+    val qside = vecsOf(emb).filter(col("vec_id") < 5)
       .select(col("vec_id").as("qid"), col("v").as("qv"),
         explode(nearestListsUdf(col("v"), centsCol, lit(NProbe))).as("list_id"))
-    val cand = idx.join(broadcast(qside), Seq("list_id"))
+    val probed = qside.select(col("list_id")).distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
+    val cand = readIndex(s, idxPath, probed).join(broadcast(qside), Seq("list_id"))
       .filter(col("qid") =!= col("vec_id"))
       .select(col("qid"), col("vec_id").as("vid"),
         round(cosine(col("qv"), col("v")), 4).as("score"))

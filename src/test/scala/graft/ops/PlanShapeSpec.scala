@@ -68,6 +68,27 @@ class PlanShapeSpec extends AnyFunSuite {
       "vector column found in a shuffle of the approximate path")
   }
 
+  test("q31 IVF probe prunes index partitions at the file source") {
+    val p = planOf("q31_ann_ivf_topk")
+    val scanLine = p.linesIterator.find(_.contains("PartitionFilters: [")).getOrElse("")
+    assert(scanLine.contains("list_id"),
+      s"IVF probe scan carries no list_id partition filter: $scanLine")
+  }
+
+  test("IVF readIndex prunes to exactly the probed partitions") {
+    import graft.llm.Ivf
+    val emb = spark.range(64).selectExpr("id as vec_id",
+      "transform(sequence(1, 8), i -> cast(pmod(id * i, 17) as double)) as embedding")
+    val path = java.nio.file.Files.createTempDirectory("ivf_prune_spec_").toString
+    Ivf.writeIndex(emb, Ivf.centroidArrays(emb), path)
+    val pruned = Ivf.readIndex(spark, path, Seq(0, 1))
+    val scan = pruned.queryExecution.executedPlan.collectLeaves()
+      .collectFirst { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+    assert(scan.isDefined, "no file scan under the pruned read")
+    val nParts = scan.get.selectedPartitions.partitionCount
+    assert(nParts <= 2, s"expected <=2 selected partitions, got $nParts")
+  }
+
   test("q62 as-of join is one window over one exchange (no range join)") {
     val p = planOf("q62_asof_join")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
