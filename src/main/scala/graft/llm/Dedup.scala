@@ -68,13 +68,58 @@ object Dedup {
     None,
     "per-doc dedup signatures: md5, winnowing fingerprint, simhash, minhash (dedup surface)")
 
-  /** MinHash LSH: banded signatures → bucket self-join → candidate pairs
-    * with estimated (signature-agreement) and exact (shingle-set) Jaccard. */
-  def minhashPairs(s: SparkSession, docs: DataFrame): DataFrame = {
-    val banded = minhashSignatures(docs)
+  /** Default LSH bucket cap: a band/chunk bucket larger than this is
+    * dropped from candidate generation. A degenerate bucket (boilerplate
+    * sharing a band hash) otherwise produces O(n²) pairs inside one
+    * bucket — the classic LSH skew killer. Oversized buckets are almost
+    * entirely low-precision noise (a band collision among thousands of
+    * docs carries little Jaccard evidence), so capping trades negligible
+    * recall for a hard quadratic bound. */
+  val MaxBucketSize = 10000
+
+  /** Collapse exact duplicates BEFORE LSH: one representative (min doc_id)
+    * per exact text hash. Returns (withRep, exact) where `withRep` adds
+    * `h`/`rep_id` to each row and `exact` is the LINEAR (rep → member)
+    * pair list — an exact-dup group of n docs emits n−1 pairs, never
+    * n(n−1)/2. The single shuffle here carries (doc_id, h, sig) scalars;
+    * the text itself never shuffles. */
+  private def collapseExact(sigs: DataFrame): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    val withRep = sigs.withColumn("rep_id",
+      min(col("doc_id")).over(Window.partitionBy(col("h"))))
+    val exact = withRep.filter(col("doc_id") =!= col("rep_id"))
+      .select(col("rep_id").as("doc_a"), col("doc_id").as("doc_b"))
+    (withRep, exact)
+  }
+
+  /** Drop oversized buckets (hot-bucket guard) and singleton buckets
+    * (which cannot produce a pair) before the bucket self-join. */
+  private def capBuckets(banded: DataFrame, keys: Seq[String], maxBucket: Int): DataFrame = {
+    val sizes = banded.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("bn"))
+      .filter(col("bn") > 1 && col("bn") <= maxBucket)
+      .select(keys.map(col): _*)
+    banded.join(sizes, keys, "left_semi")
+  }
+
+  /** MinHash LSH: map-side signatures + exact-hash collapse → banded
+    * representatives → capped bucket self-join → candidate pairs with
+    * estimated (signature-agreement) and exact (shingle-set) Jaccard.
+    * Exact-duplicate groups surface as linear (rep, member) pairs with
+    * jaccard 1.0 rather than exploding quadratically inside a bucket. */
+  def minhashPairs(s: SparkSession, docs: DataFrame,
+      maxBucket: Int = MaxBucketSize): DataFrame = {
+    val sigs = docs.select(col("doc_id"), xxhash64(col("text")).as("h"),
+      minhashUdf(col("text")).as("sig"))
+    val (withRep, exact) = collapseExact(sigs)
+    val exactPairs = exact
+      .select(col("doc_a"), col("doc_b"),
+        lit(1.0).as("est_jaccard"), lit(1.0).as("jaccard"))
+    val banded = withRep.filter(col("doc_id") === col("rep_id"))
       .select(col("doc_id"), col("sig"), posexplode(bandsUdf(col("sig"))).as(Seq("band", "bh")))
-    val a = banded.alias("a")
-    val b = banded.alias("b")
+    val pruned = capBuckets(banded, Seq("band", "bh"), maxBucket)
+    val a = pruned.alias("a")
+    val b = pruned.alias("b")
     val cand = a.join(b,
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -96,6 +141,7 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("est_jaccard"),
         round(size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType)
           / size(array_union(col("sh_a"), col("sh_b"))), 4).as("jaccard"))
+      .unionByName(exactPairs)
       .orderBy(asc_nulls_first("doc_a"), asc_nulls_first("doc_b"))
   }
 
@@ -105,16 +151,25 @@ object Dedup {
     None,
     "MinHash-LSH candidate pairs + exact n-gram Jaccard verify (dedup surface)")
 
-  /** SimHash near-dup pairs: 4×16-bit chunk bucketing (a pair within
-    * Hamming distance 3 must agree on ≥1 chunk) + exact bit_count verify. */
-  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val sh = simhash(docs)
-    val chunks = sh.select(col("doc_id"), col("simhash"),
-      posexplode(array((0 until 4).map(c =>
-        shiftrightunsigned(col("simhash"), c * 16).bitwiseAND(lit(0xFFFFL))): _*))
-        .as(Seq("chunk", "ch")))
-    val a = chunks.alias("a")
-    val b = chunks.alias("b")
+  /** SimHash near-dup pairs: exact-hash collapse → 4×16-bit chunk
+    * bucketing over representatives (a pair within Hamming distance 3
+    * must agree on ≥1 chunk), capped buckets, exact bit_count verify.
+    * Exact duplicates surface as linear (rep, member) hamming-0 pairs. */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
+      maxBucket: Int = MaxBucketSize): DataFrame = {
+    val sigs = docs.select(col("doc_id"), xxhash64(col("text")).as("h"),
+      simhashUdf(col("text")).as("simhash"))
+    val (withRep, exact) = collapseExact(sigs)
+    val exactPairs = exact.select(col("doc_a"), col("doc_b"),
+      lit(0).cast("int").as("hamming"))
+    val chunks = withRep.filter(col("doc_id") === col("rep_id"))
+      .select(col("doc_id"), col("simhash"),
+        posexplode(array((0 until 4).map(c =>
+          shiftrightunsigned(col("simhash"), c * 16).bitwiseAND(lit(0xFFFFL))): _*))
+          .as(Seq("chunk", "ch")))
+    val pruned = capBuckets(chunks, Seq("chunk", "ch"), maxBucket)
+    val a = pruned.alias("a")
+    val b = pruned.alias("b")
     a.join(b,
         col("a.chunk") === col("b.chunk") && col("a.ch") === col("b.ch") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -122,6 +177,7 @@ object Dedup {
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
+      .unionByName(exactPairs)
       .orderBy(asc_nulls_first("doc_a"), asc_nulls_first("doc_b"))
   }
 

@@ -41,6 +41,35 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.head.getDouble(3) === 1.0) // exact
   }
 
+  test("1k identical docs produce linear, not quadratic, pair counts") {
+    // the classic LSH skew killer: 1000 byte-identical docs all share every
+    // band hash — without the exact-collapse an O(n²) half-million pairs
+    // explode inside one bucket; with it they surface as 999 (rep, member)
+    // pairs and the LSH self-join sees a single representative
+    val docs = docsDf((1L to 1000L).map(i => (i, base))
+      :+ (2000L, nearDup) :+ (3000L, unrelated))
+    val pairs = Dedup.minhashPairs(spark, docs).collect()
+    val exact = pairs.filter(r => r.getDouble(3) == 1.0 && r.getDouble(2) == 1.0)
+    assert(exact.length === 999, s"expected 999 linear rep pairs, got ${exact.length}")
+    assert(exact.forall(r => r.getLong(0) === 1L), "rep must be the min doc_id")
+    assert(pairs.length <= 1005, s"quadratic blowup: ${pairs.length} pairs")
+    assert(pairs.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2000L),
+      "near-dup of the representative must still be found")
+    val simPairs = Dedup.simhashPairs(docs, maxHamming = 8).collect()
+    assert(simPairs.count(_.getInt(2) == 0) === 999)
+    assert(simPairs.length <= 1005, s"quadratic blowup: ${simPairs.length} simhash pairs")
+  }
+
+  test("oversized non-identical buckets are capped to bound the self-join") {
+    // 40 DISTINCT docs sharing most shingles: band hashes collide heavily,
+    // exact-collapse does not apply, so only the bucket cap bounds the join
+    val docs = docsDf((1L to 40L).map(i => (i, base + " tail" + i)))
+    val uncapped = Dedup.minhashPairs(spark, docs, maxBucket = 10000).count()
+    val capped = Dedup.minhashPairs(spark, docs, maxBucket = 5).count()
+    assert(uncapped > 100, s"fixture should collide heavily, got $uncapped pairs")
+    assert(capped < uncapped, s"cap had no effect: $capped vs $uncapped")
+  }
+
   test("simhash: near-dup within small hamming distance, unrelated far") {
     val docs = docsDf(Seq((1L, base), (2L, nearDup), (3L, unrelated)))
     val sigs = Dedup.simhash(docs).collect()
