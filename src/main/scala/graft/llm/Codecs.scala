@@ -32,16 +32,19 @@ object Codecs {
   def parseWav(b: Array[Byte]): Option[Wav] = {
     if (b.length < 44 || b(0) != 'R' || b(1) != 'I' || b(2) != 'F' || b(3) != 'F' ||
         b(8) != 'W' || b(9) != 'A' || b(10) != 'V' || b(11) != 'E') return None
-    var off = 12
+    // offset tracked as Long: a crafted chunk size near Int.MaxValue would
+    // overflow an Int offset negative and throw instead of returning None
+    var off = 12L
     var rate = -1; var ch = -1; var bits = -1; var dataLen = -1
     while (off + 8 <= b.length) {
-      val id = new String(b, off, 4, "US-ASCII")
-      val sz = le32(b, off + 4)
-      if (sz < 0) return None
+      val o = off.toInt
+      val id = new String(b, o, 4, "US-ASCII")
+      val sz = le32(b, o + 4)
+      if (sz < 0 || sz > b.length - off - 8) return None // out-of-range chunk
       if (id == "fmt " && off + 24 <= b.length) {
-        ch = le16(b, off + 10); rate = le32(b, off + 12); bits = le16(b, off + 22)
+        ch = le16(b, o + 10); rate = le32(b, o + 12); bits = le16(b, o + 22)
       } else if (id == "data") dataLen = sz
-      off += 8 + sz + (sz & 1) // chunks are word-aligned
+      off += 8L + sz + (sz & 1) // chunks are word-aligned
     }
     if (rate > 0 && ch > 0) Some(Wav(rate, ch, bits, math.max(0, dataLen))) else None
   }

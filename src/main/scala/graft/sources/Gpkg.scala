@@ -60,6 +60,10 @@ object Gpkg {
       Row.fromSeq(r.toSeq.zipWithIndex.map {
         case (v: Long, i) if fields(i).dataType == IntegerType => v.toInt
         case (v: Long, i) if fields(i).dataType == DoubleType => v.toDouble
+        // blob in a mixed (String-degraded) column: hex, not the JVM
+        // identity string ("[B@1a2b3c" is nondeterministic and meaningless)
+        case (v: Array[Byte], i) if fields(i).dataType == StringType =>
+          v.map(b => f"$b%02x").mkString
         case (v, i) if fields(i).dataType == StringType && v != null &&
           !v.isInstanceOf[String] => v.toString
         case (v, _) => v

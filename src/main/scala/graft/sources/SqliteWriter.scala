@@ -135,9 +135,25 @@ object SqliteWriter {
   }
 
   /** Build one table b-tree; returns its root page number.
-    * `pageOne` pins the root to page 1 (sqlite_schema). */
+    * `pageOne` pins the root to page 1 (sqlite_schema).
+    *
+    * Capacity: ONE interior level — ≈270 leaves ≈ 1.1 MB of cell bytes per
+    * table. Exceeding it fails loudly up front (naming the table and its
+    * size) rather than writing a corrupt file; bigger layers belong in
+    * Parquet (see Gpkg.writeLayer). */
   private def buildTable(store: PageStore, rows: Seq[(Long, Array[Byte])],
-      pageOne: Boolean): Int = {
+      pageOne: Boolean, label: String = "table"): Int = {
+    // pre-check: interior cells are ≤13 bytes + 2-byte pointer each; one
+    // interior page holds (PageSize - 12 - base) / 15 of them
+    val maxLeaves = (PageSize - 12 - (if (pageOne) 100 else 0)) / 15
+    // per-row leaf footprint: payload (capped at the overflow-spill local
+    // threshold) + varints + pointer
+    val totalBytes = rows.iterator
+      .map(r => math.min(r._2.length, PageSize - 35) + 20).sum
+    require(totalBytes <= maxLeaves.toLong * (PageSize - 16),
+      s"$label: ~$totalBytes cell bytes exceed the single-interior-level " +
+        s"b-tree capacity (~${maxLeaves.toLong * (PageSize - 16)} bytes); " +
+        "write this layer to Parquet instead of a single-file GeoPackage")
     // pack cells into leaves
     val leaves = scala.collection.mutable.ArrayBuffer.empty[(Int, Seq[(Long, Array[Byte])])]
     var cur = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Byte])]
@@ -261,7 +277,7 @@ object SqliteWriter {
         (rowid, record(stored))
       }
       // b-tree keys must ascend; rowid-alias values may arrive unsorted
-      t.name -> buildTable(store, encoded.sortBy(_._1), pageOne = false)
+      t.name -> buildTable(store, encoded.sortBy(_._1), pageOne = false, t.name)
     }
 
     val schemaRows: Seq[(Long, Array[Byte])] = roots.zipWithIndex.map {
@@ -270,7 +286,7 @@ object SqliteWriter {
         ((i + 1).toLong,
           record(Seq("table", name, name, root.toLong, t.sql)))
     }
-    buildTable(store, schemaRows, pageOne = true)
+    buildTable(store, schemaRows, pageOne = true, "sqlite_schema")
 
     // file header on page 1
     val p1 = store.pages(0)

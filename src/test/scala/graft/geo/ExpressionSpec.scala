@@ -48,4 +48,25 @@ class ExpressionSpec extends AnyFunSuite {
       .collect()
     assert(got.head.isNullAt(0))
   }
+
+  test("vec_dot rejects non-double arrays at analysis instead of reading garbage") {
+    GeoExpressions.ensureRegistered(spark)
+    val intArrays = spark.range(3).selectExpr(
+      "array(cast(id as int), 2) as a", "array(3, 4) as b")
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      intArrays.selectExpr("vec_dot(a, b)").collect()
+    }
+    assert(e.getMessage.contains("vec_dot"), e.getMessage)
+    // the documented calling convention works
+    val ok = spark.sql("select vec_dot(array(1.0d, 2.0d), array(3.0d, 4.0d))")
+      .collect().head.getDouble(0)
+    assert(ok === 11.0)
+  }
+
+  test("vec_dot skips null elements (SQL sum semantics)") {
+    val got = spark.sql(
+      "select vec_dot(array(1.0d, cast(null as double), 3.0d), array(2.0d, 5.0d, 4.0d))")
+      .collect().head.getDouble(0)
+    assert(got === 14.0)
+  }
 }

@@ -138,6 +138,20 @@ class DedupSpec extends AnyFunSuite {
     assert((rate, ch, codec) === (16000, 2, "wav"))
   }
 
+  test("WAV parse rejects out-of-range chunk sizes instead of throwing") {
+    // crafted chunk size near Int.MaxValue used to overflow the Int offset
+    // negative and throw StringIndexOutOfBoundsException from the task
+    val wav = Codecs.wrapWav(Array.tabulate(64)(_.toByte), 16000, 2)
+    val evil = wav.clone()
+    val bb = java.nio.ByteBuffer.wrap(evil).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(16, Int.MaxValue - 3) // fmt chunk size
+    assert(Codecs.parseWav(evil) === None)
+    val truncated = wav.clone()
+    bb.clear(); java.nio.ByteBuffer.wrap(truncated)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(40, 1 << 30) // data size
+    assert(Codecs.parseWav(truncated) === None)
+  }
+
   test("media table exercises all three codec paths on driver data") {
     val out = Multimodal.extractFeatures(
       Multimodal.mediaTable(spark, "/root/testdata/sf0.001")).collect()
