@@ -715,6 +715,81 @@ object Spatial {
     Some(ndviOracleSql(72, 2018, 14)),
     "R3 multi-year NDVI series, DuckDB-oracle-checked q44 twin")
 
+  // ---- area / centroid / bounds, ORACLE-CHECKED (q46/q47 twins) ----------
+
+  /** Axis-aligned boxes synthesized in 3857-like planar coords from events
+    * ints: every coordinate is an integral double, so the shoelace area is
+    * EXACTLY w·h and the area-weighted centroid is EXACTLY the midpoint in
+    * IEEE arithmetic — DuckDB reproduces both by plain box arithmetic. */
+  private def oracleBoxes(s: SparkSession, dir: String): DataFrame =
+    graft.T(s, dir, "events").select(
+      col("event_id"),
+      concat(lit("Cat "), (col("event_id") % 7).cast("string")).as("category"),
+      ((col("event_id") % 100).cast(DoubleType) * 100.0).as("bxmin"),
+      (((col("event_id") * 7) % 100).cast(DoubleType) * 100.0).as("bymin"),
+      (lit(10) + col("event_id") % 50).cast(DoubleType).as("w"),
+      (lit(10) + (col("event_id") * 3) % 50).cast(DoubleType).as("h"))
+      .select(col("event_id"), col("category"),
+        G.stMakeBox(col("bxmin"), col("bymin"),
+          col("bxmin") + col("w"), col("bymin") + col("h")).as("geom"))
+
+  private val oracleBoxesSql =
+    """SELECT event_id,
+         'Cat ' || CAST(event_id % 7 AS VARCHAR) AS category,
+         (event_id % 100) * 100.0 AS bxmin,
+         ((event_id * 7) % 100) * 100.0 AS bymin,
+         10 + (event_id % 50) AS w,
+         10 + ((event_id * 3) % 50) AS h
+       FROM events"""
+
+  /** q46's twin, ORACLE-CHECKED: per-category summed area in ha through
+    * the native codegen shoelace kernel (st_area_native), vs w·h box
+    * arithmetic in DuckDB. Decimal-cast sum per the Q parity convention. */
+  private val q70 = Q(
+    "q70_area_oracle",
+    (s, dir) => {
+      graft.geo.GeoExpressions.ensureRegistered(s)
+      oracleBoxes(s, dir)
+        .groupBy(col("category"))
+        .agg(
+          round(sum(graft.geo.GeoExpressions.stAreaNative(col("geom"))
+            .cast(org.apache.spark.sql.types.DecimalType(28, 6)))
+            .cast(DoubleType) / 10000.0, 6).as("area_ha"),
+          count(lit(1)).as("n_boxes"))
+        .orderBy(asc_nulls_first("category"))
+    },
+    Some(s"""WITH b AS ($oracleBoxesSql)
+      SELECT category,
+             round(CAST(SUM(CAST(w * h AS DECIMAL(28,6))) AS DOUBLE) / 10000.0, 6) AS area_ha,
+             COUNT(*) AS n_boxes
+      FROM b GROUP BY category ORDER BY category ASC NULLS FIRST"""),
+    "G2/G3+A2 per-category area via the native shoelace kernel, DuckDB-oracle-checked (q46 twin)")
+
+  /** q47's twin, ORACLE-CHECKED: per-category mean centroid (area-weighted
+    * kernel = exact midpoint on boxes) + total bounds through
+    * stCentroid/stEnvelope, vs midpoint/min/max arithmetic in DuckDB. */
+  private val q71 = Q(
+    "q71_centroid_bounds_oracle",
+    (s, dir) =>
+      oracleBoxes(s, dir)
+        .withColumn("c", G.stCentroid(col("geom")))
+        .withColumn("env", G.stEnvelope(col("geom")))
+        .groupBy(col("category"))
+        .agg(
+          round(avg(element_at(col("c"), 1)), 6).as("centroid_x"),
+          round(avg(element_at(col("c"), 2)), 6).as("centroid_y"),
+          round(min(col("env._1")), 6).as("bxmin"), round(min(col("env._2")), 6).as("bymin"),
+          round(max(col("env._3")), 6).as("bxmax"), round(max(col("env._4")), 6).as("bymax"))
+        .orderBy(asc_nulls_first("category")),
+    Some(s"""WITH b AS ($oracleBoxesSql)
+      SELECT category,
+             round(AVG(bxmin + w / 2.0), 6) AS centroid_x,
+             round(AVG(bymin + h / 2.0), 6) AS centroid_y,
+             round(MIN(bxmin), 6) AS bxmin, round(MIN(bymin), 6) AS bymin,
+             round(MAX(bxmin + w), 6) AS bxmax, round(MAX(bymin + h), 6) AS bymax
+      FROM b GROUP BY category ORDER BY category ASC NULLS FIRST"""),
+    "G4+G5/A10 centroid + total bounds via the geometry kernel, DuckDB-oracle-checked (q47 twin)")
+
   val all: Seq[Q] = Seq(q40, q41, q42, q43, q44, q45, q46, q47, q53, q54,
-    q58, q59, q60, q68, q69)
+    q58, q59, q60, q68, q69, q70, q71)
 }
