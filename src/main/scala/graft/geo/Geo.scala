@@ -102,7 +102,7 @@ object Geo {
       Env(xmin, ymin, xmax, ymax)
   }
 
-  private def pointInRing(x: Double, y: Double, r: Ring): Boolean = {
+  private[geo] def pointInRing(x: Double, y: Double, r: Ring): Boolean = {
     var inside = false
     var i = 0
     var j = r.size - 1
@@ -255,10 +255,12 @@ object Geo {
   /** Interior-overlap test for two simple polygon parts: true when a shell
     * vertex of one lies strictly inside the other or any shell edges
     * properly cross. Boundary touching (shared edges, shared vertices)
-    * is NOT overlap. Best-effort limitation (documented): two polygons
-    * whose boundaries are collinear everywhere (e.g. exact duplicates)
-    * have no strict vertex containment and no proper crossing — the union
-    * guard catches byte-identical duplicates separately. */
+    * is NOT overlap. Best-effort predicate with KNOWN false negatives on
+    * fully-degenerate overlaps (collinear boundaries, same-extent side
+    * overlaps whose intersections all land on vertices/edges) — since
+    * round 3 it is NOT load-bearing: the union path always runs the real
+    * dissolve ([[Dissolve]]) on envelope-overlapping components, which
+    * handles those cases by area-side classification. */
   def overlaps(a: Polygon, b: Polygon): Boolean = {
     val ea = envelope(Poly(a)); val eb = envelope(Poly(b))
     if (ea.xmax <= eb.xmin || ea.xmin >= eb.xmax ||
@@ -289,11 +291,11 @@ object Geo {
     false
   }
 
-  /** Union-as-collect: merge parts into one MultiPolygon (observationally
-    * equivalent to ST_Union for the reference's non-overlapping parcels —
-    * documented deviation, SURVEY.md §7.4). The aggregator guards the
-    * deviation's silent-wrong-answer window by failing loudly on
-    * overlapping inputs (see GeoFunctions.stUnionCollect). */
+  /** ST_Union: true geometric dissolve (PostGIS semantics,
+    * load_report.py:472). Disjoint-envelope parts pass through untouched;
+    * overlapping/adjacent components are merged by the boundary-fragment
+    * union ([[Dissolve]]) — overlap areas count once, shared edges vanish,
+    * duplicates collapse. */
   def unionCollect(gs: Seq[Geom]): Geom =
-    MultiPoly(gs.toArray.flatMap(Wkb.asPolygons))
+    MultiPoly(Dissolve.dissolve(gs.toArray.flatMap(Wkb.asPolygons)))
 }

@@ -49,49 +49,25 @@ object GeoFunctions {
       Array(xmin, xmax, xmax, xmin, xmin),
       Array(ymin, ymin, ymax, ymax, ymin)))))))
 
-  /** G1 ST_Union as a typed Aggregator: collect parts into one
-    * MultiPolygon (union-as-collect; SURVEY.md §7.4 documents why this is
-    * observationally equivalent for the reference's non-overlapping
-    * parcels). Buffer is the accumulated part list — merge is associative
-    * and order-stable per sort order, so results are deterministic after
-    * an upstream sort or on sorted keys. */
+  /** G1 ST_Union as a typed Aggregator: a TRUE geometric dissolve (PostGIS
+    * ST_Union semantics, load_report.py:472). Parts with disjoint
+    * envelopes pass through untouched; overlapping/adjacent components go
+    * through the boundary-fragment union ([[Dissolve]]) so overlap areas
+    * count once, shared edges vanish, and duplicated geometry collapses —
+    * the round-2 throw-on-overlap guard is replaced by the real
+    * computation. Buffer is the accumulated part list — merge is
+    * associative, and finish sorts parts canonically so the result is
+    * invariant to partitioning/merge order. */
   private val unionAgg = new Aggregator[Array[Byte], List[Array[Byte]], Array[Byte]] {
     def zero: List[Array[Byte]] = Nil
     def reduce(b: List[Array[Byte]], a: Array[Byte]): List[Array[Byte]] = a :: b
     def merge(b1: List[Array[Byte]], b2: List[Array[Byte]]): List[Array[Byte]] = b1 ::: b2
     def finish(b: List[Array[Byte]]): Array[Byte] = {
-      // canonical order: sort parts by their WKB bytes so the result is
-      // invariant to partitioning/merge order
       val sorted = b.sortWith { (l, r) =>
         java.util.Arrays.compareUnsigned(l, r) < 0
       }
-      // union-as-collect is only area/NDVI-equivalent to a true dissolve
-      // when inputs are disjoint — fail LOUDLY instead of double-counting.
-      // Byte-identical duplicates are adjacent after the sort; interior
-      // overlaps are caught by the pairwise kernel test (envelope-
-      // prefiltered; boundary adjacency is fine).
-      var dup = sorted
-      while (dup.nonEmpty && dup.tail.nonEmpty) {
-        if (java.util.Arrays.equals(dup.head, dup.tail.head))
-          throw new IllegalStateException(
-            "st_union_collect: duplicate geometry in union group — " +
-              "union-as-collect would double-count its area")
-        dup = dup.tail
-      }
       val parts = sorted.flatMap(bs => Wkb.asPolygons(Wkb.parse(bs))).toArray
-      var i = 0
-      while (i < parts.length) {
-        var j = i + 1
-        while (j < parts.length) {
-          if (Geo.overlaps(parts(i), parts(j)))
-            throw new IllegalStateException(
-              s"st_union_collect: overlapping parts ($i, $j) in union group — " +
-                "union-as-collect would double-count the intersection area")
-          j += 1
-        }
-        i += 1
-      }
-      Wkb.write(Wkb.MultiPoly(parts))
+      Wkb.write(Wkb.MultiPoly(Dissolve.dissolve(parts)))
     }
     def bufferEncoder: Encoder[List[Array[Byte]]] = Encoders.kryo[List[Array[Byte]]]
     def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY

@@ -60,33 +60,25 @@ class GeoFunctionsSpec extends AnyFunSuite {
     assert(got(1).getDouble(1) === 16.0 && got(1).getInt(2) === 1)
   }
 
-  private def rootMessages(t: Throwable): String = {
-    var m = List.empty[String]
-    var c: Throwable = t
-    while (c != null) { m ::= String.valueOf(c.getMessage); c = c.getCause }
-    m.mkString(" | ")
-  }
-
-  test("st_union_collect fails loudly on overlapping parts (dissolve guard)") {
+  test("st_union_collect dissolves overlapping parts (merged area < sum)") {
     import spark.implicits._
+    // [-2,2]² ∪ [-1,3]²: 16 + 16 − 9 (overlap [-1,2]²) = 23
     Seq(("a", box(0, 0, 2)), ("a", box(1, 1, 2)))
       .toDF("k", "g").createOrReplaceTempView("overlap_parts")
-    val e = intercept[Throwable] {
-      spark.sql("select k, st_area(st_union_collect(g)) from overlap_parts group by k")
-        .collect()
-    }
-    assert(rootMessages(e).contains("overlapping parts"), rootMessages(e))
+    val got = spark
+      .sql("select k, st_area(st_union_collect(g)) a from overlap_parts group by k")
+      .collect()
+    assert(math.abs(got(0).getDouble(1) - 23.0) < 1e-6, got(0).getDouble(1).toString)
   }
 
-  test("st_union_collect fails loudly on duplicate parts") {
+  test("st_union_collect collapses duplicate parts (area counted once)") {
     import spark.implicits._
     Seq(("a", box(0, 0, 2)), ("a", box(0, 0, 2)))
       .toDF("k", "g").createOrReplaceTempView("dup_parts")
-    val e = intercept[Throwable] {
-      spark.sql("select k, st_area(st_union_collect(g)) from dup_parts group by k")
-        .collect()
-    }
-    assert(rootMessages(e).contains("duplicate geometry"), rootMessages(e))
+    val got = spark
+      .sql("select k, st_area(st_union_collect(g)) a from dup_parts group by k")
+      .collect()
+    assert(math.abs(got(0).getDouble(1) - 16.0) < 1e-6, got(0).getDouble(1).toString)
   }
 
   test("st_union_collect accepts edge-adjacent (touching, disjoint-interior) parts") {
