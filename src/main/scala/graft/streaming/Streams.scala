@@ -178,5 +178,47 @@ object Streams {
       GROUP BY t.trade_id ORDER BY trade_id ASC NULLS FIRST"""),
     "stream-stream interval join with watermarks, oracle-checked vs the batch-equivalent SQL (SURVEY §2.9 extension)")
 
-  val all: Seq[Q] = Seq(q50, q52, q65)
+  /** Streaming exact dedup: the q20 content-hash path under readStream —
+    * the training-data-pipeline ingest shape (dedup new documents against
+    * a bounded recent-history window as they arrive).
+    *
+    * Scale shape: the hash is computed map-side (shuffle carries
+    * (doc_id, hash), never text); dropDuplicatesWithinWatermark keys state
+    * on the hash and EXPIRES it with the event-time watermark, so state
+    * holds one row per distinct hash within the horizon instead of growing
+    * with the corpus; deduped batches append to parquet via foreachBatch
+    * (nothing corpus-sized is driver-resident). Event time is synthesized
+    * deterministically from doc_id — the driver corpus carries no
+    * timestamp. */
+  def streamDedup(s: SparkSession, dir: String,
+      horizon: String = "1 hour"): DataFrame = {
+    val schema = s.read.parquet(s"$dir/documents.parquet").schema
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graft_dedup_out_").toString
+    val deduped = s.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("hash"))
+      .withColumn("ts", expr("timestamp_micros(1700000000000000 + doc_id * 1000000)"))
+      .withWatermark("ts", horizon)
+      .dropDuplicatesWithinWatermark("hash")
+      .select(col("doc_id"), col("hash"))
+    val q = deduped.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(outDir)
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    s.read.parquet(outDir).orderBy(asc_nulls_first("doc_id"))
+  }
+
+  private val q73 = Q(
+    "q73_stream_dedup",
+    (s, dir) => streamDedup(s, dir),
+    // dup-free driver corpus → the deduped stream is exactly the corpus
+    Some("""SELECT doc_id, md5(text) AS hash FROM documents
+      ORDER BY doc_id ASC NULLS FIRST"""),
+    "streaming exact dedup: watermark-expired hash state + foreachBatch parquet append (dedup surface, SURVEY §2.9)")
+
+  val all: Seq[Q] = Seq(q50, q52, q65, q73)
 }

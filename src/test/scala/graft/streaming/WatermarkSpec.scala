@@ -46,4 +46,29 @@ class WatermarkSpec extends AnyFunSuite {
       assert(batch(h) === n, s"finalized window $h disagrees with batch")
     }
   }
+
+  test("streaming dedup equals batch dedup on a corpus with planted duplicates") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.T(spark, dir, "documents")
+    // plant exact duplicates: 10 docs re-appear under shifted ids
+    val planted = docs.limit(10)
+      .withColumn("doc_id", col("doc_id") + 1000000L)
+    val tmp = java.nio.file.Files.createTempDirectory("dedup_stream_spec_").toString
+    // the driver's documents.parquet is a single FILE (the source glob
+    // matches files) — stage the planted corpus the same way
+    docs.unionByName(planted).coalesce(1).write.parquet(s"$tmp/stage")
+    val part = new java.io.File(s"$tmp/stage").listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.move(part.toPath,
+      java.nio.file.Paths.get(s"$tmp/documents.parquet"))
+    val streamed = graft.streaming.Streams.streamDedup(spark, tmp).collect()
+    val batch = docs.unionByName(planted)
+      .select(md5(col("text").cast("binary")).as("hash")).distinct().count()
+    assert(streamed.length === batch,
+      s"stream kept ${streamed.length} docs, batch distinct hashes = $batch")
+    // exactly one survivor per planted duplicate pair
+    val hashes = streamed.map(_.getString(1))
+    assert(hashes.distinct.length === hashes.length, "stream emitted a duplicate hash")
+  }
 }
