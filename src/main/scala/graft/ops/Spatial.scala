@@ -282,14 +282,25 @@ object Spatial {
 
   /** The flagship report (§3.2): area + variance + argmax + inference +
     * Metric/Value pivot, reproducing summary_report.csv semantics. */
-  def report(s: SparkSession, sfDir: String): DataFrame = {
-    val geoms = mangroveGeoms(s, sfDir)
+  def report(s: SparkSession, sfDir: String): DataFrame =
+    reportFrom(s, mangroveGeoms(s, sfDir), monthlyNdvi(s, sfDir, 2023))
+
+  /** Report composition over any (keterangan, geom) frame + monthly NDVI
+    * frame — shared by the fixture flagship (q40) and its oracle twin
+    * (q74). `toMetric` maps geometries to the metric CRS before the area
+    * sum; q40 passes the real 4326→3857 transform, the oracle twin
+    * identity (its synthetic inputs are already planar — libm ln/tan
+    * differences between engines would otherwise break the hash compare,
+    * and G2 is golden-checked on real data by q49). */
+  def reportFrom(s: SparkSession, geoms: DataFrame, monthly: DataFrame,
+      toMetric: Column => Column =
+        g => G.stTransform(g, lit(Crs.WGS84), lit(Crs.WebMercator))): DataFrame = {
     // total area: reference measures in Web-Mercator m² / 10⁴ → ha
     // (distorted on purpose — load_report.py:376-380)
     val area = geoms
-      .withColumn("geom3857", G.stTransform(col("geom"), lit(Crs.WGS84), lit(Crs.WebMercator)))
+      .withColumn("geom3857", toMetric(col("geom")))
       .agg(sum(graft.geo.GeoExpressions.stAreaNative(col("geom3857")) / 10000.0).as("total_ha"))
-    val variance = monthlyNdvi(s, sfDir, 2023)
+    val variance = monthly
       .groupBy(col("keterangan"))
       .agg(round(var_samp(col("ndvi")), 12).as("variance"))
       .orderBy(desc_nulls_last("variance"), asc_nulls_first("keterangan"))
@@ -322,12 +333,20 @@ object Spatial {
         r.get(r.fieldIndex(name)).toString
       else null
     }
+    // fixed 12-decimal formatting: Double.toString flips to scientific
+    // notation below 1e-3, which no SQL engine's VARCHAR cast reproduces —
+    // %.12f matches printf('%.12f', …) for identical doubles
+    val varianceStr = fmt { r =>
+      if (r.schema.fieldNames.contains("variance") && !r.isNullAt(r.fieldIndex("variance")))
+        "%.12f".formatLocal(java.util.Locale.ROOT, r.getAs[Double]("variance"))
+      else null
+    }
     import s.implicits._
     Seq(
       ("Analysis Type", "mangrove"),
       ("Total Mangrove Area (hectares)", totalHa),
       ("Highest Variation Area", strField("keterangan")),
-      ("Variance of Highest Variation", strField("variance")),
+      ("Variance of Highest Variation", varianceStr),
       ("Inference", strField("inference"))
     ).toDF("Metric", "Value")
   }
@@ -790,6 +809,77 @@ object Spatial {
       FROM b GROUP BY category ORDER BY category ASC NULLS FIRST"""),
     "G4+G5/A10 centroid + total bounds via the geometry kernel, DuckDB-oracle-checked (q47 twin)")
 
+  /** q40's twin, ORACLE-CHECKED: the full flagship composition — per-
+    * category ST_Union (the REAL dissolve: each category is two adjacent
+    * boxes that merge across their shared edge), area sum, monthly-NDVI
+    * variance, argmax + inference CASE, Metric/Value pivot — over
+    * oracle-able synthetic inputs. DuckDB computes the merged areas as box
+    * arithmetic and the variance from the q68 scene CTEs. */
+  private val q74 = Q(
+    "q74_flagship_oracle",
+    (s, dir) => {
+      // two half-strips per category: [2k,2k+1] and [2k+1,2k+2] × [0,10]
+      val halves = s.range(10).select(
+        concat(lit("Mangrove "), (expr("id div 2") + 1).cast("string")).as("keterangan"),
+        G.stMakeBox(col("id").cast(DoubleType), lit(0.0),
+          (col("id") + 1).cast(DoubleType), lit(10.0)).as("geom"))
+      val geoms = halves.groupBy(col("keterangan"))
+        .agg(G.stUnionCollect(col("geom")).as("geom"))
+      val monthly = ndviByMonth(s, ndviOracleScenes(s, dir, 12, 2023, 2),
+        halves, 1.0,
+        s.range(12).select(
+          expr("add_months(date '2023-01-01', id)").cast("timestamp").as("month_ts")))
+      reportFrom(s, geoms, monthly, (g: Column) => g)
+        .orderBy(asc_nulls_first("Metric"))
+    },
+    Some(s"""WITH base AS (
+         SELECT event_id, CAST((event_id // 400) % 12 AS INT) AS mi,
+                event_id + event_id // 4800 AS mixed
+         FROM events WHERE (event_id // 400) % 12 <> 2),
+       sc AS (
+         SELECT mi,
+                CASE WHEN mi % 12 = 1 THEN mixed % 28 + 1 ELSE mixed % 30 + 1 END AS day,
+                (event_id % 20) * 0.5 + 0.25 AS px,
+                ((event_id // 20) % 20) * 0.5 + 0.25 AS py,
+                0.1 + (mixed % 150) / 1000.0 AS sr_b4,
+                0.2 + ((mixed * 3) % 350) / 1000.0 AS sr_b5
+         FROM base),
+       filt AS (SELECT * FROM sc WHERE day < CASE WHEN mi % 12 = 1 THEN 28 ELSE 30 END),
+       med AS (
+         SELECT CAST(floor(px / 2.0) AS BIGINT) AS strip, px, py, mi,
+                median((sr_b5 - sr_b4) / (sr_b5 + sr_b4)) AS ndvi_med
+         FROM filt GROUP BY 1, 2, 3, 4),
+       agg AS (
+         SELECT strip, mi,
+                round(CAST(SUM(CAST(ndvi_med AS DECIMAL(28,14))) AS DOUBLE)
+                      / COUNT(*), 6) AS ndvi
+         FROM med GROUP BY 1, 2),
+       v AS (
+         SELECT 'Mangrove ' || CAST(strip + 1 AS VARCHAR) AS keterangan,
+                round(var_samp(ndvi), 12) AS variance
+         FROM agg GROUP BY strip),
+       top AS (SELECT * FROM v
+               ORDER BY variance DESC NULLS LAST, keterangan ASC NULLS FIRST LIMIT 1),
+       area AS (
+         -- 5 categories × two adjacent 1×10 boxes merged = 2×10 each
+         SELECT SUM(2.0 * 10.0) / 10000.0 AS total_ha FROM generate_series(0, 4)),
+       rep AS (
+         SELECT 'Analysis Type' AS "Metric", 'mangrove' AS "Value"
+         UNION ALL
+         SELECT 'Total Mangrove Area (hectares)', printf('%.2f', total_ha) FROM area
+         UNION ALL
+         SELECT 'Highest Variation Area', keterangan FROM top
+         UNION ALL
+         SELECT 'Variance of Highest Variation', printf('%.12f', variance) FROM top
+         UNION ALL
+         SELECT 'Inference',
+                CASE WHEN variance > 0.5 THEN 'High variance observed, indicating significant changes in vegetation.'
+                     WHEN variance > 0.2 THEN 'Moderate variance observed, indicating some changes in vegetation.'
+                     ELSE 'Low variance observed, indicating stable vegetation.' END
+         FROM top)
+       SELECT "Metric", "Value" FROM rep ORDER BY "Metric" ASC NULLS FIRST"""),
+    "flagship report composition (dissolve + area + variance + argmax + pivot), DuckDB-oracle-checked q40 twin")
+
   val all: Seq[Q] = Seq(q40, q41, q42, q43, q44, q45, q46, q47, q53, q54,
-    q58, q59, q60, q68, q69, q70, q71)
+    q58, q59, q60, q68, q69, q70, q71, q74)
 }
