@@ -556,6 +556,76 @@ object Relational {
     None,
     "HLL++ approximate count-distinct, the q55 scale path (error-bound spec vs exact)")
 
+  /** Generic RANGE JOIN (builder-prompt custom operator, next to the
+    * as-of join): points(pCol) ⋈ ranges[loCol, hiCol) — the 1-D sibling of
+    * Spatial.spatialJoin's envelope-bucket pattern.
+    *
+    * Scale shape: ranges explode to covering fixed-width buckets, points
+    * key to their single bucket, the join is a plain EQUI-join on the
+    * bucket followed by the exact interval test — never a nested-loop
+    * BETWEEN. A point matches a range in exactly one bucket (its own), so
+    * no dedup pass is needed. Both sides shuffle-partition (or broadcast)
+    * on the bucket key; bucket width should be ≥ the widest range so each
+    * range covers ≤2 buckets. */
+  def rangeJoin(points: DataFrame, ranges: DataFrame, pCol: String,
+      loCol: String, hiCol: String, bucket: Long): DataFrame = {
+    val pb = points.withColumn("__rb", expr(s"$pCol div $bucket"))
+    val rb = ranges
+      .filter(col(loCol) < col(hiCol)) // empty ranges match nothing
+      .withColumn("__rb", explode(sequence(
+        expr(s"$loCol div $bucket"), expr(s"($hiCol - 1) div $bucket"))))
+    pb.join(rb, Seq("__rb"))
+      .filter(col(pCol) >= col(loCol) && col(pCol) < col(hiCol))
+      .drop("__rb")
+  }
+
+  /** Range join, ORACLE-CHECKED: events-derived integer points against
+    * 1000 variable-width overlapping ranges, vs a DuckDB BETWEEN join.
+    * Bucket width 256 ≥ max range width 159 → ≤2 buckets per range. */
+  private val q75 = Q(
+    "q75_range_join_oracle",
+    (s, dir) => {
+      val pts = T(s, dir, "events")
+        .select((col("event_id") % 100000).as("p"), col("value"))
+      val ranges = s.range(1000).select(
+        col("id").as("rid"),
+        (col("id") * 100 + (col("id") * 7) % 50).as("lo"))
+        .withColumn("hi", col("lo") + 40 + (col("rid") * 13) % 120)
+      rangeJoin(pts, broadcast(ranges), "p", "lo", "hi", 256L)
+        .groupBy(col("rid"))
+        .agg(count(lit(1)).as("n_points"),
+          sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_value"))
+        .orderBy(asc_nulls_first("rid"))
+    },
+    Some("""WITH p AS (SELECT event_id % 100000 AS p, value FROM events),
+      r AS (SELECT g AS rid, g * 100 + (g * 7) % 50 AS lo,
+                   g * 100 + (g * 7) % 50 + 40 + (g * 13) % 120 AS hi
+            FROM generate_series(0, 999) t(g))
+      SELECT rid, COUNT(*) AS n_points,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      FROM p JOIN r ON p >= lo AND p < hi
+      GROUP BY rid ORDER BY rid ASC NULLS FIRST"""),
+    "bucketized range join (equi-join on covering buckets + exact filter), DuckDB-oracle-checked vs BETWEEN join")
+
+  /** Approximate percentile (Greenwald-Khanna sketch) — q11's scale path,
+    * the same twin pattern as q55→q67: mergeable per-partition sketches
+    * instead of a full sort per group. No oracle (sketches differ across
+    * engines by design); the accuracy-vs-exact bound is spec-checked. */
+  private val q76 = Q(
+    "q76_approx_percentile",
+    (s, dir) =>
+      T(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("percentile_approx(l_extendedprice, 0.25, 1000)").as("p25"),
+          expr("percentile_approx(l_extendedprice, 0.5, 1000)").as("p50"),
+          expr("percentile_approx(l_extendedprice, 0.95, 1000)").as("p95"),
+          count(lit(1)).as("n"))
+        .orderBy(asc_nulls_first("l_returnflag")),
+    None,
+    "approximate percentile sketch, q11's scale path (accuracy-bound spec vs exact)")
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
-    q11, q12, q13, q14, q15, q16, q17, q18, q19, q55, q56, q57, q62, q63, q64, q67)
+    q11, q12, q13, q14, q15, q16, q17, q18, q19, q55, q56, q57, q62, q63,
+    q64, q67, q75, q76)
 }

@@ -89,6 +89,13 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(nParts <= 2, s"expected <=2 selected partitions, got $nParts")
   }
 
+  test("q75 range join is a bucket equi-join, not a nested-loop BETWEEN") {
+    val p = planOf("q75_range_join_oracle")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "range join must not plan a quadratic join")
+    assert(p.contains("BroadcastHashJoin"), "broadcast range side should hash-join on the bucket")
+  }
+
   test("q62 as-of join is one window over one exchange (no range join)") {
     val p = planOf("q62_asof_join")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
