@@ -1,0 +1,105 @@
+package graft.llm
+
+import graft.{Q, T}
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** Count-min sketch (Cormode & Muthukrishnan 2005) — the builder-prompt's
+  * "novel sketch" slot, next to HLL++ (q67).
+  *
+  * Why it matters at 100 TB: exact token frequencies need a groupBy over
+  * every token occurrence — a corpus-sized shuffle. The sketch is a fixed
+  * d×w array of counters that absorbs occurrences MAP-SIDE inside a typed
+  * Aggregator; only (d·w) longs per partition ever merge (associative
+  * element-wise sum), so frequency estimation costs one narrow
+  * tree-reduction regardless of corpus size or cardinality. Guarantees:
+  * estimate ≥ true count (one-sided), estimate ≤ true + εN with
+  * probability 1−δ for w = ⌈e/ε⌉, d = ⌈ln 1/δ⌉. */
+object Sketches {
+
+  final val Depth = 5     // δ ≈ e⁻⁵ < 1%
+  final val Width = 2048  // ε ≈ e/2048 ≈ 0.13%
+
+  /** Plain long array [d × w], row-major — kryo-friendly buffer. */
+  type Cms = Array[Long]
+
+  private def rowHash(row: Int, token: String): Int = {
+    // one 64-bit avalanche hash per row (seeded), folded to the width
+    val h = scala.util.hashing.MurmurHash3.stringHash(token, 0x9e3779b9 + row)
+    math.floorMod(h, Width)
+  }
+
+  def add(cms: Cms, token: String, n: Long = 1L): Unit = {
+    var r = 0
+    while (r < Depth) { cms(r * Width + rowHash(r, token)) += n; r += 1 }
+  }
+
+  def estimate(cms: Cms, token: String): Long = {
+    var min = Long.MaxValue
+    var r = 0
+    while (r < Depth) {
+      val c = cms(r * Width + rowHash(r, token))
+      if (c < min) min = c
+      r += 1
+    }
+    min
+  }
+
+  /** Typed Aggregator: tokens stream into per-partition sketches map-side;
+    * merge is element-wise sum (associative + commutative). */
+  val cmsAgg: Aggregator[String, Cms, Cms] =
+    new Aggregator[String, Cms, Cms] {
+      def zero: Cms = new Array[Long](Depth * Width)
+      def reduce(b: Cms, token: String): Cms = { add(b, token); b }
+      def merge(a: Cms, b: Cms): Cms = {
+        var i = 0
+        while (i < a.length) { a(i) += b(i); i += 1 }
+        a
+      }
+      def finish(b: Cms): Cms = b
+      def bufferEncoder: Encoder[Cms] = Encoders.kryo[Cms]
+      def outputEncoder: Encoder[Cms] = Encoders.kryo[Cms]
+    }
+
+  /** Heavy hitters with exact verification: one sketch pass bounds the
+    * candidate set, then ONLY candidates get an exact count (semi-joined
+    * groupBy — the corpus-sized shuffle shrinks to candidate occurrences).
+    * Returns (token, exact_n, cms_estimate) for tokens whose estimated
+    * frequency ≥ threshold. */
+  def heavyHitters(s: SparkSession, docs: DataFrame, threshold: Long): DataFrame = {
+    import s.implicits._
+    val tokens = docs.select(explode(split(col("text"), "\\s+")).as("token"))
+      .filter(length(col("token")) > 0)
+    val cms = tokens.as[String].select(cmsAgg.toColumn).head()
+    val bc = s.sparkContext.broadcast(cms)
+    // candidate generation: distinct tokens filtered by the broadcast
+    // sketch (map-side; the sketch's one-sided error guarantees no true
+    // heavy hitter is missed)
+    val isCandidate = udf((t: String) => estimate(bc.value, t) >= threshold)
+    val estimateUdf = udf((t: String) => estimate(bc.value, t))
+    val candidates = tokens.filter(isCandidate(col("token")))
+    candidates
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("exact_n"))
+      .filter(col("exact_n") >= threshold) // drop sketch false positives
+      .withColumn("cms_estimate", estimateUdf(col("token")))
+      .orderBy(desc_nulls_last("exact_n"), asc_nulls_first("token"))
+  }
+
+  /** q77: heavy-hitter tokens over the documents corpus (threshold scales
+    * with the corpus so the row set stays stable across sf). No oracle —
+    * sketch internals differ across engines by design (same call as q67);
+    * the CMS guarantees are spec-checked. */
+  private val q77 = Q(
+    "q77_heavy_hitters",
+    (s, dir) => {
+      val docs = T(s, dir, "documents")
+      val n = docs.count()
+      heavyHitters(s, docs, math.max(10L, n / 2))
+    },
+    None,
+    "count-min-sketch heavy hitters + exact verify of candidates (novel-sketch slot, q67 sibling)")
+
+  val all: Seq[Q] = Seq(q77)
+}

@@ -1,0 +1,42 @@
+package graft.llm
+
+import graft.Sessions
+import org.scalatest.funsuite.AnyFunSuite
+
+class SketchesSpec extends AnyFunSuite {
+
+  private lazy val spark = Sessions.build("local[4]", 4)
+
+  test("CMS estimate is one-sided: never undercounts, bounded overcount") {
+    val cms = new Array[Long](Sketches.Depth * Sketches.Width)
+    val truth = (0 until 500).map(i => s"tok$i" -> (i % 7 + 1).toLong).toMap
+    var total = 0L
+    truth.foreach { case (t, n) => Sketches.add(cms, t, n); total += n }
+    truth.foreach { case (t, n) =>
+      val est = Sketches.estimate(cms, t)
+      assert(est >= n, s"$t undercounted: $est < $n")
+      // ε ≈ e/Width; allow 3× slack over the expected bound
+      assert(est <= n + 3 * math.ceil(math.E / Sketches.Width * total).toLong + 1,
+        s"$t overcounted: $est vs true $n (N=$total)")
+    }
+    assert(Sketches.estimate(cms, "never-seen") <= 3 * math.ceil(
+      math.E / Sketches.Width * total).toLong + 1)
+  }
+
+  test("heavy hitters: planted frequent tokens recovered with exact counts") {
+    import spark.implicits._
+    // 200 docs of noise + the token "pizza" in every doc, "taco" in half
+    val docs = (1L to 200L).map { i =>
+      val noise = s"w${i}a w${i}b w${i}c"
+      val taco = if (i % 2 == 0) " taco" else ""
+      (i, s"pizza $noise$taco")
+    }.toDF("doc_id", "text")
+    val hh = Sketches.heavyHitters(spark, docs, 90L).collect()
+    val byToken = hh.map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(byToken.keySet === Set("pizza", "taco"), byToken.keySet.toString)
+    assert(byToken("pizza")._1 === 200L)
+    assert(byToken("taco")._1 === 100L)
+    // estimate is one-sided per the CMS guarantee
+    assert(hh.forall(r => r.getLong(2) >= r.getLong(1)))
+  }
+}
