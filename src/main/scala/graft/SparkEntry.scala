@@ -8,7 +8,8 @@ object SparkEntry {
 
   private def modules: Seq[Q] =
     ops.Relational.all ++ ops.TextOps.all ++ ops.Spatial.all ++
-      llm.Dedup.all ++ llm.Ivf.all ++ llm.Sketches.all ++ llm.Multimodal.all ++
+      llm.Dedup.all ++ llm.Ivf.all ++ llm.Sketches.all ++ llm.Bpe.all ++
+      llm.Multimodal.all ++
       streaming.Streams.all ++
       sources.Gpkg.all ++ sources.GeoTiff.all ++ ops.Ingest.all ++ ops.Skew.all
 

@@ -1,0 +1,53 @@
+package graft.llm
+
+import graft.Sessions
+import org.scalatest.funsuite.AnyFunSuite
+
+class BpeSpec extends AnyFunSuite {
+
+  private lazy val spark = Sessions.build("local[4]", 4)
+
+  test("first merges are the most frequent pairs, deterministically") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "low low low low low"),
+      (2L, "lower lower newest newest newest newest"),
+      (3L, "widest widest widest")).toDF("doc_id", "text")
+    val merges = Bpe.train(spark, Bpe.wordFrequencies(docs), 8)
+    assert(merges.nonEmpty)
+    // the classic Sennrich example: 'lo' (from low×5 + lower×2 = 7) and
+    // 'es' (newest×4 + widest×3 = 7) tie at 7 — lexicographic tie-break
+    // picks ('e','s') first
+    assert(merges.head === (("e", "s")))
+    // the est-chain wins the next two merges; ('l','o') (low×5 + lower×2
+    // = 7, tied with ('o','w') at 7, lexicographically first) is fourth
+    assert(merges.take(2) === Seq(("e", "s"), ("es", "t")))
+    assert(merges(3) === (("l", "o")))
+    // training twice gives identical merges (determinism)
+    assert(Bpe.train(spark, Bpe.wordFrequencies(docs), 8) === merges)
+  }
+
+  test("encoding compresses trained words and never splits across spaces") {
+    import spark.implicits._
+    val docs = Seq((1L, "banana banana banana bandana")).toDF("doc_id", "text")
+    val merges = Bpe.train(spark, Bpe.wordFrequencies(docs), 20)
+    val full = Bpe.encodeWord("banana", merges)
+    assert(full.length === 1, s"fully-trained word should merge to one token: $full")
+    assert(full.head === "banana</w>")
+    // unseen word degrades to characters + partial merges, never crashes
+    val unseen = Bpe.encodeWord("bananarama", merges)
+    assert(unseen.nonEmpty && unseen.mkString === "bananarama</w>")
+    val counts = Bpe.encode(spark, docs, merges).collect().head
+    assert(counts.getInt(1) <= 8, s"encoded token count ${counts.getInt(1)}")
+  }
+
+  test("encode counts tokens per doc with word-boundary markers intact") {
+    import spark.implicits._
+    val docs = Seq((1L, "aa bb"), (2L, "aa aa aa")).toDF("doc_id", "text")
+    val merges = Bpe.train(spark, Bpe.wordFrequencies(docs), 4)
+    val out = Bpe.encode(spark, docs, merges).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    assert(out(1L)._2 === 2 && out(2L)._2 === 3) // word counts
+    assert(out(2L)._1 <= 3, "aa should merge to one token per occurrence")
+  }
+}
