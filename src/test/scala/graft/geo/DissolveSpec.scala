@@ -88,6 +88,46 @@ class DissolveSpec extends AnyFunSuite {
     assert(u(0) eq a); assert(u(1) eq b) // no geometry rebuild
   }
 
+  test("property: random overlapping boxes match scanline union area") {
+    // independent reference: exact union area of axis-aligned boxes via
+    // x-sweep + y-interval merge (no shared code with Dissolve)
+    def scanlineArea(boxes: Seq[(Double, Double, Double, Double)]): Double = {
+      val xs = boxes.flatMap(b => Seq(b._1, b._3)).distinct.sorted
+      xs.sliding(2).map {
+        case Seq(x0, x1) =>
+          val mid = (x0 + x1) / 2
+          val ys = boxes.filter(b => b._1 <= mid && mid < b._3)
+            .map(b => (b._2, b._4)).sortBy(_._1)
+          var covered = 0.0
+          var curLo = Double.NaN; var curHi = Double.NegativeInfinity
+          ys.foreach { case (lo, hi) =>
+            if (curHi < lo) { // disjoint: flush
+              if (!curLo.isNaN) covered += curHi - curLo
+              curLo = lo; curHi = hi
+            } else if (hi > curHi) curHi = hi
+          }
+          if (!curLo.isNaN) covered += curHi - curLo
+          covered * (x1 - x0)
+        case _ => 0.0
+      }.sum
+    }
+    val rnd = new scala.util.Random(20260812L)
+    for (trial <- 1 to 25) {
+      val n = 2 + rnd.nextInt(7)
+      val boxes = Seq.fill(n) {
+        val x0 = rnd.nextInt(30).toDouble; val y0 = rnd.nextInt(30).toDouble
+        // integer coords on purpose: maximally degenerate (shared edges,
+        // equal corners, collinear boundaries everywhere)
+        (x0, y0, x0 + 1 + rnd.nextInt(12), y0 + 1 + rnd.nextInt(12))
+      }
+      val parts = boxes.map { case (x0, y0, x1, y1) => rect(x0, y0, x1, y1) }
+      val expect = scanlineArea(boxes)
+      val got = area(Dissolve.dissolve(parts.toArray))
+      assert(math.abs(got - expect) < 1e-6,
+        s"trial $trial: dissolve=$got scanline=$expect boxes=$boxes")
+    }
+  }
+
   test("many-way overlap chain dissolves to one part with exact area") {
     // 5 unit squares stepping by 0.5: union = 0.5*4 + 1 = 3 by 1 high
     val parts = Array.tabulate(5)(i => rect(i * 0.5, 0, i * 0.5 + 1, 1))
