@@ -135,25 +135,12 @@ object SqliteWriter {
   }
 
   /** Build one table b-tree; returns its root page number.
-    * `pageOne` pins the root to page 1 (sqlite_schema).
-    *
-    * Capacity: ONE interior level — ≈270 leaves ≈ 1.1 MB of cell bytes per
-    * table. Exceeding it fails loudly up front (naming the table and its
-    * size) rather than writing a corrupt file; bigger layers belong in
-    * Parquet (see Gpkg.writeLayer). */
+    * `pageOne` pins the root to page 1 (sqlite_schema). Interior levels
+    * stack as deep as needed (each level fans out ~270×), so table size is
+    * bounded by disk, not by the tree — sqlite_schema is still required to
+    * fit page 1. */
   private def buildTable(store: PageStore, rows: Seq[(Long, Array[Byte])],
       pageOne: Boolean, label: String = "table"): Int = {
-    // pre-check: interior cells are ≤13 bytes + 2-byte pointer each; one
-    // interior page holds (PageSize - 12 - base) / 15 of them
-    val maxLeaves = (PageSize - 12 - (if (pageOne) 100 else 0)) / 15
-    // per-row leaf footprint: payload (capped at the overflow-spill local
-    // threshold) + varints + pointer
-    val totalBytes = rows.iterator
-      .map(r => math.min(r._2.length, PageSize - 35) + 20).sum
-    require(totalBytes <= maxLeaves.toLong * (PageSize - 16),
-      s"$label: ~$totalBytes cell bytes exceed the single-interior-level " +
-        s"b-tree capacity (~${maxLeaves.toLong * (PageSize - 16)} bytes); " +
-        "write this layer to Parquet instead of a single-file GeoPackage")
     // pack cells into leaves
     val leaves = scala.collection.mutable.ArrayBuffer.empty[(Int, Seq[(Long, Array[Byte])])]
     var cur = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Byte])]
@@ -195,34 +182,60 @@ object SqliteWriter {
 
     if (leaves.length == 1) leaves.head._1
     else {
-      // one interior level: cells = (leftChildPage, maxRowidInChild)
-      val root = if (pageOne) 1 else store.alloc()
-      require(!pageOne || leaves.head._1 != 1, "schema table spilled past one page")
-      val base = if (root == 1) 100 else 0
-      val page = new Array[Byte](PageSize)
-      val buf = ByteBuffer.wrap(page)
-      var contentOff = PageSize
-      val ptrs = scala.collection.mutable.ArrayBuffer.empty[Int]
-      val interiorCells = leaves.init.map { case (num, cells) =>
-        val key = cells.last._1
-        val cell = ByteBuffer.allocate(13)
-        cell.putInt(num).put(varint(key))
-        java.util.Arrays.copyOf(cell.array(), cell.position())
+      // interior levels bottom-up: cells = (leftChildPage, maxRowidInChild),
+      // rightmost child in the header; stack levels until one root remains
+      def writeInterior(num: Int, kids: Seq[(Int, Long)]): Unit = {
+        val base = if (num == 1) 100 else 0
+        val page = new Array[Byte](PageSize)
+        val buf = ByteBuffer.wrap(page)
+        var contentOff = PageSize
+        val ptrs = scala.collection.mutable.ArrayBuffer.empty[Int]
+        kids.init.foreach { case (child, key) =>
+          val cell = ByteBuffer.allocate(13)
+          cell.putInt(child).put(varint(key))
+          val c = java.util.Arrays.copyOf(cell.array(), cell.position())
+          contentOff -= c.length
+          System.arraycopy(c, 0, page, contentOff, c.length)
+          ptrs += contentOff
+        }
+        require(base + 12 + 2 * ptrs.length <= contentOff,
+          s"$label: interior page overflow")
+        buf.position(base)
+        buf.put(5.toByte).putShort(0)
+          .putShort(ptrs.length.toShort)
+          .putShort((contentOff & 0xFFFF).toShort).put(0.toByte)
+          .putInt(kids.last._1) // right-most pointer
+        ptrs.foreach(p => buf.putShort(p.toShort))
+        store.set(num, page)
       }
-      interiorCells.foreach { cell =>
-        contentOff -= cell.length
-        System.arraycopy(cell, 0, page, contentOff, cell.length)
-        ptrs += contentOff
+      // conservative per-page fan-out: ≤13-byte cell + 2-byte pointer each
+      val maxKids = (PageSize - 12) / 15
+      val maxRootKids = (PageSize - 12 - (if (pageOne) 100 else 0)) / 15
+      var level: Seq[(Int, Long)] =
+        leaves.map { case (num, cells) => (num, cells.last._1) }.toSeq
+      while (level.length > 1) {
+        if (level.length <= maxRootKids) {
+          val root = if (pageOne) 1 else store.alloc()
+          require(!pageOne || leaves.head._1 != 1, "schema table spilled past one page")
+          writeInterior(root, level)
+          level = Seq((root, level.last._2))
+        } else {
+          // avoid a dangling single-child tail page: rebalance the last
+          // two groups so every interior page carries ≥1 cell
+          val groups0 = level.grouped(maxKids).toSeq
+          val groups =
+            if (groups0.last.length == 1)
+              groups0.dropRight(2) :+ groups0(groups0.length - 2).init :+
+                (groups0(groups0.length - 2).takeRight(1) ++ groups0.last)
+            else groups0
+          level = groups.map { g =>
+            val num = store.alloc()
+            writeInterior(num, g)
+            (num, g.last._2)
+          }
+        }
       }
-      require(base + 12 + 2 * ptrs.length <= contentOff, "interior page overflow")
-      buf.position(base)
-      buf.put(5.toByte).putShort(0)
-        .putShort(interiorCells.length.toShort)
-        .putShort((contentOff & 0xFFFF).toShort).put(0.toByte)
-        .putInt(leaves.last._1) // right-most pointer
-      ptrs.foreach(p => buf.putShort(p.toShort))
-      store.set(root, page)
-      root
+      level.head._1
     }
   }
 

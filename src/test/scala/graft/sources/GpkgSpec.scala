@@ -73,6 +73,29 @@ class GpkgSpec extends AnyFunSuite {
     assert(got.forall { case (id, _, d) => d === id * 0.5 })
   }
 
+  test("writer: multi-LEVEL interior b-tree (beyond ~270 leaves) round trips") {
+    import SqliteWriter.TableSpec
+    val out = java.io.File.createTempFile("sqlite_deep", ".db").getAbsolutePath
+    // ~1 KB payloads → ~4 rows/leaf → 2000 rows ≈ 500 leaves ≈ 2 levels
+    val rows = (1L to 2000L).map(i => Seq[Any](i, "x" * 900, i * 3))
+    SqliteWriter.write(out, Seq(
+      TableSpec("big", "CREATE TABLE big (id INTEGER PRIMARY KEY, s TEXT, n INTEGER)", rows)))
+    val got = Sqlite.open(out).rows("big").sortBy(_._1)
+    assert(got.length === 2000)
+    assert(got.head._1 === 1L && got.last._1 === 2000L)
+    assert(got.forall { case (id, vals) => vals(2) === id * 3 })
+    // independent validation: stock sqlite3 must fully walk + pass
+    // integrity_check (catches any b-tree layout the reader tolerates)
+    import scala.sys.process._
+    val check = Seq("python3", "-c",
+      s"""import sqlite3
+         |c = sqlite3.connect('$out')
+         |assert c.execute('pragma integrity_check').fetchone()[0] == 'ok'
+         |assert c.execute('select count(*), sum(n) from big').fetchone() == (2000, 3 * 2000 * 2001 // 2)
+         |print('OK')""".stripMargin).!!
+    assert(check.trim.endsWith("OK"), check)
+  }
+
   test("writer: seeded random rows round-trip (mixed types, nulls, wide values)") {
     import SqliteWriter.TableSpec
     val r = new scala.util.Random(20260812L)
