@@ -45,5 +45,47 @@ object Skew {
       ORDER BY l_returnflag ASC NULLS FIRST"""),
     "two-phase salted hot-key aggregation, oracle-equal to the plain GROUP BY (scale surface)")
 
-  val all: Seq[graft.Q] = Seq(q66)
+  /** Salted SKEW JOIN: fact side gets a random salt in [0, salts), the
+    * build side is replicated `salts`× with every salt value, and the join
+    * runs on (key, salt) — a hot fact key spreads over `salts` shuffle
+    * partitions instead of one reducer. The manual twin of AQE's runtime
+    * skew-join split, for when the skew is known up front (or the build
+    * side is too big to broadcast but small enough to replicate). */
+  def saltedJoin(fact: DataFrame, build: DataFrame, key: String,
+      salts: Int): DataFrame = {
+    val saltedFact = fact.withColumn("__salt",
+      pmod(spark_partition_id() + monotonically_increasing_id(), lit(salts)))
+    val replicated = build.withColumn("__salt",
+      explode(sequence(lit(0L), lit(salts.toLong - 1))))
+    saltedFact.join(replicated, Seq(key, "__salt")).drop("__salt")
+  }
+
+  /** Oracle-checked: the salted join must be row-equal to the plain join.
+    * Fact = lineitem keyed on l_returnflag (3 keys over the whole table —
+    * maximal skew), build = a derived 3-row dim. */
+  private val q79 = graft.Q(
+    "q79_salted_join",
+    (s, dir) => {
+      import org.apache.spark.sql.types.{DecimalType, DoubleType}
+      val li = graft.T(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_quantity"))
+      val dim = li.select(col("l_returnflag")).distinct()
+        .withColumn("flag_weight", length(col("l_returnflag")) + 1)
+      saltedJoin(li, dim, "l_returnflag", 32)
+        .groupBy(col("l_returnflag"), col("flag_weight"))
+        .agg(sum(col("l_quantity").cast(DecimalType(18, 2)))
+          .cast(DoubleType).as("sum_qty"), count(lit(1)).as("n_rows"))
+        .orderBy(asc_nulls_first("l_returnflag"))
+    },
+    Some("""WITH dim AS (SELECT DISTINCT l_returnflag,
+                CAST(length(l_returnflag) + 1 AS INT) AS flag_weight FROM lineitem)
+      SELECT li.l_returnflag, flag_weight,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+             COUNT(*) AS n_rows
+      FROM lineitem li JOIN dim ON li.l_returnflag = dim.l_returnflag
+      GROUP BY li.l_returnflag, flag_weight
+      ORDER BY li.l_returnflag ASC NULLS FIRST"""),
+    "salted hot-key JOIN (fact salted, build replicated), oracle-equal to the plain join (scale surface)")
+
+  val all: Seq[graft.Q] = Seq(q66, q79)
 }

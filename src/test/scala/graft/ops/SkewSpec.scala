@@ -22,6 +22,27 @@ class SkewSpec extends AnyFunSuite {
     assert(salted === direct)
   }
 
+  test("salted join equals plain join and shuffles on (key, salt)") {
+    import spark.implicits._
+    val fact = spark.range(50000)
+      .select((when(col("id") % 10 =!= 0, lit(7)).otherwise(col("id") % 100)).as("k"),
+        col("id").as("fid"))
+    val build = (0L until 100L).map(k => (k, s"dim$k")).toDF("k", "attr")
+    val plain = fact.join(build, Seq("k"))
+      .collect().map(r => (r.getLong(1), r.getString(2))).sorted
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // forbid broadcast so the salt actually governs the shuffle layout
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val saltedDf = Skew.saltedJoin(fact, build, "k", 16)
+      val p = saltedDf.queryExecution.executedPlan.toString
+      assert(p.contains("__salt"), "salt column must reach the join keys")
+      assert(!p.contains("BroadcastHashJoin"))
+      val salted = saltedDf.collect().map(r => (r.getLong(1), r.getString(2))).sorted
+      assert(salted === plain)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
   test("approx count-distinct stays within 5% of exact per group (q67 vs q55)") {
     val dir = "/root/testdata/sf0.001"
     val exact = graft.SparkEntry.queries("q55_count_distinct")(spark, dir)
