@@ -220,5 +220,103 @@ object Streams {
       ORDER BY doc_id ASC NULLS FIRST"""),
     "streaming exact dedup: watermark-expired hash state + foreachBatch parquet append (dedup surface, SURVEY §2.9)")
 
-  val all: Seq[Q] = Seq(q50, q52, q65, q73)
+  /** Open-session state for [[streamSessionize]]: money carried as exact
+    * decimal cents (long) so partial sums merge bit-identically to the
+    * batch decimal aggregation. */
+  final case class OpenSess(sessId: Long, start: Long, lastTs: Long,
+      n: Long, cents: Long)
+  final case class SessRow(user_id: Long, sess_id: Long, n_events: Long,
+      cents: Long, start_us: Long, end_us: Long)
+
+  /** Gap-based sessionization as a STREAM via flatMapGroupsWithState —
+    * q52's stateful twin on the harder state API (the builder prompt's
+    * custom-state surface). Each user's open session lives in GroupState;
+    * a closed session is emitted exactly once when the 30-min gap fires.
+    *
+    * End-of-stream flush: a file stream cannot see "no more data", so
+    * after the events file drains, a per-user SENTINEL row (gap-breaking
+    * timestamp, zero value) is appended as a second file — it closes every
+    * user's final real session; the sentinel's own open session is never
+    * emitted. This is the replay-determinism variant of production's
+    * event-time timeout. */
+  def streamSessionize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val gapUs = 1800L * 1000000L
+    val src = s"$dir/events.parquet"
+    val schema = s.read.parquet(src).schema
+    // staging dir: symlink the events file, sentinel file appended later
+    val stage = java.nio.file.Files.createTempDirectory("graft_sess_stage_")
+    java.nio.file.Files.createSymbolicLink(
+      stage.resolve("events.parquet"), java.nio.file.Paths.get(src))
+    val stream = s.readStream.schema(schema).parquet(stage.toString)
+      .select(col("user_id"),
+        expr("ts div 1000").as("ts_us"),
+        (col("value").cast(DecimalType(18, 2)) * 100).cast("long").as("cents"))
+      .as[(Long, Long, Long)]
+    val sessions = stream.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Long, Long)], state: GroupState[OpenSess]) =>
+          val sorted = rows.toArray.sortBy(r => (r._2, r._3))
+          val out = scala.collection.mutable.ArrayBuffer.empty[SessRow]
+          var cur = state.getOption.orNull
+          sorted.foreach { case (_, ts, cents) =>
+            if (cur == null) cur = OpenSess(1L, ts, ts, 1L, cents)
+            else if (ts - cur.lastTs > gapUs) {
+              out += SessRow(user, cur.sessId, cur.n, cur.cents, cur.start, cur.lastTs)
+              cur = OpenSess(cur.sessId + 1, ts, ts, 1L, cents)
+            } else cur = cur.copy(lastTs = ts, n = cur.n + 1, cents = cur.cents + cents)
+          }
+          if (cur != null) state.update(cur)
+          out.iterator
+      }
+    val name = s"sess_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = sessions.toDF().writeStream.outputMode("update")
+      .format("memory").queryName(name).start()
+    try {
+      q.processAllAvailable()
+      // sentinel file: one gap-breaking row per user closes the last session
+      val maxTs = s.read.parquet(src).agg(max(col("ts"))).head().getLong(0)
+      val sentinel = s.read.parquet(src).select(col("user_id")).distinct()
+        .select(schema.fields.map { f =>
+          f.name match {
+            case "user_id" => col("user_id")
+            case "ts" => lit(maxTs + 4000L * 1000000000L).as("ts")
+            case "event_id" => lit(-1L).as("event_id")
+            case "value" => lit(0.0).as("value")
+            case other => lit(null).cast(f.dataType).as(other)
+          }
+        }: _*)
+      sentinel.coalesce(1).write.mode("append").parquet(stage.toString)
+      q.processAllAvailable()
+    } finally q.stop()
+    s.table(name)
+      .select(col("user_id"), col("sess_id"), col("n_events"),
+        (col("cents") / 100.0).as("sum_value"),
+        col("start_us"), col("end_us"))
+      .orderBy(asc_nulls_first("user_id"), asc_nulls_first("sess_id"))
+  }
+
+  private val q80 = Q(
+    "q80_stream_sessionize",
+    (s, dir) => streamSessionize(s, dir),
+    // shares q52's oracle: the stream must agree with the batch window SQL
+    Some("""WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, value FROM events),
+      f AS (SELECT user_id, ts_us, value,
+              CASE WHEN lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us ASC NULLS FIRST) IS NULL THEN 1
+                   WHEN ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us ASC NULLS FIRST) > 1800000000 THEN 1
+                   ELSE 0 END AS new_sess
+            FROM e),
+      g AS (SELECT user_id, ts_us, value,
+              CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us ASC NULLS FIRST
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_id
+            FROM f)
+      SELECT user_id, sess_id, COUNT(*) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+             min(ts_us) AS start_us, max(ts_us) AS end_us
+      FROM g GROUP BY user_id, sess_id
+      ORDER BY user_id ASC NULLS FIRST, sess_id ASC NULLS FIRST"""),
+    "flatMapGroupsWithState gap sessionization (stream), sharing q52's oracle (SURVEY §2.9)")
+
+  val all: Seq[Q] = Seq(q50, q52, q65, q73, q80)
 }
