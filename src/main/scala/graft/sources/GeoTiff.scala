@@ -207,9 +207,18 @@ object GeoTiff {
   def fixturePath(): String = {
     val p = java.nio.file.Paths.get(
       System.getProperty("java.io.tmpdir"), "graft_elev_200x100.tif")
-    if (!java.nio.file.Files.exists(p))
-      write(p.toString, 200, 100, 10.0, 20.0, 0.01,
+    if (!java.nio.file.Files.exists(p)) {
+      // write-to-temp + atomic move: concurrent JVMs (Verify ∥ Bench) must
+      // never observe a torn fixture
+      val tmp = java.nio.file.Files.createTempFile("graft_elev_", ".tif")
+      write(tmp.toString, 200, 100, 10.0, 20.0, 0.01,
         i => ((i % 200) * 7 + (i / 200) * 13) % 1000)
+      try java.nio.file.Files.move(tmp, p,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch { case _: java.nio.file.FileAlreadyExistsException =>
+        java.nio.file.Files.deleteIfExists(tmp)
+      }
+    }
     p.toString
   }
 
