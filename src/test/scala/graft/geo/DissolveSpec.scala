@@ -128,6 +128,38 @@ class DissolveSpec extends AnyFunSuite {
     }
   }
 
+  test("property: rotated overlapping squares match Monte-Carlo union area") {
+    // general (non-axis-aligned) polygons: proper edge crossings at
+    // arbitrary angles; reference = deterministic-grid point sampling
+    val rnd = new scala.util.Random(42)
+    def rotSquare(cx: Double, cy: Double, half: Double, theta: Double): Polygon = {
+      val (c, s) = (math.cos(theta), math.sin(theta))
+      val pts = Seq((-half, -half), (half, -half), (half, half), (-half, half))
+        .map { case (x, y) => (cx + x * c - y * s, cy + x * s + y * c) }
+      poly(pts: _*)
+    }
+    for (trial <- 1 to 10) {
+      val parts = Array.tabulate(3) { i =>
+        rotSquare(5 + rnd.nextDouble() * 4, 5 + rnd.nextDouble() * 4,
+          1.5 + rnd.nextDouble() * 2, rnd.nextDouble() * math.Pi / 2)
+      }
+      val got = area(Dissolve.dissolve(parts))
+      // 400×400 grid over the bounding frame [0,16]²
+      val n = 400
+      var hits = 0
+      for (ix <- 0 until n; iy <- 0 until n) {
+        val x = ix * 16.0 / n + 0.02; val y = iy * 16.0 / n + 0.02
+        if (parts.exists(p => Geo.contains(Wkb.Poly(p), x, y))) hits += 1
+      }
+      val mc = hits * (16.0 * 16.0) / (n.toLong * n)
+      assert(math.abs(got - mc) < 0.05 * math.max(mc, 1.0),
+        s"trial $trial: dissolve=$got sampled=$mc")
+      // union never exceeds the sum of parts, never undercuts the max part
+      val partAreas = parts.map(p => Geo.polygonArea(p))
+      assert(got <= partAreas.sum + 1e-9 && got >= partAreas.max - 1e-9)
+    }
+  }
+
   test("many-way overlap chain dissolves to one part with exact area") {
     // 5 unit squares stepping by 0.5: union = 0.5*4 + 1 = 3 by 1 high
     val parts = Array.tabulate(5)(i => rect(i * 0.5, 0, i * 0.5 + 1, 1))
