@@ -11,7 +11,8 @@ object SparkEntry {
       llm.Dedup.all ++ llm.Ivf.all ++ llm.Sketches.all ++ llm.Bpe.all ++
       llm.Multimodal.all ++
       streaming.Streams.all ++
-      sources.Gpkg.all ++ sources.GeoTiff.all ++ ops.Ingest.all ++ ops.Skew.all
+      sources.Gpkg.all ++ sources.GeoTiff.all ++ ops.Ingest.all ++ ops.Skew.all ++
+      ops.ZOrder.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's flagship mangrove report pipeline (SURVEY.md §3.2). */

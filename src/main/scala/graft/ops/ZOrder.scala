@@ -1,0 +1,96 @@
+package graft.ops
+
+import graft.{Q, T}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Z-order (Morton-curve) clustering — the data-LAYOUT operator for
+  * spatial/multi-column locality at 100 TB: rows sorted by the interleaved
+  * bits of their quantized coordinates land near their spatial neighbors,
+  * so parquet row-group/file min-max stats become tight and a bbox
+  * predicate prunes most of the scan (the same mechanism Delta/Iceberg
+  * OPTIMIZE ZORDER uses).
+  *
+  * The Morton code is pure column arithmetic (shifts/masks — fully
+  * codegen'd, no UDF): quantize each dimension to 16 bits over its
+  * [min, max] domain, spread the bits with the classic mask sequence, OR
+  * them interleaved. */
+object ZOrder {
+
+  /** Spread the low 16 bits of `v` so bit i lands at position 2i
+    * (Morton "part1by1", as column arithmetic). */
+  private def part1by1(v: Column): Column = {
+    var x = v.bitwiseAND(lit(0xFFFFL))
+    x = x.bitwiseOR(shiftleft(x, 8)).bitwiseAND(lit(0x00FF00FFL))
+    x = x.bitwiseOR(shiftleft(x, 4)).bitwiseAND(lit(0x0F0F0F0FL))
+    x = x.bitwiseOR(shiftleft(x, 2)).bitwiseAND(lit(0x33333333L))
+    x = x.bitwiseOR(shiftleft(x, 1)).bitwiseAND(lit(0x55555555L))
+    x
+  }
+
+  /** 32-bit Morton code of two columns quantized to 16 bits over fixed
+    * domains (domain bounds are layout parameters, supplied by the caller
+    * from table stats). */
+  def mortonCode(x: Column, xMin: Double, xMax: Double,
+      y: Column, yMin: Double, yMax: Double): Column = {
+    def quant(c: Column, lo: Double, hi: Double): Column =
+      least(lit(65535L), greatest(lit(0L),
+        floor((c - lo) / (hi - lo) * 65536.0).cast("long")))
+    part1by1(quant(x, xMin, xMax))
+      .bitwiseOR(shiftleft(part1by1(quant(y, yMin, yMax)), 1))
+  }
+
+  /** Cluster a frame by the Morton code of two columns: range-partition +
+    * sort-within-partitions, the write-side layout pass. At scale this is
+    * the prelude to a partitioned/bucketed write; the partitioning itself
+    * is the product. */
+  def cluster(df: DataFrame, x: String, xMin: Double, xMax: Double,
+      y: String, yMin: Double, yMax: Double, numPartitions: Int): DataFrame = {
+    val coded = df.withColumn("__z",
+      mortonCode(col(x), xMin, xMax, col(y), yMin, yMax))
+    coded.repartitionByRange(numPartitions, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+  }
+
+  /** q81, ORACLE-CHECKED: the Morton code itself is deterministic integer
+    * arithmetic, so DuckDB can recompute it with the same shift/mask
+    * cascade — the layout operator's kernel sits under the hash gate.
+    * Points derive from events ints on a [0,1024)² grid. */
+  private val q81 = Q(
+    "q81_zorder_oracle",
+    (s, dir) => {
+      val pts = T(s, dir, "events").select(
+        col("event_id"),
+        (col("event_id") % 1024).cast("double").as("px"),
+        ((col("event_id") * 7) % 1024).cast("double").as("py"))
+      pts.select(col("event_id"),
+        mortonCode(col("px"), 0.0, 1024.0, col("py"), 0.0, 1024.0).as("z"))
+        // bucket on bits 12..17: the 10-bit domain quantizes as px·64, so
+        // the low 12 interleaved bits are structurally zero
+        .groupBy(expr("(z div 4096) % 64").as("z_bucket"))
+        .agg(count(lit(1)).as("n"), sum(col("z")).as("sum_z"))
+        .orderBy(asc_nulls_first("z_bucket"))
+    },
+    Some("""WITH p AS (SELECT event_id,
+               CAST(event_id % 1024 AS DOUBLE) AS px,
+               CAST((event_id * 7) % 1024 AS DOUBLE) AS py FROM events),
+      q AS (SELECT event_id,
+               CAST(least(65535, greatest(0, CAST(floor(px / 1024.0 * 65536.0) AS BIGINT))) AS BIGINT) AS qx,
+               CAST(least(65535, greatest(0, CAST(floor(py / 1024.0 * 65536.0) AS BIGINT))) AS BIGINT) AS qy
+            FROM p),
+      sx AS (SELECT event_id,
+               ((qx | (qx << 8)) & 16711935) AS x1, ((qy | (qy << 8)) & 16711935) AS y1 FROM q),
+      s2 AS (SELECT event_id,
+               ((x1 | (x1 << 4)) & 252645135) AS x2, ((y1 | (y1 << 4)) & 252645135) AS y2 FROM sx),
+      s3 AS (SELECT event_id,
+               ((x2 | (x2 << 2)) & 858993459) AS x3, ((y2 | (y2 << 2)) & 858993459) AS y3 FROM s2),
+      s4 AS (SELECT event_id,
+               ((x3 | (x3 << 1)) & 1431655765) AS x4, ((y3 | (y3 << 1)) & 1431655765) AS y4 FROM s3),
+      z AS (SELECT event_id, (x4 | (y4 << 1)) AS z FROM s4)
+      SELECT (z // 4096) % 64 AS z_bucket, COUNT(*) AS n, CAST(SUM(z) AS BIGINT) AS sum_z
+      FROM z GROUP BY 1 ORDER BY z_bucket ASC NULLS FIRST"""),
+    "Morton/Z-order code kernel (layout clustering), DuckDB-oracle-checked bit cascade")
+
+  val all: Seq[Q] = Seq(q81)
+}
