@@ -120,14 +120,17 @@ object Dedup {
     val pruned = capBuckets(banded, Seq("band", "bh"), maxBucket)
     val a = pruned.alias("a")
     val b = pruned.alias("b")
+    // est_jaccard is computed MAP-SIDE on the joined row (both sigs are
+    // already present), so the pair-dedup exchange carries one rounded
+    // double per pair — not 2×64 longs of signatures (the prior shape).
     val cand = a.join(b,
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(first(col("a.sig")).as("sig_a"), first(col("b.sig")).as("sig_b"))
-      .withColumn("est_jaccard", round(
-        expr("aggregate(zip_with(sig_a, sig_b, (x, y) -> case when x = y then 1.0 else 0.0 end), 0D, (acc, x) -> acc + x)")
-          / NumHashes, 4))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        round(
+          expr("aggregate(zip_with(a.sig, b.sig, (x, y) -> case when x = y then 1.0 else 0.0 end), 0D, (acc, x) -> acc + x)")
+            / NumHashes, 4).as("est_jaccard"))
+      .distinct()
     // exact verification: shingle-set Jaccard. Semi-join docs down to the
     // candidate id set FIRST — at 100 TB the shuffle must carry shingle
     // arrays only for surviving candidates, never the whole corpus.
@@ -175,8 +178,11 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
-      .distinct()
+      // filter BEFORE the dedup exchange: hamming is functional on the
+      // pair, and almost every chunk collision fails the ≤maxHamming test —
+      // dedup-then-filter shuffled millions of doomed pairs at sf0.1.
       .filter(col("hamming") <= maxHamming)
+      .distinct()
       .unionByName(exactPairs)
       .orderBy(asc_nulls_first("doc_a"), asc_nulls_first("doc_b"))
   }

@@ -11,9 +11,25 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
   * oracle — proving batch/stream agreement on the same input. */
 object Streams {
 
+  /** Stateful-stream shuffle-partition override. A stateful streaming query
+    * commits EVERY state-store partition on EVERY micro-batch (a
+    * stream-stream join keeps 4 stores per partition), so the per-batch
+    * floor cost scales with `spark.sql.shuffle.partitions` regardless of
+    * data volume. These one-shot replays have a handful of micro-batches
+    * over modest key cardinality — 8 partitions cuts the fixed commit/IO
+    * cost 4× vs the session's batch-tuned 32 while staying parallel. A new
+    * checkpoint is created per run, so the partition count is free to
+    * differ from the batch session conf. */
+  private def withStatePartitions[A](s: SparkSession, n: Int)(body: => A): A = {
+    val key = "spark.sql.shuffle.partitions"
+    val old = s.conf.get(key)
+    s.conf.set(key, n.toString)
+    try body finally s.conf.set(key, old)
+  }
+
   /** Run a tumbling-window streaming aggregation to completion over the
     * events parquet and return the final (complete-mode) result. */
-  def streamTumblingHour(s: SparkSession, dir: String): DataFrame = {
+  def streamTumblingHour(s: SparkSession, dir: String): DataFrame = withStatePartitions(s, 8) {
     // raw schema (ts = long under nanosAsLong), NOT T()'s converted one
     val schema = s.read.parquet(s"$dir/events.parquet").schema
     // the file streaming source monitors a DIRECTORY; point it at sfDir
@@ -88,7 +104,7 @@ object Streams {
   /** Stateful streaming: running per-user event counts via
     * mapGroupsWithState (update mode) — the KeyValueGroupedDataset state
     * API over the replayed events stream. */
-  def statefulUserCounts(s: SparkSession, dir: String): DataFrame = {
+  def statefulUserCounts(s: SparkSession, dir: String): DataFrame = withStatePartitions(s, 8) {
     import s.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val schema = s.read.parquet(s"$dir/events.parquet").schema
@@ -129,7 +145,7 @@ object Streams {
     * Timestamps are second-truncated — events.ts carries sub-µs precision
     * Spark floors on read, so the join bound must sit at a granularity the
     * DuckDB oracle agrees on. */
-  def streamIntervalJoin(s: SparkSession, dir: String): DataFrame = {
+  def streamIntervalJoin(s: SparkSession, dir: String): DataFrame = withStatePartitions(s, 8) {
     val schema = s.read.parquet(s"$dir/events.parquet").schema
     def src = s.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
@@ -191,7 +207,7 @@ object Streams {
     * deterministically from doc_id — the driver corpus carries no
     * timestamp. */
   def streamDedup(s: SparkSession, dir: String,
-      horizon: String = "1 hour"): DataFrame = {
+      horizon: String = "1 hour"): DataFrame = withStatePartitions(s, 8) {
     val schema = s.read.parquet(s"$dir/documents.parquet").schema
     val outDir = java.nio.file.Files
       .createTempDirectory("graft_dedup_out_").toString
@@ -239,7 +255,7 @@ object Streams {
     * user's final real session; the sentinel's own open session is never
     * emitted. This is the replay-determinism variant of production's
     * event-time timeout. */
-  def streamSessionize(s: SparkSession, dir: String): DataFrame = {
+  def streamSessionize(s: SparkSession, dir: String): DataFrame = withStatePartitions(s, 8) {
     import s.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val gapUs = 1800L * 1000000L
