@@ -1,0 +1,115 @@
+package graft.ops
+
+import graft.{Q, T}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distributed connected components — the clustering step a dedup pipeline
+  * runs AFTER pair generation (q20/q25/q26/q27 emit near-dup PAIRS; turning
+  * pairs into groups so one representative per group survives requires
+  * transitive closure). Implemented as alternating large-star / small-star
+  * rounds (Kiveris et al., "Connected Components in MapReduce and Beyond",
+  * SoCC 2014): converges in O(log n) rounds even on path graphs, vs O(n)
+  * for naive label propagation — the difference between 40 and 10 million
+  * shuffle rounds at 100 TB.
+  *
+  * Scale shape: each round is one groupBy(min) + one equi-join, shuffling
+  * only (node, node) long pairs — no adjacency lists are ever materialized
+  * (a `collect_list` formulation dies on hub nodes; the groupBy-min form
+  * cannot skew-explode). Lineage is truncated with an eager localCheckpoint
+  * per round (on a real cluster: `checkpoint()` to durable storage), so
+  * Catalyst re-plans a constant-size tree per round instead of the whole
+  * iteration history. Convergence is detected with an O(1)-size signature
+  * aggregate (count + sum of pair hashes), not a driver-side collect.
+  */
+object Graph {
+
+  /** Connected components of an undirected graph given as an edge list
+    * (columns `src`, `dst`, self-loops ignored). Returns (node, component)
+    * where component = the smallest node id reachable. Nodes appearing
+    * only in `nodes` (isolated) label themselves. */
+  def connectedComponents(nodes: DataFrame, edges: DataFrame,
+      maxRounds: Int = 25): DataFrame = {
+    val init = edges.select(col("src").cast("long").as("u"), col("dst").cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+    var e = init.distinct().localCheckpoint(true)
+    var sig = signature(e)
+    var converged = false
+    var round = 0
+    while (!converged && round < maxRounds) {
+      // large-star: from each node u, hang every LARGER neighbor off the
+      // minimum of u's closed neighborhood.
+      val adj = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = adj.groupBy(col("u")).agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      val large = adj.filter(col("v") > col("u"))
+        .join(mins, Seq("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+      // small-star: orient (big -> small); hang each small neighbor and the
+      // center itself off the minimum small neighbor.
+      val o = large.select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      val smins = o.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val small = o.join(smins, Seq("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .union(smins.select(col("u"), col("m").as("v")))
+        .distinct()
+        .localCheckpoint(true)
+      val nsig = signature(small)
+      converged = nsig == sig
+      sig = nsig
+      e = small
+      round += 1
+    }
+    // fixed point is a star per component: every member has the one edge
+    // (member -> root); roots and isolated nodes label themselves.
+    nodes.select(col("node").cast("long").as("node"))
+      .join(e.select(col("u").as("node"), col("v").as("component")), Seq("node"), "left")
+      .select(col("node"), coalesce(col("component"), col("node")).as("component"))
+  }
+
+  /** O(1)-size change signature of an edge set: (count, xor of pair
+    * hashes — xor is overflow-free under ANSI mode and order-independent,
+    * and the edge set is distinct so multiplicities cannot cancel). Equal
+    * signatures across rounds ⇒ converged. */
+  private def signature(e: DataFrame): (Long, Long) = {
+    val r = e.agg(count(lit(1)), bit_xor(xxhash64(col("u"), col("v")))).head()
+    (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+  }
+
+  /** q82: dedup-cluster components on a deterministic non-trivial graph
+    * over documents: chain edges (i, i-1) within each block of 10 plus
+    * skip edges (i, i-3) in the upper half — path-heavy topology, the
+    * worst case that makes naive propagation take O(n) rounds. The DuckDB
+    * oracle computes the same components independently via a recursive-CTE
+    * reachability closure (min reachable id per node). */
+  private val q82 = Q(
+    "q82_connected_components",
+    (s, dir) => {
+      val docs = T(s, dir, "documents").select(col("doc_id"))
+      val chain = docs.filter(col("doc_id") % 10 =!= 0)
+        .select(col("doc_id").as("src"), (col("doc_id") - 1).as("dst"))
+      val skip = docs.filter(col("doc_id") % 10 >= 5)
+        .select(col("doc_id").as("src"), (col("doc_id") - 3).as("dst"))
+      connectedComponents(docs.select(col("doc_id").as("node")),
+          chain.unionByName(skip))
+        .select(col("node").as("doc_id"), col("component"))
+        .orderBy(asc_nulls_first("doc_id"))
+    },
+    Some("""WITH RECURSIVE
+      e AS (SELECT doc_id AS a, doc_id - 1 AS b FROM documents WHERE doc_id % 10 <> 0
+            UNION ALL
+            SELECT doc_id, doc_id - 3 FROM documents WHERE doc_id % 10 >= 5),
+      ud AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+      reach AS (SELECT doc_id AS src, doc_id AS dst FROM documents
+                UNION
+                SELECT r.src, ud.b FROM reach r JOIN ud ON ud.a = r.dst),
+      comp AS (SELECT src AS doc_id, min(dst) AS component FROM reach GROUP BY src)
+      SELECT doc_id, component FROM comp ORDER BY doc_id ASC NULLS FIRST"""),
+    "large-star/small-star connected components (dedup clustering; oracle = recursive-CTE closure)")
+
+  val all: Seq[Q] = Seq(q82)
+}
