@@ -92,6 +92,39 @@ object Hashing {
     best
   }
 
+  /** Winnowing fingerprint SET (Schleimer/Wilkerson/Aiken, SIGMOD 2003):
+    * hash all char k-grams, slide a window of w hashes, record the window
+    * minimum (rightmost on ties), emitting only when the selected position
+    * changes. The local guarantee: any shared substring of length ≥ w+k-1
+    * chars contributes at least one shared fingerprint — which makes
+    * fingerprint-set overlap a CONTAINMENT detector (doc-inside-doc), the
+    * case MinHash misses when lengths differ a lot. */
+  def winnow(text: String, k: Int, w: Int): Array[Long] = {
+    val n = text.length - k + 1
+    if (n <= 0) return Array(mix(poly(text, 0, text.length)))
+    val hs = new Array[Long](n)
+    var i = 0
+    while (i < n) { hs(i) = mix(poly(text, i, i + k)); i += 1 }
+    val out = new java.util.LinkedHashSet[java.lang.Long]()
+    var prevPos = -1
+    var j = 0
+    val lastWin = math.max(0, n - w)
+    while (j <= lastWin) {
+      var pos = j
+      var m = hs(j)
+      var t = j + 1
+      val end = math.min(j + w, n)
+      while (t < end) { if (hs(t) <= m) { m = hs(t); pos = t }; t += 1 }
+      if (pos != prevPos) { out.add(m); prevPos = pos }
+      j += 1
+    }
+    val arr = new Array[Long](out.size)
+    val it = out.iterator()
+    var a = 0
+    while (it.hasNext) { arr(a) = it.next(); a += 1 }
+    arr
+  }
+
   /** Iterate polynomial hashes of word 3-shingles without materializing
     * shingle strings (whole text if < 3 tokens). */
   private def foreachShinglePoly(text: String)(f: Long => Unit): Unit = {

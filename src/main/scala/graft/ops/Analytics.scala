@@ -1,0 +1,262 @@
+package graft.ops
+
+import graft.{Q, T}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** Round-4 relational/analytic extensions beyond the reference's §2 surface:
+  * anti/semi join chains, pivot, grouping sets, time-series gap-fill with
+  * linear interpolation, sort-free quantile bucketing, blocked edit-distance
+  * similarity, set operations, deterministic sampling. All DuckDB-oracled
+  * (conventions on [[graft.Q]]). */
+object Analytics {
+
+  private def dec(c: String): org.apache.spark.sql.Column =
+    col(c).cast(DecimalType(18, 2))
+
+  /** Semi + anti join chain: customers who ordered in 1995 but never in
+    * 1996. Both joins shuffle only the distinct key column; at scale the
+    * year-filtered key sets are small enough to broadcast, which AQE does
+    * on its own once the filtered size is known at runtime. */
+  private val q83 = Q(
+    "q83_anti_join",
+    (s, dir) => {
+      val orders = T(s, dir, "orders")
+      val o95 = orders.filter(year(col("o_orderdate")) === 1995)
+        .select(col("o_custkey"))
+      val o96 = orders.filter(year(col("o_orderdate")) === 1996)
+        .select(col("o_custkey"))
+      T(s, dir, "customer")
+        .join(o95, col("c_custkey") === col("o_custkey"), "left_semi")
+        .join(o96, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(asc_nulls_first("c_custkey"))
+    },
+    Some("""SELECT c_custkey, c_name FROM customer c
+      WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                    AND year(o.o_orderdate) = 1995)
+        AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                    AND year(o.o_orderdate) = 1996)
+      ORDER BY c_custkey ASC NULLS FIRST"""),
+    "left-semi + left-anti join chain (churn analysis shape)")
+
+  /** Pivot: order priority × status revenue matrix. The status values are
+    * passed EXPLICITLY — without them Spark first runs a distinct() scan
+    * just to learn the column set, an extra full pass at 100 TB. */
+  private val q84 = Q(
+    "q84_pivot",
+    (s, dir) =>
+      T(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(sum(dec("o_totalprice")).cast(DoubleType))
+        .withColumnRenamed("F", "total_f")
+        .withColumnRenamed("O", "total_o")
+        .withColumnRenamed("P", "total_p")
+        .orderBy(asc_nulls_first("o_orderpriority")),
+    Some("""SELECT o_orderpriority,
+      CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS total_f,
+      CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS total_o,
+      CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS total_p
+      FROM orders GROUP BY o_orderpriority
+      ORDER BY o_orderpriority ASC NULLS FIRST"""),
+    "pivot with explicit value list (one pass, no discovery scan)")
+
+  /** GROUPING SETS — the general form behind q56 ROLLUP / q63 CUBE: the
+    * exact level list, one shuffle, partial aggregation per set. */
+  private val q85 = Q(
+    "q85_grouping_sets",
+    (s, dir) =>
+      T(s, dir, "lineitem")
+        .groupingSets(
+          Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+            Seq(col("l_returnflag")), Seq()),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec("l_quantity")).cast(DoubleType).as("sum_qty"))
+        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus")),
+    Some("""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      FROM lineitem
+      GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+      ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST"""),
+    "explicit GROUPING SETS (general form of q56/q63)")
+
+  /** Time-series gap-fill + linear interpolation: per-series hourly sums,
+    * a per-series hour spine (the driver events genuinely miss ~3% of
+    * hours per series slice), missing hours linearly interpolated between
+    * the bracketing observations (edges clamp to the nearest value).
+    *
+    * Scale shape: every window is PARTITIONED by the series key — there is
+    * no global sort; a 100 TB corpus with millions of series parallelizes
+    * per key. The spine is generated per series from its own min/max hour
+    * (sequence() per group row), not one driver-side calendar. */
+  private val q86 = Q(
+    "q86_interpolate",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val hourly = T(s, dir, "events")
+        .select((col("user_id") % 4).as("g"),
+          expr("unix_micros(ts) div 3600000000").as("hr"), col("value"))
+        .groupBy(col("g"), col("hr"))
+        .agg(sum(dec("value")).cast(DoubleType).as("v"))
+      val spine = hourly.groupBy(col("g"))
+        .agg(min(col("hr")).as("mn"), max(col("hr")).as("mx"))
+        .select(col("g"), explode(sequence(col("mn"), col("mx"))).as("hr"))
+      val wPrev = Window.partitionBy(col("g")).orderBy(asc("hr"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wNext = Window.partitionBy(col("g")).orderBy(asc("hr"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      spine.join(hourly, Seq("g", "hr"), "left")
+        .withColumn("pv", last(col("v"), ignoreNulls = true).over(wPrev))
+        .withColumn("pt", last(when(col("v").isNotNull, col("hr")), ignoreNulls = true).over(wPrev))
+        .withColumn("nv", first(col("v"), ignoreNulls = true).over(wNext))
+        .withColumn("nt", first(when(col("v").isNotNull, col("hr")), ignoreNulls = true).over(wNext))
+        .select(col("g"), col("hr"),
+          round(
+            when(col("v").isNotNull, col("v"))
+              .when(col("pv").isNull, col("nv"))
+              .when(col("nv").isNull, col("pv"))
+              .otherwise(col("pv") + (col("nv") - col("pv")) *
+                ((col("hr") - col("pt")).cast(DoubleType) /
+                  (col("nt") - col("pt")).cast(DoubleType))), 6).as("val"),
+          when(col("v").isNull, 1).otherwise(0).as("interpolated"))
+        .orderBy(asc_nulls_first("g"), asc_nulls_first("hr"))
+    },
+    Some("""WITH h AS (SELECT user_id % 4 AS g, epoch_us(ts) // 3600000000 AS hr,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+             FROM events GROUP BY 1, 2),
+      mm AS (SELECT g, min(hr) AS mn, max(hr) AS mx FROM h GROUP BY g),
+      spine AS (SELECT g, unnest(generate_series(mn, mx)) AS hr FROM mm),
+      j AS (SELECT s.g, s.hr, h.v FROM spine s
+            LEFT JOIN h ON h.g = s.g AND h.hr = s.hr),
+      w AS (SELECT g, hr, v,
+        last_value(v IGNORE NULLS) OVER (PARTITION BY g ORDER BY hr
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+        last_value(CASE WHEN v IS NOT NULL THEN hr END IGNORE NULLS) OVER (PARTITION BY g ORDER BY hr
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+        first_value(v IGNORE NULLS) OVER (PARTITION BY g ORDER BY hr
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        first_value(CASE WHEN v IS NOT NULL THEN hr END IGNORE NULLS) OVER (PARTITION BY g ORDER BY hr
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+        FROM j)
+      SELECT g, hr,
+        round(CASE WHEN v IS NOT NULL THEN v
+                   WHEN pv IS NULL THEN nv
+                   WHEN nv IS NULL THEN pv
+                   ELSE pv + (nv - pv) * (CAST(hr - pt AS DOUBLE) / CAST(nt - pt AS DOUBLE)) END, 6) AS val,
+        CASE WHEN v IS NULL THEN 1 ELSE 0 END AS interpolated
+      FROM w ORDER BY g ASC NULLS FIRST, hr ASC NULLS FIRST"""),
+    "per-series gap-fill + linear interpolation, windows partitioned by series key (no global sort)")
+
+  /** Quantile bucketing WITHOUT a global sort: exact quartile cutpoints in
+    * one aggregation pass, broadcast back, per-row CASE assignment. ntile()
+    * would need a total order over the table — this shape is the 100 TB
+    * equivalent. Cutpoints are rounded to 2 decimals on both engines so
+    * interpolation ulp drift cannot move a boundary. */
+  private val q87 = Q(
+    "q87_quantile_bucketize",
+    (s, dir) => {
+      val orders = T(s, dir, "orders")
+      val cuts = orders.agg(
+        round(expr("percentile(o_totalprice, 0.25D)"), 2).as("c1"),
+        round(expr("percentile(o_totalprice, 0.50D)"), 2).as("c2"),
+        round(expr("percentile(o_totalprice, 0.75D)"), 2).as("c3"))
+      orders.crossJoin(broadcast(cuts))
+        .select(
+          when(col("o_totalprice") <= col("c1"), 1)
+            .when(col("o_totalprice") <= col("c2"), 2)
+            .when(col("o_totalprice") <= col("c3"), 3)
+            .otherwise(4).as("bucket"),
+          col("o_totalprice"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec("o_totalprice")).cast(DoubleType).as("total"),
+          min(col("o_totalprice")).as("mn"), max(col("o_totalprice")).as("mx"))
+        .orderBy(asc_nulls_first("bucket"))
+    },
+    Some("""WITH c AS (SELECT round(quantile_cont(o_totalprice, 0.25), 2) AS c1,
+                round(quantile_cont(o_totalprice, 0.50), 2) AS c2,
+                round(quantile_cont(o_totalprice, 0.75), 2) AS c3 FROM orders)
+      SELECT CASE WHEN o_totalprice <= c1 THEN 1
+                  WHEN o_totalprice <= c2 THEN 2
+                  WHEN o_totalprice <= c3 THEN 3 ELSE 4 END AS bucket,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+             min(o_totalprice) AS mn, max(o_totalprice) AS mx
+      FROM orders, c GROUP BY 1 ORDER BY bucket ASC NULLS FIRST"""),
+    "sort-free quantile bucketing: one-pass exact cutpoints + broadcast CASE assignment")
+
+  /** Blocked edit-distance similarity join: candidate pairs only within the
+    * same p_brand block (the blocking key bounds the quadratic term), exact
+    * Levenshtein ≤ 2 verification on the codegen'd built-in. The catalog
+    * entity-resolution shape: blocks are small and uniform, so the
+    * per-block self-join cannot skew-explode. */
+  private val q89 = Q(
+    "q89_edit_distance",
+    (s, dir) => {
+      val p = T(s, dir, "part")
+        .select(col("p_partkey"), col("p_brand"), col("p_name"))
+      val a = p.alias("a")
+      val b = p.alias("b")
+      a.join(b, col("a.p_brand") === col("b.p_brand") &&
+          col("a.p_partkey") < col("b.p_partkey"))
+        .select(col("a.p_partkey").as("key_a"), col("b.p_partkey").as("key_b"),
+          levenshtein(col("a.p_name"), col("b.p_name")).as("dist"))
+        .filter(col("dist") <= 2)
+        .orderBy(asc_nulls_first("key_a"), asc_nulls_first("key_b"))
+    },
+    Some("""SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+             levenshtein(a.p_name, b.p_name) AS dist
+      FROM part a JOIN part b
+        ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+      WHERE levenshtein(a.p_name, b.p_name) <= 2
+      ORDER BY key_a ASC NULLS FIRST, key_b ASC NULLS FIRST"""),
+    "blocked Levenshtein similarity join (entity resolution; blocking bounds the pair count)")
+
+  /** Set operations: INTERSECT / EXCEPT over year-sliced customer key sets
+    * (both are distinct-based in Spark and ANSI SQL). */
+  private val q90 = Q(
+    "q90_set_ops",
+    (s, dir) => {
+      val orders = T(s, dir, "orders")
+      def yr(y: Int) = orders.filter(year(col("o_orderdate")) === y)
+        .select(col("o_custkey"))
+      yr(1995).intersect(yr(1996)).withColumn("tag", lit("both"))
+        .unionByName(yr(1995).except(yr(1996)).withColumn("tag", lit("only_1995")))
+        .select(col("tag"), col("o_custkey"))
+        .orderBy(asc_nulls_first("tag"), asc_nulls_first("o_custkey"))
+    },
+    Some("""SELECT 'both' AS tag, o_custkey FROM
+        (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+         INTERSECT
+         SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996)
+      UNION ALL
+      SELECT 'only_1995' AS tag, o_custkey FROM
+        (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+         EXCEPT
+         SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996)
+      ORDER BY tag ASC NULLS FIRST, o_custkey ASC NULLS FIRST"""),
+    "INTERSECT/EXCEPT set operations over year-sliced key sets")
+
+  /** Deterministic (reproducible) ~5% sample: a pure-arithmetic row
+    * predicate, no RNG — the only sampling that is re-runnable,
+    * engine-portable, and auditable in a training-data pipeline.
+    * (Bernoulli TABLESAMPLE is not cross-engine reproducible.) */
+  private val q91 = Q(
+    "q91_deterministic_sample",
+    (s, dir) =>
+      T(s, dir, "lineitem")
+        .filter((col("l_orderkey") * 7 + col("l_linenumber")) % 20 === 0)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec("l_extendedprice")).cast(DoubleType).as("sum_price"))
+        .orderBy(asc_nulls_first("l_returnflag")),
+    Some("""SELECT l_returnflag, COUNT(*) AS n,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      FROM lineitem WHERE (l_orderkey * 7 + l_linenumber) % 20 = 0
+      GROUP BY l_returnflag ORDER BY l_returnflag ASC NULLS FIRST"""),
+    "deterministic arithmetic sampling (reproducible across engines/runs)")
+
+  val all: Seq[Q] = Seq(q83, q84, q85, q86, q87, q89, q90, q91)
+}

@@ -1,10 +1,11 @@
 package graft.ops
 
-import graft.Q
+import graft.{Q, T}
 import graft.sources.Gpkg
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
 /** Ingest surface (S-series, SURVEY.md §2.1): scans, id generation,
   * idempotent sinks, namespace convention — the load_data.py pipeline
@@ -63,5 +64,40 @@ object Ingest {
     None,
     "S2 CSV scan + S12 view + J1 join + W1 id on the reference's own data")
 
-  val all: Seq[Q] = Seq(q51)
+  /** S-series extension: ORC sink + source round trip. Spark's ORC support
+    * is built-in (vectorized reader, predicate pushdown, column pruning —
+    * same scan machinery as parquet); a real warehouse has both formats.
+    * The query writes a lineitem projection to ORC, reads it back, and
+    * aggregates; the oracle computes the same aggregate straight from the
+    * parquet table — any ORC encode/decode infidelity breaks the hash.
+    * Timestamps stay off the ORC path (string-formatted before the write):
+    * ORC's timestamp epoch/TZ semantics differ from parquet's and the
+    * round trip should test the ENGINE, not calendar trivia. */
+  private val q88 = Q(
+    "q88_orc_roundtrip",
+    (s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_orc_").toString
+      T(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          col("l_quantity"), col("l_extendedprice"),
+          date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship_day"))
+        .write.mode(SaveMode.Overwrite).orc(tmp)
+      s.read.orc(tmp)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_qty"),
+          sum(col("l_extendedprice").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_price"),
+          min(col("ship_day")).as("first_day"), max(col("ship_day")).as("last_day"))
+        .orderBy(asc_nulls_first("l_returnflag"))
+    },
+    Some("""SELECT l_returnflag, COUNT(*) AS n,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+      min(strftime(l_shipdate, '%Y-%m-%d')) AS first_day,
+      max(strftime(l_shipdate, '%Y-%m-%d')) AS last_day
+      FROM lineitem GROUP BY l_returnflag
+      ORDER BY l_returnflag ASC NULLS FIRST"""),
+    "ORC sink + source round trip; oracle aggregates the parquet original")
+
+  val all: Seq[Q] = Seq(q51, q88)
 }
