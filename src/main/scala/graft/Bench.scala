@@ -44,7 +44,9 @@ object Bench {
       else if (s.size % 2 == 1) s(s.size / 2)
       else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
     }
-    def r2(x: Double): String = f"$x%.2f"
+    // Locale.ROOT: the f-interpolator uses the JVM default locale, which
+    // under e.g. de_DE renders "12,34" — invalid JSON for the driver parser.
+    def r2(x: Double): String = String.format(java.util.Locale.ROOT, "%.2f", Double.box(x))
     // The driver captures only the last ~2000 chars of the sbt log and
     // parses the JSON line out of that tail (rounds 1-3 overflowed it →
     // "parsed": null). Keep the line SHORT: qNN short keys (the "qNN_"

@@ -321,5 +321,56 @@ object Dedup {
     None,
     "LSH-bucketed approximate top-k (similarity-search scale path; exact twin = q28)")
 
-  val all: Seq[Q] = Seq(q24, q25, q26, q27, q30)
+  // ---- containment detection via winnowing fingerprints -----------------
+
+  private val winnowUdf = udf((text: String) => Hashing.winnow(text, WinnowK, WinnowW))
+  val WinnowK = 8 // char k-gram size
+  val WinnowW = 16 // winnowing window (guarantee: shared substrings ≥ w+k-1 chars)
+
+  /** Containment (doc-inside-doc) detection — the near-dup case MinHash
+    * misses when lengths differ a lot (an excerpt's Jaccard vs its source
+    * is tiny, but its fingerprint CONTAINMENT is ~1). Each side computes
+    * its winnowing fingerprint set map-side ([[Hashing.winnow]]); the join
+    * is an equi-join on the fingerprint value with the (small) probe side
+    * broadcast, so the corpus side never shuffles.
+    *
+    * Returns, for each probe doc, the best-containment corpus doc:
+    * (probe_id, matched_id, containment = |shared fps| / |probe fps|). */
+  def winnowBestContainment(probes: DataFrame, corpus: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = corpus.select(col("doc_id"), explode(winnowUdf(col("text"))).as("fp"))
+    val ex = probes
+      .select(col("probe_id"), winnowUdf(col("text")).as("fps"))
+      .withColumn("n_fp", size(col("fps")))
+      .select(col("probe_id"), col("n_fp"), explode(col("fps")).as("fp"))
+    val scored = base.join(broadcast(ex), Seq("fp"))
+      .groupBy(col("probe_id"), col("doc_id"))
+      .agg(count(lit(1)).as("shared"), first(col("n_fp")).as("n_fp"))
+      .select(col("probe_id"), col("doc_id").as("matched_id"),
+        round(col("shared").cast(DoubleType) / col("n_fp"), 4).as("containment"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(desc_nulls_last("containment"), asc_nulls_first("matched_id"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+      .orderBy(asc_nulls_first("probe_id"))
+  }
+
+  /** q92: derive excerpt probes in-query (a 240-char slice of every 50th
+    * document, ids offset by 200000) and recover each excerpt's source via
+    * fingerprint containment. No oracle (the fingerprint hash is not
+    * SQL-expressible); WinnowSpec asserts the w+k−1 shared-substring
+    * guarantee and that every excerpt's top match IS its source. */
+  def excerptContainment(docs: DataFrame): DataFrame = {
+    val probes = docs.filter(col("doc_id") % 50 === 0)
+      .select((col("doc_id") + 200000).as("probe_id"),
+        substring(col("text"), 11, 240).as("text"))
+    winnowBestContainment(probes, docs)
+  }
+
+  private val q92 = Q(
+    "q92_winnow_containment",
+    (s, dir) => excerptContainment(T(s, dir, "documents")),
+    None,
+    "winnowing-fingerprint containment: excerpt probes recover their source docs (SWA 2003 local guarantee)")
+
+  val all: Seq[Q] = Seq(q24, q25, q26, q27, q30, q92)
 }

@@ -64,6 +64,14 @@ object Graph {
       e = small
       round += 1
     }
+    // Safety net, not a hot path: large/small-star converges in O(log n)
+    // rounds, so 25 is ample — but a truncated labeling is WRONG (members of
+    // one component keep different labels), and callers must never mistake
+    // it for converged output.
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge within $maxRounds rounds; " +
+          "raise maxRounds (expected O(log n) rounds)")
     // fixed point is a star per component: every member has the one edge
     // (member -> root); roots and isolated nodes label themselves.
     nodes.select(col("node").cast("long").as("node"))

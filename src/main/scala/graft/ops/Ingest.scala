@@ -73,10 +73,24 @@ object Ingest {
     * Timestamps stay off the ORC path (string-formatted before the write):
     * ORC's timestamp epoch/TZ semantics differ from parquet's and the
     * round trip should test the ENGINE, not calendar trivia. */
+  /** One ORC scratch dir per JVM, reused across bench reps / repeated
+    * correctness runs with Overwrite (a fresh createTempDirectory per
+    * invocation accumulated orphaned copies on disk); deleted on exit. */
+  private lazy val orcScratch: String = {
+    val p = java.nio.file.Files.createTempDirectory("graft_orc_")
+    sys.addShutdownHook {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(p.toFile)
+    }
+    p.toString
+  }
+
   private val q88 = Q(
     "q88_orc_roundtrip",
     (s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_orc_").toString
+      val tmp = orcScratch
       T(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
           col("l_quantity"), col("l_extendedprice"),
