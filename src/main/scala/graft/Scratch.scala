@@ -1,0 +1,42 @@
+package graft
+
+/** Per-JVM scratch root for operators that materialize intermediate
+  * parquet (streaming foreachBatch partials, staged stream inputs, IVF
+  * indexes, partitioned fixture layouts).
+  *
+  * One temp root per JVM, removed by a shutdown hook. Callers get stable
+  * NAMED subdirs instead of a fresh `createTempDirectory` per invocation,
+  * so repeated Verify/Bench runs inside one JVM reuse (or explicitly
+  * reset) the same location, and nothing is left on disk at exit —
+  * the round-5 audit found four call sites each leaking one orphaned
+  * temp dir per invocation × 3 bench reps. */
+object Scratch {
+
+  private lazy val root: java.nio.file.Path = {
+    val p = java.nio.file.Files.createTempDirectory("graft_scratch_")
+    sys.addShutdownHook(rm(p.toFile))
+    p
+  }
+
+  private def rm(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(rm))
+    f.delete(); ()
+  }
+
+  /** Stable named dir, EMPTIED on every call — for append-mode sinks
+    * (streaming partials) that must start from nothing each invocation. */
+  def fresh(name: String): String = {
+    val d = root.resolve(name)
+    rm(d.toFile)
+    java.nio.file.Files.createDirectories(d)
+    d.toString
+  }
+
+  /** Stable named dir, kept across calls — for per-JVM caches
+    * (Overwrite-mode writers, amortized indexes, materialized fixtures). */
+  def dir(name: String): String = {
+    val d = root.resolve(name)
+    java.nio.file.Files.createDirectories(d)
+    d.toString
+  }
+}

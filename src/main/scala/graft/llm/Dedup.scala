@@ -331,19 +331,28 @@ object Dedup {
     * misses when lengths differ a lot (an excerpt's Jaccard vs its source
     * is tiny, but its fingerprint CONTAINMENT is ~1). Each side computes
     * its winnowing fingerprint set map-side ([[Hashing.winnow]]); the join
-    * is an equi-join on the fingerprint value with the (small) probe side
-    * broadcast, so the corpus side never shuffles.
+    * is an equi-join on the fingerprint value.
+    *
+    * `probesBounded` is the caller's assertion that the probe set has a
+    * FIXED size (a handful of query documents, not a corpus fraction):
+    * only then is the exploded probe side broadcast-hinted so the corpus
+    * side never shuffles. By default the hint is absent — the fp equi-join
+    * plans as a co-partitioned shuffle (the correct shape when probes grow
+    * with the corpus, e.g. q92's every-50th-doc derivation, where a forced
+    * broadcast would grow linearly and OOM executors) and AQE is still
+    * free to pick a broadcast at runtime from the ACTUAL probe size.
     *
     * Returns, for each probe doc, the best-containment corpus doc:
     * (probe_id, matched_id, containment = |shared fps| / |probe fps|). */
-  def winnowBestContainment(probes: DataFrame, corpus: DataFrame): DataFrame = {
+  def winnowBestContainment(probes: DataFrame, corpus: DataFrame,
+      probesBounded: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val base = corpus.select(col("doc_id"), explode(winnowUdf(col("text"))).as("fp"))
     val ex = probes
       .select(col("probe_id"), winnowUdf(col("text")).as("fps"))
       .withColumn("n_fp", size(col("fps")))
       .select(col("probe_id"), col("n_fp"), explode(col("fps")).as("fp"))
-    val scored = base.join(broadcast(ex), Seq("fp"))
+    val scored = base.join(if (probesBounded) broadcast(ex) else ex, Seq("fp"))
       .groupBy(col("probe_id"), col("doc_id"))
       .agg(count(lit(1)).as("shared"), first(col("n_fp")).as("n_fp"))
       .select(col("probe_id"), col("doc_id").as("matched_id"),
@@ -356,9 +365,13 @@ object Dedup {
 
   /** q92: derive excerpt probes in-query (a 240-char slice of every 50th
     * document, ids offset by 200000) and recover each excerpt's source via
-    * fingerprint containment. No oracle (the fingerprint hash is not
-    * SQL-expressible); WinnowSpec asserts the w+k−1 shared-substring
-    * guarantee and that every excerpt's top match IS its source. */
+    * fingerprint containment. The probe set is corpus/50 — it GROWS with
+    * the corpus, so `probesBounded` stays false (no broadcast hint). No
+    * oracle (the fingerprint hash is not SQL-expressible; q93 puts the
+    * same containment JOIN+argmax shape under the DuckDB hash gate with a
+    * SQL-expressible k-gram selection); WinnowSpec asserts the w+k−1
+    * shared-substring guarantee and that every excerpt's top match IS its
+    * source. */
   def excerptContainment(docs: DataFrame): DataFrame = {
     val probes = docs.filter(col("doc_id") % 50 === 0)
       .select((col("doc_id") + 200000).as("probe_id"),

@@ -69,22 +69,37 @@ object Sketches {
     * frequency ≥ threshold. */
   def heavyHitters(s: SparkSession, docs: DataFrame, threshold: Long): DataFrame = {
     import s.implicits._
+    // Persisted so the corpus is tokenized ONCE: the sketch pass and the
+    // candidate pass both read the cached token frame instead of each
+    // re-scanning + re-exploding the corpus (MEMORY_AND_DISK — spills
+    // rather than OOMs when the token frame outgrows executor memory).
     val tokens = docs.select(explode(split(col("text"), "\\s+")).as("token"))
       .filter(length(col("token")) > 0)
-    val cms = tokens.as[String].select(cmsAgg.toColumn).head()
-    val bc = s.sparkContext.broadcast(cms)
-    // candidate generation: distinct tokens filtered by the broadcast
-    // sketch (map-side; the sketch's one-sided error guarantees no true
-    // heavy hitter is missed)
-    val isCandidate = udf((t: String) => estimate(bc.value, t) >= threshold)
-    val estimateUdf = udf((t: String) => estimate(bc.value, t))
-    val candidates = tokens.filter(isCandidate(col("token")))
-    candidates
-      .groupBy(col("token"))
-      .agg(count(lit(1)).as("exact_n"))
-      .filter(col("exact_n") >= threshold) // drop sketch false positives
-      .withColumn("cms_estimate", estimateUdf(col("token")))
-      .orderBy(desc_nulls_last("exact_n"), asc_nulls_first("token"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val cms = tokens.as[String].select(cmsAgg.toColumn).head()
+      val bc = s.sparkContext.broadcast(cms)
+      // candidate generation: distinct tokens filtered by the broadcast
+      // sketch (map-side; the sketch's one-sided error guarantees no true
+      // heavy hitter is missed)
+      val isCandidate = udf((t: String) => estimate(bc.value, t) >= threshold)
+      val estimateUdf = udf((t: String) => estimate(bc.value, t))
+      val verified = tokens.filter(isCandidate(col("token")))
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("exact_n"))
+        .filter(col("exact_n") >= threshold) // drop sketch false positives
+        .withColumn("cms_estimate", estimateUdf(col("token")))
+        .orderBy(desc_nulls_last("exact_n"), asc_nulls_first("token"))
+      // The result is output-sized BY CONSTRUCTION (≤ totalTokens /
+      // threshold survivors — tokens above a frequency floor), so it is
+      // materialized eagerly while the token cache is live and returned
+      // as a local frame; the unpersist in `finally` then leaves no
+      // cached corpus-sized RDD behind (same bounded-collect rationale
+      // as the q40 scalar report).
+      s.createDataFrame(
+        new java.util.ArrayList(java.util.Arrays.asList(verified.collect(): _*)),
+        verified.schema)
+    } finally { tokens.unpersist(); () }
   }
 
   /** q77: heavy-hitter tokens over the documents corpus (threshold scales

@@ -75,17 +75,9 @@ object Ingest {
     * round trip should test the ENGINE, not calendar trivia. */
   /** One ORC scratch dir per JVM, reused across bench reps / repeated
     * correctness runs with Overwrite (a fresh createTempDirectory per
-    * invocation accumulated orphaned copies on disk); deleted on exit. */
-  private lazy val orcScratch: String = {
-    val p = java.nio.file.Files.createTempDirectory("graft_orc_")
-    sys.addShutdownHook {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-      }
-      rm(p.toFile)
-    }
-    p.toString
-  }
+    * invocation accumulated orphaned copies on disk); [[graft.Scratch]]
+    * removes it on exit. */
+  private lazy val orcScratch: String = graft.Scratch.dir("orc")
 
   private val q88 = Q(
     "q88_orc_roundtrip",

@@ -131,6 +131,28 @@ object Spatial {
       .drop("month_start", "cell_id", "month_idx")
   }
 
+  /** The scenes fixture materialized as parquet PARTITIONED BY year —
+    * written once per (JVM, sfDir) under [[graft.Scratch]] (removed at
+    * exit). This is the physical layout a 100 TB scene archive would
+    * have (date-partitioned object storage): a year predicate prunes
+    * whole partition directories at the file source instead of scanning
+    * six years to keep one. q43's 2023 filter and q40's report read
+    * through this path (plan-spec'd in PlanShapeSpec); the in-memory
+    * generator [[scenes]] remains the fixture source of truth. */
+  private val scenesPathCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def scenesTable(s: SparkSession, sfDir: String): DataFrame = {
+    val path = scenesPathCache.computeIfAbsent(sfDir, _ => {
+      val p = graft.Scratch.fresh(
+        "scenes_" + sfDir.replaceAll("[^A-Za-z0-9.]", "_"))
+      scenes(s, sfDir).withColumn("yr", year(col("date")))
+        .write.partitionBy("yr").mode("overwrite").parquet(p)
+      p
+    })
+    s.read.parquet(path)
+  }
+
   /** The reference's month-window quirk, replicated not fixed
     * (load_report.py:69-70,130-131): windows run 01..28 (Feb) / 01..30
     * (other months) and GEE `filterDate`'s end bound is EXCLUSIVE — so
@@ -243,8 +265,13 @@ object Spatial {
     * approx sketch costs far more memory than the data), per-category-month
     * mean, month-spine LEFT JOIN for missing months (R2/J4). */
   def monthlyNdvi(s: SparkSession, sfDir: String, year: Int): DataFrame = {
-    val sc = scenes(s, sfDir)
-      .filter(col("date").between(lit(s"$year-01-01"), lit(s"$year-12-31")))
+    // yr is the PARTITION column of the materialized layout — this filter
+    // prunes 5 of the 6 year directories at the file source (the date
+    // range alone would only row-filter inside a full scan)
+    val sc = scenesTable(s, sfDir)
+      .filter(col("yr") === year &&
+        col("date").between(lit(s"$year-01-01"), lit(s"$year-12-31")))
+      .drop("yr")
     ndviByMonth(s, sc, mangroveParcels(s, sfDir), bucketSizeDeg(sfDir),
       s.range(12).select(
         expr(s"add_months(date '$year-01-01', id)").cast("timestamp").as("month_ts")))
@@ -276,7 +303,7 @@ object Spatial {
   /** Multi-year monthly series 2018–2023 (R3): one groupBy over the whole
     * range + full month spine (nulls where data is missing). */
   def annualNdviSeries(s: SparkSession, sfDir: String): DataFrame =
-    ndviByMonth(s, scenes(s, sfDir), mangroveParcels(s, sfDir), bucketSizeDeg(sfDir),
+    ndviByMonth(s, scenesTable(s, sfDir).drop("yr"), mangroveParcels(s, sfDir), bucketSizeDeg(sfDir),
       s.range(monthsTotal).select(
         expr("add_months(date '2018-01-01', id)").cast("timestamp").as("month_ts")))
 

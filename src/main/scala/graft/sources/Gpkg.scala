@@ -202,7 +202,9 @@ object Gpkg {
       val parcels = graft.ops.Spatial.parcels(s, dir)
         .select(col("id"), col("KETERANGAN"), col("LUSE"), col("TEMA"),
           col("geom"), col("geom_srid"))
-      val path = java.io.File.createTempFile("graft_roundtrip", ".gpkg").getAbsolutePath
+      // Scratch.fresh: emptied per invocation, removed at JVM exit — a
+      // createTempFile here leaked one .gpkg per bench rep / Verify run
+      val path = graft.Scratch.fresh("gpkg_roundtrip") + "/parcels.gpkg"
       writeLayer(parcels, path, "parcels")
       val back = readLayer(s, path, "parcels")
       back

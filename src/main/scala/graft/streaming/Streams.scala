@@ -162,8 +162,7 @@ object Streams {
         col("q_ts") >= col("t_ts") - expr("interval 24 hours") &&
         col("q_ts") <= col("t_ts"))
       .select(col("trade_id"), col("qval"))
-    val partialsDir = java.nio.file.Files
-      .createTempDirectory("graft_ij_partials_").toString
+    val partialsDir = graft.Scratch.fresh("ij_partials")
     val q = joined.writeStream.outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
         batch.groupBy(col("trade_id"))
@@ -209,8 +208,7 @@ object Streams {
   def streamDedup(s: SparkSession, dir: String,
       horizon: String = "1 hour"): DataFrame = withStatePartitions(s, 8) {
     val schema = s.read.parquet(s"$dir/documents.parquet").schema
-    val outDir = java.nio.file.Files
-      .createTempDirectory("graft_dedup_out_").toString
+    val outDir = graft.Scratch.fresh("dedup_out")
     val deduped = s.readStream.schema(schema)
       .option("pathGlobFilter", "documents.parquet").parquet(dir)
       .select(col("doc_id"), md5(col("text").cast("binary")).as("hash"))
@@ -262,7 +260,7 @@ object Streams {
     val src = s"$dir/events.parquet"
     val schema = s.read.parquet(src).schema
     // staging dir: symlink the events file, sentinel file appended later
-    val stage = java.nio.file.Files.createTempDirectory("graft_sess_stage_")
+    val stage = java.nio.file.Paths.get(graft.Scratch.fresh("sess_stage"))
     java.nio.file.Files.createSymbolicLink(
       stage.resolve("events.parquet"), java.nio.file.Paths.get(src))
     val stream = s.readStream.schema(schema).parquet(stage.toString)

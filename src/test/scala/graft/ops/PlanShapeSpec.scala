@@ -89,6 +89,51 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(nParts <= 2, s"expected <=2 selected partitions, got $nParts")
   }
 
+  test("q92 winnow containment: unbounded probe side carries NO broadcast hint") {
+    // probes are corpus/50 (grow with the corpus): a forced broadcast of
+    // the exploded probe fingerprints OOMs at scale. The plan must leave
+    // the strategy to AQE — no ResolvedHint in the analyzed plan.
+    val a = SparkEntry.queries("q92_winnow_containment")(spark, dir)
+      .queryExecution.analyzed.toString
+    assert(!a.contains("ResolvedHint"),
+      "q92 must not hint a broadcast of the corpus-fraction probe side")
+  }
+
+  test("winnowBestContainment broadcasts only on the caller's bounded-probes assertion") {
+    import graft.llm.Dedup
+    val docs = spark.range(40).selectExpr("id as doc_id",
+      "repeat(concat('doc', cast(id as string), ' body text '), 20) as text")
+    val probes = docs.filter(col("doc_id") < 2)
+      .select(col("doc_id").as("probe_id"), col("text"))
+    val bounded = Dedup.winnowBestContainment(probes, docs, probesBounded = true)
+    assert(bounded.queryExecution.analyzed.toString.contains("ResolvedHint"),
+      "bounded probe set should carry the broadcast hint")
+    val unbounded = Dedup.winnowBestContainment(probes, docs)
+    assert(!unbounded.queryExecution.analyzed.toString.contains("ResolvedHint"))
+  }
+
+  test("q43 scene scan prunes to the one filtered year partition") {
+    // sparkPlan, not executedPlan: AQE wraps the executed plan in an
+    // AdaptiveSparkPlanExec whose leaves are not traversable pre-execution
+    val scan = SparkEntry.queries("q43_ndvi_monthly")(spark, dir)
+      .queryExecution.sparkPlan.collectLeaves()
+      .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+      .find(_.metadata.getOrElse("Location", "").contains("scenes_"))
+    assert(scan.isDefined, "q43 should read scenes through the materialized year-partitioned layout")
+    val nParts = scan.get.selectedPartitions.partitionCount
+    assert(nParts == 1, s"2023 filter should keep exactly 1 of 6 year partitions, got $nParts")
+  }
+
+  test("IVF index is built once per input and reused across invocations") {
+    import graft.llm.Ivf
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val first = Ivf.builtIndex(emb)
+    val second = Ivf.builtIndex(emb)
+    assert(second eq first, "second invocation must hit the per-JVM index cache")
+    val rebuilt = Ivf.builtIndex(emb, rebuild = true)
+    assert(!(rebuilt eq first), "rebuild=true must bypass the cache")
+  }
+
   test("q75 range join is a bucket equi-join, not a nested-loop BETWEEN") {
     val p = planOf("q75_range_join_oracle")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
