@@ -385,5 +385,87 @@ object Dedup {
     None,
     "winnowing-fingerprint containment: excerpt probes recover their source docs (SWA 2003 local guarantee)")
 
-  val all: Seq[Q] = Seq(q24, q25, q26, q27, q30, q92)
+  // ---- containment under the ORACLE gate (q92's SQL-expressible twin) ---
+
+  /** Horner-form polynomial hash of the 8-char gram in column `g`
+    * (base 257 mod 1000003) as a SQL string both engines evaluate
+    * identically: `ascii`/`substring`/`%` are pure int32 arithmetic in
+    * Spark AND DuckDB (max intermediate 1000002·257+127 < 2³¹), so the
+    * same grams are selected on both sides. */
+  private val KgramLen = 8
+  private val hornerSql: String =
+    (1 to KgramLen).foldLeft("0") { (acc, j) =>
+      s"(($acc * 257 + ascii(substring(g, $j, 1))) % 1000003)"
+    }
+
+  /** q93: the containment JOIN + argmax shape of [[winnowBestContainment]]
+    * with a SQL-expressible k-gram selection — mod-p sampling (keep grams
+    * whose polynomial hash ≡ 0 mod 17, Broder's "mod p" sketch from the
+    * resemblance/containment paper) instead of the winnow hash, so DuckDB
+    * can recompute the whole pipeline and the driver hash-gates it the way
+    * q58/q68 gate the spatial/NDVI cores. Same probe derivation as q92
+    * (240-char slice of every 50th doc); same scale shape (map-side gram
+    * selection, fp equi-join with no broadcast hint, count/containment
+    * agg, per-probe argmax). */
+  def kgramContainment(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val probes = docs.filter(col("doc_id") % 50 === 0)
+      .select((col("doc_id") + 200000).as("probe_id"),
+        substring(col("text"), 11, 240).as("text"))
+    def selectedGrams(df: DataFrame, id: String): DataFrame = df
+      .filter(length(col("text")) >= KgramLen)
+      .select(col(id), col("text"),
+        explode(expr(s"sequence(1, length(text) - ${KgramLen - 1})")).as("pos"))
+      .select(col(id), expr(s"substring(text, pos, $KgramLen)").as("g"))
+      .filter(expr(s"$hornerSql % 17 = 0"))
+      .select(col(id), col("g")).distinct()
+    val pg = selectedGrams(probes, "probe_id")
+    val cg = selectedGrams(docs, "doc_id")
+    val nfp = pg.groupBy(col("probe_id")).agg(count(lit(1)).as("n_fp"))
+    val scored = cg.join(pg, Seq("g"))
+      .groupBy(col("probe_id"), col("doc_id"))
+      .agg(count(lit(1)).as("shared"))
+      .join(nfp, Seq("probe_id"))
+      .select(col("probe_id"), col("doc_id").as("matched_id"),
+        round(col("shared").cast(DoubleType) / col("n_fp"), 4).as("containment"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(desc_nulls_last("containment"), asc_nulls_first("matched_id"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+      .orderBy(asc_nulls_first("probe_id"))
+  }
+
+  private val q93 = Q(
+    "q93_kgram_containment",
+    (s, dir) => kgramContainment(T(s, dir, "documents")),
+    Some(s"""WITH probes AS (
+        SELECT doc_id + 200000 AS probe_id, substr(text, 11, 240) AS text
+        FROM documents WHERE doc_id % 50 = 0),
+      pg AS (
+        SELECT DISTINCT probe_id, g FROM (
+          SELECT probe_id, substr(text, pos, $KgramLen) AS g FROM (
+            SELECT probe_id, text,
+                   unnest(generate_series(1, length(text) - ${KgramLen - 1})) AS pos
+            FROM probes WHERE length(text) >= $KgramLen))
+        WHERE $hornerSql % 17 = 0),
+      cg AS (
+        SELECT DISTINCT doc_id, g FROM (
+          SELECT doc_id, substr(text, pos, $KgramLen) AS g FROM (
+            SELECT doc_id, text,
+                   unnest(generate_series(1, length(text) - ${KgramLen - 1})) AS pos
+            FROM documents WHERE length(text) >= $KgramLen))
+        WHERE $hornerSql % 17 = 0),
+      nf AS (SELECT probe_id, COUNT(*) AS n_fp FROM pg GROUP BY probe_id),
+      sc AS (SELECT pg.probe_id, cg.doc_id, COUNT(*) AS shared
+             FROM cg JOIN pg USING (g) GROUP BY pg.probe_id, cg.doc_id),
+      r AS (SELECT sc.probe_id, sc.doc_id AS matched_id,
+                   round(CAST(shared AS DOUBLE) / n_fp, 4) AS containment,
+                   row_number() OVER (PARTITION BY sc.probe_id
+                     ORDER BY round(CAST(shared AS DOUBLE) / n_fp, 4) DESC NULLS LAST,
+                              sc.doc_id ASC NULLS FIRST) AS rn
+            FROM sc JOIN nf ON sc.probe_id = nf.probe_id)
+      SELECT probe_id, matched_id, containment FROM r WHERE rn = 1
+      ORDER BY probe_id ASC NULLS FIRST"""),
+    "k-gram mod-p containment (Broder 1997 sampling): q92's JOIN+argmax shape under the DuckDB hash gate")
+
+  val all: Seq[Q] = Seq(q24, q25, q26, q27, q30, q92, q93)
 }

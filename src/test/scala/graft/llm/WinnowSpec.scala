@@ -42,6 +42,24 @@ class WinnowSpec extends AnyFunSuite {
     assert(Hashing.winnow("", K, W).length === 1)
   }
 
+  test("q93: k-gram mod-p containment recovers every excerpt's source too") {
+    // the oracle twin's selection (polynomial-mod sampling) must give the
+    // same qualitative recovery as the winnow path on distinct-vocab docs
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    def sentence() = Iterator.fill(12)("tok" + rnd.nextInt(9000)).mkString(" ")
+    val docs = (0L until 200L).map(i => (i, Iterator.fill(8)(sentence()).mkString(". ")))
+      .toDF("doc_id", "text")
+    val out = Dedup.kgramContainment(docs).collect()
+    assert(out.length === 4, s"expected 4 probe rows, got ${out.length}")
+    out.foreach { r =>
+      assert(r.getLong(1) === r.getLong(0) - 200000L,
+        s"probe ${r.getLong(0)} matched ${r.getLong(1)}")
+      assert(r.getDouble(2) === 1.0,
+        s"probe ${r.getLong(0)} containment ${r.getDouble(2)} — excerpt grams must all appear in the source")
+    }
+  }
+
   test("q92: every excerpt's best containment match is its source document") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
