@@ -21,10 +21,24 @@ object Streams {
     * checkpoint is created per run, so the partition count is free to
     * differ from the batch session conf. */
   private def withStatePartitions[A](s: SparkSession, n: Int)(body: => A): A = {
-    val key = "spark.sql.shuffle.partitions"
-    val old = s.conf.get(key)
-    s.conf.set(key, n.toString)
-    try body finally s.conf.set(key, old)
+    val pKey = "spark.sql.shuffle.partitions"
+    val nKey = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val oldP = s.conf.get(pKey)
+    val oldN = s.conf.get(nKey)
+    s.conf.set(pKey, n.toString)
+    // No-data micro-batches exist to advance the watermark so APPEND-MODE
+    // AGGREGATIONS can finalize their windows. None of this module's
+    // queries is one (q50 = complete-mode agg, q65 = eager-emit inner
+    // join, q73 = emit-on-arrival dedup, q80 = update-mode state
+    // function): their output is complete after the last DATA batch, and
+    // the trailing empty batch only re-commits every state store.
+    // Measured at sf0.1: disabling cuts q65 4.5→2.5 s, q73 1.9→1.2 s,
+    // q50 ~25%, q80 neutral. (The RocksDB provider was measured SLOWER —
+    // q65 7.1 s — these one-shot replays carry tiny state, where the
+    // default in-memory store's commit beats native writes.) A query that
+    // DOES add an append-mode aggregation must restore the default.
+    s.conf.set(nKey, "false")
+    try body finally { s.conf.set(pKey, oldP); s.conf.set(nKey, oldN) }
   }
 
   /** Run a tumbling-window streaming aggregation to completion over the
