@@ -62,11 +62,25 @@ object Bench {
         .mkString("{", ",", "}")
     val totalMin = names.map(n => times.getOrElse(n, List(0.0)).min).sum
     val totalMedian = names.map(n => median(times.getOrElse(n, List(0.0)))).sum
+    // Back-to-back per-pass totals (chronological): the spread across
+    // passes of IDENTICAL code in ONE JVM is this VM's noise band — lets
+    // a reader separate co-tenant contention from real regressions
+    // without re-running (times lists are built by prepending, so
+    // chronological order is the reverse).
+    val repTotals = (0 until reps).map { k =>
+      names.map { n =>
+        val chron = times.getOrElse(n, Nil).reverse
+        if (k < chron.size) chron(k) else 0.0
+      }.sum
+    }
+    val repTotalsJson = repTotals.map(r2).mkString("[", ",", "]")
+    val spread = if (repTotals.isEmpty) 0.0 else repTotals.max - repTotals.min
     val failedJson = failed.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val sfNum = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1)).getOrElse("0")
     val detail = s"""{"metric":"total","value":${r2(totalMin)},"unit":"sec",""" +
       s""""queries":${jmapLong(_.min)},"queries_median":${jmapLong(median)},""" +
       s""""total_min":$totalMin,"total_median":$totalMedian,"reps":$reps,""" +
+      s""""rep_totals":$repTotalsJson,"rep_spread":${r2(spread)},""" +
       s""""failed":$failedJson,"sf":$sfNum}"""
     try {
       val p = java.nio.file.Paths.get("BENCH_DETAIL.json")

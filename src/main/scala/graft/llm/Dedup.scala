@@ -32,16 +32,19 @@ object Dedup {
   private val simhashUdf = udf((text: String) => Hashing.simhash(text))
   private val fingerprintUdf = udf((text: String) => Hashing.fingerprint(text))
 
-  /** Distinct word 3-shingles (whole text when shorter than 3 tokens) —
-    * used only for exact verification of candidate pairs. */
-  private val shingleExpr = expr(
-    """case when size(split(text, ' ')) >= 3 then
-         array_distinct(transform(sequence(0, size(split(text, ' ')) - 3),
+  /** Distinct word 3-shingles of column `c` (whole value when shorter
+    * than 3 tokens) — exact verification of candidate pairs + the q94
+    * n-gram-Jaccard kernel. */
+  private def shingles(c: String): Column = expr(
+    s"""case when size(split($c, ' ')) >= 3 then
+         array_distinct(transform(sequence(0, size(split($c, ' ')) - 3),
            i -> concat_ws(' ',
-             element_at(split(text, ' '), i + 1),
-             element_at(split(text, ' '), i + 2),
-             element_at(split(text, ' '), i + 3))))
-       else array(text) end""")
+             element_at(split($c, ' '), i + 1),
+             element_at(split($c, ' '), i + 2),
+             element_at(split($c, ' '), i + 3))))
+       else array($c) end""")
+
+  private val shingleExpr = shingles("text")
 
   def minhashSignatures(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), minhashUdf(col("text")).as("sig"))
@@ -467,5 +470,57 @@ object Dedup {
       ORDER BY probe_id ASC NULLS FIRST"""),
     "k-gram mod-p containment (Broder 1997 sampling): q92's JOIN+argmax shape under the DuckDB hash gate")
 
-  val all: Seq[Q] = Seq(q24, q25, q26, q27, q30, q92, q93)
+  /** q94: the exact n-gram (3-shingle) Jaccard kernel — the verification
+    * arithmetic inside [[minhashPairs]] — under the DuckDB oracle gate on
+    * its own. Pairs are derived in-query so overlap is non-trivial: each
+    * 25th document vs a MIXED excerpt (its own first 150 chars ++ the next
+    * document's first 150 chars), giving mid-range Jaccards instead of
+    * the ~0 a random-pair compare degenerates to.
+    *
+    * Scale shape: pair derivation is a doc_id equi-join (co-partitioned,
+    * no broadcast hint needed — AQE decides); shingle sets are computed
+    * AFTER the join on the pair row (map-side, no explode, no shuffle of
+    * shingle arrays); output is pair-count-sized. */
+  def ngramJaccardPairs(docs: DataFrame): DataFrame = {
+    val a = docs.filter(col("doc_id") % 25 === 0)
+      .select(col("doc_id").as("doc_a"), col("text").as("ta"))
+    val b = docs.filter((col("doc_id") - 1) % 25 === 0)
+      .select((col("doc_id") - 1).as("doc_a"), col("text").as("tb"))
+    a.join(b, Seq("doc_a"))
+      .withColumn("tm",
+        concat(substring(col("ta"), 1, 150), lit(" "), substring(col("tb"), 1, 150)))
+      .select(col("doc_a"), shingles("ta").as("sa"), shingles("tm").as("sm"))
+      .select(col("doc_a"),
+        size(array_intersect(col("sa"), col("sm"))).cast("long").as("n_shared"),
+        round(size(array_intersect(col("sa"), col("sm"))).cast(DoubleType) /
+          size(array_union(col("sa"), col("sm"))), 4).as("jaccard"))
+      .orderBy(asc_nulls_first("doc_a"))
+  }
+
+  private val q94 = Q(
+    "q94_ngram_jaccard",
+    (s, dir) => ngramJaccardPairs(T(s, dir, "documents")),
+    Some("""WITH pairs AS (
+        SELECT a.doc_id AS doc_a, a.text AS ta,
+               concat(substr(a.text, 1, 150), ' ', substr(b.text, 1, 150)) AS tm
+        FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+        WHERE a.doc_id % 25 = 0),
+      sh AS (SELECT doc_a,
+               CASE WHEN len(string_split(ta, ' ')) >= 3 THEN
+                 list_distinct([array_to_string(string_split(ta, ' ')[i:i+2], ' ')
+                                FOR i IN generate_series(1, len(string_split(ta, ' '))-2)])
+               ELSE [ta] END AS sa,
+               CASE WHEN len(string_split(tm, ' ')) >= 3 THEN
+                 list_distinct([array_to_string(string_split(tm, ' ')[i:i+2], ' ')
+                                FOR i IN generate_series(1, len(string_split(tm, ' '))-2)])
+               ELSE [tm] END AS sm
+             FROM pairs)
+      SELECT doc_a,
+             CAST(len(list_intersect(sa, sm)) AS BIGINT) AS n_shared,
+             round(CAST(len(list_intersect(sa, sm)) AS DOUBLE)
+                   / len(list_distinct(list_concat(sa, sm))), 4) AS jaccard
+      FROM sh ORDER BY doc_a ASC NULLS FIRST"""),
+    "exact 3-shingle n-gram Jaccard on in-query mixed-excerpt pairs (dedup verification kernel under the oracle gate)")
+
+  val all: Seq[Q] = Seq(q24, q25, q26, q27, q30, q92, q93, q94)
 }
