@@ -401,6 +401,31 @@ object Dedup {
       s"(($acc * 257 + ascii(substring(g, $j, 1))) % 1000003)"
     }
 
+  /** The same selection computed per document in ONE map-side pass: the
+    * Spark side must only match the oracle's RESULT, not its mechanism,
+    * and the SQL form (explode all positions → 8 nested substring/ascii
+    * per gram → filter → distinct) measured 10.5 s at sf0.1 where this
+    * UDF runs in ~1 s — the round-1 MinHash lesson again (one Scala pass
+    * per row beats a generated-expression explode). Distinctness comes
+    * free from the set, so neither side of the join needs a distinct
+    * shuffle. ASCII corpus ⇒ charAt == DuckDB's ascii() codepoint. */
+  private val modPGramsUdf = udf((text: String) => {
+    if (text == null || text.length < KgramLen) Array.empty[String]
+    else {
+      val seen = scala.collection.mutable.LinkedHashSet.empty[String]
+      var i = 0
+      val n = text.length - KgramLen + 1
+      while (i < n) {
+        var h = 0L
+        var j = 0
+        while (j < KgramLen) { h = (h * 257 + text.charAt(i + j).toInt) % 1000003; j += 1 }
+        if (h % 17 == 0) seen += text.substring(i, i + KgramLen)
+        i += 1
+      }
+      seen.toArray
+    }
+  })
+
   /** q93: the containment JOIN + argmax shape of [[winnowBestContainment]]
     * with a SQL-expressible k-gram selection — mod-p sampling (keep grams
     * whose polynomial hash ≡ 0 mod 17, Broder's "mod p" sketch from the
@@ -415,20 +440,16 @@ object Dedup {
     val probes = docs.filter(col("doc_id") % 50 === 0)
       .select((col("doc_id") + 200000).as("probe_id"),
         substring(col("text"), 11, 240).as("text"))
-    def selectedGrams(df: DataFrame, id: String): DataFrame = df
-      .filter(length(col("text")) >= KgramLen)
-      .select(col(id), col("text"),
-        explode(expr(s"sequence(1, length(text) - ${KgramLen - 1})")).as("pos"))
-      .select(col(id), expr(s"substring(text, pos, $KgramLen)").as("g"))
-      .filter(expr(s"$hornerSql % 17 = 0"))
-      .select(col(id), col("g")).distinct()
-    val pg = selectedGrams(probes, "probe_id")
-    val cg = selectedGrams(docs, "doc_id")
-    val nfp = pg.groupBy(col("probe_id")).agg(count(lit(1)).as("n_fp"))
+    // q92's exact shape: gram sets map-side (already distinct), n_fp
+    // rides the probe explode, fp equi-join with no broadcast hint
+    val pg = probes
+      .select(col("probe_id"), modPGramsUdf(col("text")).as("fps"))
+      .withColumn("n_fp", size(col("fps")))
+      .select(col("probe_id"), col("n_fp"), explode(col("fps")).as("g"))
+    val cg = docs.select(col("doc_id"), explode(modPGramsUdf(col("text"))).as("g"))
     val scored = cg.join(pg, Seq("g"))
       .groupBy(col("probe_id"), col("doc_id"))
-      .agg(count(lit(1)).as("shared"))
-      .join(nfp, Seq("probe_id"))
+      .agg(count(lit(1)).as("shared"), first(col("n_fp")).as("n_fp"))
       .select(col("probe_id"), col("doc_id").as("matched_id"),
         round(col("shared").cast(DoubleType) / col("n_fp"), 4).as("containment"))
     val w = Window.partitionBy(col("probe_id"))
