@@ -32,7 +32,7 @@ class IngestSpec extends AnyFunSuite {
 
   test("overwrite sinks round-trip (parquet + csv)") {
     import spark.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("graft_sink").toString
+    val dir = graft.Scratch.fresh("spec_sink")
     val df = Seq((1L, "x"), (2L, "y")).toDF("k", "v")
     Ingest.overwriteParquet(df, s"$dir/p")
     Ingest.overwriteParquet(df, s"$dir/p") // idempotent replace

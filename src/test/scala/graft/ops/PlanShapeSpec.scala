@@ -79,7 +79,7 @@ class PlanShapeSpec extends AnyFunSuite {
     import graft.llm.Ivf
     val emb = spark.range(64).selectExpr("id as vec_id",
       "transform(sequence(1, 8), i -> cast(pmod(id * i, 17) as double)) as embedding")
-    val path = java.nio.file.Files.createTempDirectory("ivf_prune_spec_").toString
+    val path = graft.Scratch.fresh("spec_ivf_prune")
     Ivf.writeIndex(emb, Ivf.centroidArrays(emb), path)
     val pruned = Ivf.readIndex(spark, path, Seq(0, 1))
     val scan = pruned.queryExecution.executedPlan.collectLeaves()

@@ -41,7 +41,7 @@ class GpkgSpec extends AnyFunSuite {
 
   test("writer: parcels write->read round trip preserves attributes and geometry bytes") {
     val parcels = graft.ops.Spatial.parcels(spark, "/root/testdata/sf0.001")
-    val out = java.io.File.createTempFile("gpkg_rt", ".gpkg").getAbsolutePath
+    val out = graft.Scratch.fresh("spec_gpkg_rt") + "/f.gpkg"
     Gpkg.writeLayer(parcels, out, "parcels")
     val back = Gpkg.readLayer(spark, out, "parcels")
     def key(r: org.apache.spark.sql.Row, idIdx: Int, kIdx: Int, gIdx: Int) =
@@ -60,7 +60,7 @@ class GpkgSpec extends AnyFunSuite {
 
   test("writer: multi-leaf + overflow payloads round trip through the reader") {
     import SqliteWriter.TableSpec
-    val out = java.io.File.createTempFile("sqlite_rt", ".db").getAbsolutePath
+    val out = graft.Scratch.fresh("spec_sqlite_rt") + "/f.db"
     val rows = (1L to 300L).map(i => Seq[Any](i, "v" * (if (i == 7) 9000 else 50), i * 0.5))
     SqliteWriter.write(out, Seq(
       TableSpec("t", "CREATE TABLE t (id INTEGER PRIMARY KEY, s TEXT, d REAL)", rows)))
@@ -75,7 +75,7 @@ class GpkgSpec extends AnyFunSuite {
 
   test("writer: multi-LEVEL interior b-tree (beyond ~270 leaves) round trips") {
     import SqliteWriter.TableSpec
-    val out = java.io.File.createTempFile("sqlite_deep", ".db").getAbsolutePath
+    val out = graft.Scratch.fresh("spec_sqlite_deep") + "/f.db"
     // ~1 KB payloads → ~4 rows/leaf → 2000 rows ≈ 500 leaves ≈ 2 levels
     val rows = (1L to 2000L).map(i => Seq[Any](i, "x" * 900, i * 3))
     SqliteWriter.write(out, Seq(
@@ -109,7 +109,7 @@ class GpkgSpec extends AnyFunSuite {
     }
     val rows = (1L to 120L).map(i => Seq[Any](i, randVal(1), randVal(2), randVal(3)))
       .map { vs => vs.head +: (1 to 3).map(_ => randVal(r.nextInt(6))) }
-    val out = java.io.File.createTempFile("sqlite_rand", ".db").getAbsolutePath
+    val out = graft.Scratch.fresh("spec_sqlite_rand") + "/f.db"
     SqliteWriter.write(out, Seq(TableSpec("t",
       "CREATE TABLE t (id INTEGER PRIMARY KEY, a, b, c)", rows)))
     val got = Sqlite.open(out).rows("t").sortBy(_._1)
@@ -129,7 +129,7 @@ class GpkgSpec extends AnyFunSuite {
 
   test("writer: rejects DDL that would need an autoindex") {
     import SqliteWriter.TableSpec
-    val out = java.io.File.createTempFile("sqlite_bad", ".db").getAbsolutePath
+    val out = graft.Scratch.fresh("spec_sqlite_bad") + "/f.db"
     intercept[IllegalArgumentException] {
       SqliteWriter.write(out, Seq(
         TableSpec("t", "CREATE TABLE t (k TEXT PRIMARY KEY)", Seq(Seq[Any]("a")))))

@@ -16,7 +16,7 @@ class WatermarkSpec extends AnyFunSuite {
     val ev = T(spark, dir, "events").select(col("ts"), col("value"))
     val mid = ev.agg(expr("timestamp_micros(cast(avg(unix_micros(ts)) as long))"))
       .collect()(0).getTimestamp(0)
-    val tmp = java.nio.file.Files.createTempDirectory("wm").toString
+    val tmp = graft.Scratch.fresh("spec_wm")
     // two files = two triggers; the second advances the watermark past the
     // first file's windows so they finalize
     ev.filter(col("ts") < lit(mid))
@@ -54,7 +54,7 @@ class WatermarkSpec extends AnyFunSuite {
     // plant exact duplicates: 10 docs re-appear under shifted ids
     val planted = docs.limit(10)
       .withColumn("doc_id", col("doc_id") + 1000000L)
-    val tmp = java.nio.file.Files.createTempDirectory("dedup_stream_spec_").toString
+    val tmp = graft.Scratch.fresh("spec_dedup_stream")
     // the driver's documents.parquet is a single FILE (the source glob
     // matches files) — stage the planted corpus the same way
     docs.unionByName(planted).coalesce(1).write.parquet(s"$tmp/stage")
