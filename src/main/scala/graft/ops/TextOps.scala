@@ -151,5 +151,74 @@ object TextOps {
       ORDER BY qid ASC NULLS FIRST, vid ASC NULLS FIRST"""),
     "brute-force cosine top-k, the exact-ANN baseline (builder-prompt similarity surface)")
 
-  val all: Seq[Q] = Seq(q20, q21, q22, q23, q28)
+  /** q95: per-document token-repetition signals — the Gopher-rules
+    * (Rae et al. 2021, "massive text" quality heuristics) repetition
+    * family: total/distinct token counts, duplicate-token fraction and
+    * top-token share. A two-level aggregation (doc×token → doc), both
+    * levels map-side combinable, so the corpus-sized shuffle carries
+    * (doc_id, token, partial count) and the second exchange is doc-sized.
+    * Filters docs a training pipeline would drop (dup_ratio high =
+    * boilerplate/spam; top_share high = degenerate repetition). */
+  private val q95 = Q(
+    "q95_token_repetition",
+    (s, dir) =>
+      T(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+        .filter(length(col("token")) > 0)
+        .groupBy(col("doc_id"), col("token"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("cnt")).as("n_tok"),
+          count(lit(1)).as("n_distinct"),
+          round(lit(1.0) - count(lit(1)).cast(DoubleType) / sum(col("cnt")), 4)
+            .as("dup_ratio"),
+          round(max(col("cnt")).cast(DoubleType) / sum(col("cnt")), 4)
+            .as("top_share"))
+        .orderBy(asc_nulls_first("doc_id")),
+    Some("""WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+      tc AS (SELECT doc_id, token, COUNT(*) AS cnt FROM tok
+             WHERE length(token) > 0 GROUP BY doc_id, token)
+      SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_tok,
+             CAST(COUNT(*) AS BIGINT) AS n_distinct,
+             round(1.0 - CAST(COUNT(*) AS DOUBLE) / SUM(cnt), 4) AS dup_ratio,
+             round(CAST(MAX(cnt) AS DOUBLE) / SUM(cnt), 4) AS top_share
+      FROM tc GROUP BY doc_id ORDER BY doc_id ASC NULLS FIRST"""),
+    "Gopher-style token-repetition quality signals (text-analysis surface; two-level map-combinable agg)")
+
+  /** q96: PII scrubbing — the redaction pass every training-data pipeline
+    * runs before tokenization. The corpus carries no real PII, so every
+    * 20th document gets a deterministic synthetic email injected IN-QUERY
+    * (both engines derive the same string from doc_id), then the scrub
+    * counts and masks matches. Pure map-side (regexp per row, no shuffle
+    * but the final sort); the regex class ([a-z0-9.]+@[a-z0-9.]+) behaves
+    * identically under Java regex and RE2, and DuckDB needs the 'g' flag
+    * to match Spark's replace-all semantics. */
+  private val q96 = Q(
+    "q96_pii_redact",
+    (s, dir) => {
+      val pat = "[a-z0-9.]+@[a-z0-9.]+"
+      T(s, dir, "documents")
+        .withColumn("text2",
+          when(col("doc_id") % 20 === 0,
+            concat(col("text"), lit(" reach me at user"), col("doc_id"),
+              lit("@example.com or x"), col("doc_id"), lit("@mail.test thanks")))
+            .otherwise(col("text")))
+        .select(col("doc_id"),
+          regexp_count(col("text2"), lit(pat)).cast(LongType).as("n_pii"),
+          md5(regexp_replace(col("text2"), pat, "<EMAIL>").cast("binary")).as("clean_hash"))
+        .orderBy(asc_nulls_first("doc_id"))
+    },
+    Some("""WITH d AS (SELECT doc_id,
+        CASE WHEN doc_id % 20 = 0 THEN
+          concat(text, ' reach me at user', doc_id, '@example.com or x',
+                 doc_id, '@mail.test thanks')
+        ELSE text END AS text2 FROM documents)
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(text2, '[a-z0-9.]+@[a-z0-9.]+')) AS BIGINT) AS n_pii,
+             md5(regexp_replace(text2, '[a-z0-9.]+@[a-z0-9.]+', '<EMAIL>', 'g')) AS clean_hash
+      FROM d ORDER BY doc_id ASC NULLS FIRST"""),
+    "PII email redaction: count + mask, map-side regexp (training-pipeline scrub pass)")
+
+  val all: Seq[Q] = Seq(q20, q21, q22, q23, q28, q95, q96)
 }
