@@ -134,6 +134,19 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!(rebuilt eq first), "rebuild=true must bypass the cache")
   }
 
+  test("q97 bucketed fact join plans with ZERO exchanges") {
+    // broadcast disabled: the co-location must come from the bucketed
+    // layout, not from one side being small enough to ship
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val p = Bucketed.join(spark, dir).queryExecution.sparkPlan.toString
+      assert(p.contains("SortMergeJoin"), s"expected a sort-merge join:\n${p.take(500)}")
+      assert(!p.contains("Exchange"),
+        s"bucketed join must not shuffle either side:\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
   test("q75 range join is a bucket equi-join, not a nested-loop BETWEEN") {
     val p = planOf("q75_range_join_oracle")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
