@@ -625,7 +625,37 @@ object Relational {
     None,
     "approximate percentile sketch, q11's scale path (accuracy-bound spec vs exact)")
 
+  /** q98: sliding TIME-RANGE window — per-user rolling 1-hour count/sum
+    * (the rate/velocity feature a feature-engineering pipeline computes
+    * per event). RANGE frames (all rows within the interval, peers
+    * included) not ROWS frames, so duplicate timestamps aggregate
+    * identically in both engines; evaluated incrementally per partition
+    * after ONE exchange on user_id — no self-join, no per-row re-scan. */
+  private val q98 = Q(
+    "q98_sliding_window",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+        .rangeBetween(-3600L * 1000000L, 0L)
+      T(s, dir, "events")
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          col("value"))
+        .withColumn("n_1h", count(lit(1)).over(w))
+        .withColumn("sum_1h", sum(dec("value")).over(w).cast(DoubleType))
+        .drop("value")
+        .orderBy(asc_nulls_first("user_id"), asc_nulls_first("ts_us"),
+          asc_nulls_first("n_1h"))
+    },
+    Some("""SELECT user_id, ts_us,
+        COUNT(*) OVER w AS n_1h,
+        CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_1h
+      FROM (SELECT user_id, epoch_us(ts) AS ts_us, value FROM events)
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts_us ASC
+        RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+      ORDER BY user_id ASC NULLS FIRST, ts_us ASC NULLS FIRST, n_1h ASC NULLS FIRST"""),
+    "rolling 1-hour per-user window (RANGE frame): event-rate features, one exchange, incremental frame eval")
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q55, q56, q57, q62, q63,
-    q64, q67, q75, q76)
+    q64, q67, q75, q76, q98)
 }
