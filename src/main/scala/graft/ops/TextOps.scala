@@ -220,5 +220,53 @@ object TextOps {
       FROM d ORDER BY doc_id ASC NULLS FIRST"""),
     "PII email redaction: count + mask, map-side regexp (training-pipeline scrub pass)")
 
-  val all: Seq[Q] = Seq(q20, q21, q22, q23, q28, q95, q96)
+  /** q99: TF-IDF top-3 terms for the first 50 documents. DF and doc
+    * lengths come from the WHOLE corpus (two map-combinable aggregations
+    * over the token frame), the probe restriction applies only to the
+    * scored side; N rides a broadcast 1-row frame (no driver collect).
+    * Both engines round the score to 6 decimals BEFORE ranking so a
+    * sub-ulp libm ln() difference cannot flip an ordering. */
+  private val q99 = Q(
+    "q99_tfidf",
+    (s, dir) => {
+      val docs = T(s, dir, "documents")
+      val tc = docs
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+        .filter(length(col("token")) > 0)
+        .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("cnt"))
+      val nd = tc.groupBy(col("doc_id")).agg(sum(col("cnt")).as("n_tok"))
+      val dfreq = tc.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      val nn = docs.agg(count(lit(1)).as("nn"))
+      val scored = tc.filter(col("doc_id") < 50)
+        .join(nd, Seq("doc_id")).join(dfreq, Seq("token"))
+        .crossJoin(broadcast(nn))
+        .select(col("doc_id"), col("token"),
+          round((col("cnt").cast(DoubleType) / col("n_tok")) *
+            log(col("nn").cast(DoubleType) / col("df")), 6).as("tfidf"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(desc_nulls_last("tfidf"), asc_nulls_first("token"))
+      scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3).drop("rn")
+        .orderBy(asc_nulls_first("doc_id"), desc_nulls_last("tfidf"),
+          asc_nulls_first("token"))
+    },
+    Some("""WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+      tc AS (SELECT doc_id, token, COUNT(*) AS cnt FROM tok
+             WHERE length(token) > 0 GROUP BY doc_id, token),
+      nd AS (SELECT doc_id, SUM(cnt) AS n_tok FROM tc GROUP BY doc_id),
+      dfreq AS (SELECT token, COUNT(*) AS df FROM tc GROUP BY token),
+      n AS (SELECT COUNT(*) AS nn FROM documents),
+      s AS (SELECT tc.doc_id, tc.token,
+              round((CAST(cnt AS DOUBLE) / n_tok) * ln(CAST(nn AS DOUBLE) / df), 6) AS tfidf
+            FROM tc JOIN nd USING (doc_id) JOIN dfreq USING (token) CROSS JOIN n
+            WHERE tc.doc_id < 50),
+      r AS (SELECT doc_id, token, tfidf,
+              row_number() OVER (PARTITION BY doc_id
+                ORDER BY tfidf DESC NULLS LAST, token ASC NULLS FIRST) AS rn
+            FROM s)
+      SELECT doc_id, token, tfidf FROM r WHERE rn <= 3
+      ORDER BY doc_id ASC NULLS FIRST, tfidf DESC NULLS LAST, token ASC NULLS FIRST"""),
+    "TF-IDF top-3 terms per probe doc; corpus-wide DF via map-combinable aggs, broadcast N (text-analysis surface)")
+
+  val all: Seq[Q] = Seq(q20, q21, q22, q23, q28, q95, q96, q99)
 }
