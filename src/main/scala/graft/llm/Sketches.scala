@@ -116,5 +116,28 @@ object Sketches {
     None,
     "count-min-sketch heavy hitters + exact verify of candidates (novel-sketch slot, q67 sibling)")
 
-  val all: Seq[Q] = Seq(q77)
+  /** q100: the WHOLE sketch→candidates→exact-verify pipeline under the
+    * oracle gate. The CMS estimate is one-sided (never undercounts), so
+    * candidate generation can only over-select and the exact-verified,
+    * threshold-filtered output is EXACTLY the true heavy-hitter set —
+    * which DuckDB computes as a plain frequency filter. A dropped
+    * candidate (sketch bug) or inflated exact count (merge bug) breaks
+    * the hash; only the estimate column itself (engine-specific by
+    * design, spec-checked) stays outside the gate. */
+  private val q100 = Q(
+    "q100_heavy_hitters_oracle",
+    (s, dir) => {
+      val docs = T(s, dir, "documents")
+      val n = docs.count()
+      heavyHitters(s, docs, math.max(10L, n / 2)).drop("cms_estimate")
+    },
+    Some("""WITH tok AS (
+        SELECT unnest(string_split_regex(text, '\s+')) AS token FROM documents)
+      SELECT token, COUNT(*) AS exact_n FROM tok WHERE length(token) > 0
+      GROUP BY token
+      HAVING COUNT(*) >= greatest(10, (SELECT COUNT(*) // 2 FROM documents))
+      ORDER BY exact_n DESC NULLS LAST, token ASC NULLS FIRST"""),
+    "count-min sketch + exact verify equals the true heavy-hitter set (one-sided-error guarantee under the hash gate)")
+
+  val all: Seq[Q] = Seq(q77, q100)
 }
