@@ -543,5 +543,43 @@ object Dedup {
       FROM sh ORDER BY doc_a ASC NULLS FIRST"""),
     "exact 3-shingle n-gram Jaccard on in-query mixed-excerpt pairs (dedup verification kernel under the oracle gate)")
 
-  val all: Seq[Q] = Seq(q24, q25, q26, q27, q30, q92, q93, q94)
+  /** The end-to-end near-dup REMOVAL pipeline a training-data run
+    * actually executes — the capstone composing the repo's kernels:
+    * [[minhashPairs]] (signatures → LSH candidates → exact verify) →
+    * threshold filter → [[graft.ops.Graph.connectedComponents]]
+    * (pairs → clusters, O(log n) rounds) → canonical selection (min
+    * doc_id per cluster survives). Returns one row per input doc:
+    * (doc_id, cluster, keep). Every stage is the already-plan-audited
+    * scale shape; the composition adds no new shuffle beyond the CC
+    * rounds. */
+  def dedupPipeline(s: SparkSession, docs: DataFrame, threshold: Double): DataFrame = {
+    val pairs = minhashPairs(s, docs).filter(col("jaccard") >= threshold)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    graft.ops.Graph.connectedComponents(docs.select(col("doc_id").as("node")), pairs)
+      .select(col("node").as("doc_id"), col("component").as("cluster"),
+        (col("node") === col("component")).as("keep"))
+      .orderBy(asc_nulls_first("doc_id"))
+  }
+
+  /** q101: dedupPipeline over the corpus with duplicates planted
+    * IN-QUERY (the driver corpus is dup-free): every 25th doc gets a
+    * near-clone (3 appended tokens, shingle-Jaccard ≈ 0.9) and every
+    * 40th an exact clone. Deterministic end to end (hash signatures,
+    * banding, CC), so DedupSpec pins the exact expectation: planted ids
+    * cluster with their source and only the source keeps. */
+  private val q101 = Q(
+    "q101_dedup_pipeline",
+    (s, dir) => {
+      val base = T(s, dir, "documents").select(col("doc_id"), col("text"))
+      val near = base.filter(col("doc_id") % 25 === 0)
+        .select((col("doc_id") + 300000).as("doc_id"),
+          concat(col("text"), lit(" appended near dup suffix")).as("text"))
+      val exact = base.filter(col("doc_id") % 40 === 0)
+        .select((col("doc_id") + 400000).as("doc_id"), col("text"))
+      dedupPipeline(s, base.unionByName(near).unionByName(exact), 0.8)
+    },
+    None,
+    "capstone dedup: MinHash-LSH pairs -> connected components -> canonical doc per cluster (keep flags)")
+
+  val all: Seq[Q] = Seq(q24, q25, q26, q27, q30, q92, q93, q94, q101)
 }

@@ -33,6 +33,25 @@ class DedupSpec extends AnyFunSuite {
     assert(j > 0.5, s"exact jaccard of near-dup should be high, got $j")
   }
 
+  test("q101 pipeline: planted clones cluster with their source; only the source keeps") {
+    // distinct-vocab corpus + a near clone of doc 0 and an exact clone of
+    // doc 1 — the pipeline must produce exactly two 2-doc clusters
+    val rnd = new scala.util.Random(31)
+    def sentence() = Iterator.fill(14)("w" + rnd.nextInt(8000)).mkString(" ")
+    val docs = (0L until 60L).map(i => (i, Iterator.fill(6)(sentence()).mkString(". ")))
+    val all = docs ++ Seq(
+      (300000L, docs(0)._2 + " appended near dup suffix"),
+      (400001L, docs(1)._2))
+    val out = Dedup.dedupPipeline(spark, docsDf(all), 0.8).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(out(300000L) === ((0L, false)), s"near clone: ${out(300000L)}")
+    assert(out(400001L) === ((1L, false)), s"exact clone: ${out(400001L)}")
+    assert(out(0L) === ((0L, true)) && out(1L) === ((1L, true)))
+    val others = out.filter { case (id, _) => id >= 2L && id < 60L }
+    assert(others.forall { case (id, (cl, keep)) => cl == id && keep },
+      "an unplanted doc was clustered away")
+  }
+
   test("exact jaccard of identical docs is 1.0") {
     val docs = docsDf(Seq((1L, base), (2L, base)))
     val pairs = Dedup.minhashPairs(spark, docs).collect()
