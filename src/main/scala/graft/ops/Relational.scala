@@ -655,7 +655,32 @@ object Relational {
       ORDER BY user_id ASC NULLS FIRST, ts_us ASC NULLS FIRST, n_1h ASC NULLS FIRST"""),
     "rolling 1-hour per-user window (RANGE frame): event-rate features, one exchange, incremental frame eval")
 
+  /** q102: HOPPING (sliding) window aggregation — `window(ts, 1h, 15m)`,
+    * q17's tumbling sibling from SURVEY §7.2 v5. Each event lands in
+    * exactly 4 overlapping windows (duration/slide); Spark's generator
+    * explodes the assignment map-side, so the shuffle carries 4× rows of
+    * (window, partials) — never a self-join against a window spine. The
+    * oracle reproduces Spark's epoch-aligned window starts with integer
+    * µs arithmetic (floor to slide, back-step k slides). */
+  private val q102 = Q(
+    "q102_hopping_window",
+    (s, dir) =>
+      T(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_value"))
+        .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("wstart"),
+          col("n_events"), col("sum_value"))
+        .orderBy(asc_nulls_first("wstart")),
+    Some("""SELECT strftime(make_timestamp(((epoch_us(ts) // 900000000) - k) * 900000000),
+               '%Y-%m-%d %H:%M:%S') AS wstart,
+             COUNT(*) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      FROM (SELECT ts, value, unnest([0,1,2,3]) AS k FROM events)
+      GROUP BY 1 ORDER BY wstart ASC NULLS FIRST"""),
+    "hopping-window agg (1h window, 15m slide): map-side window explosion, epoch-aligned starts (SURVEY §7.2 v5)")
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q55, q56, q57, q62, q63,
-    q64, q67, q75, q76, q98)
+    q64, q67, q75, q76, q98, q102)
 }
