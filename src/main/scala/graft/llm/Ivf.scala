@@ -155,5 +155,48 @@ object Ivf {
     None,
     "IVF approximate top-k: seed+Lloyd centroids computed once, nprobe probing (similarity scale path #2)")
 
-  val all: Seq[Q] = Seq(q31)
+  /** q105: the k-means UPDATE step — per-label mean vector — as a plain
+    * distributed aggregation under the DuckDB oracle gate (the IVF
+    * centroid build above runs this arithmetic driver-side over a bounded
+    * sample; this is the shape that trains centroids over ALL vectors at
+    * 100 TB: posexplode to (label, pos, value), one map-combinable
+    * groupBy — the shuffle carries 64 partial sums per label, never
+    * vectors). Floats are quantized `floor(v·10⁶)` into exact integer
+    * space before summing so both engines accumulate identically
+    * regardless of addition order (Q.scala determinism note: double sums
+    * are order-sensitive; integer sums are not), and the mean is rounded
+    * to whole microunits IN integer space — half-away-from-zero via
+    * nonnegative integer division, where Spark `div` and DuckDB `//`
+    * agree — because the true mean is a small-denominator rational that
+    * can land exactly on a .5 tie, where double `round()` diverges
+    * between the engines (Spark rounds the shortest decimal repr, DuckDB
+    * the binary value). */
+  private val q105 = Q(
+    "q105_label_centroids",
+    (s, dir) =>
+      T(s, dir, "embeddings")
+        .select(col("label"),
+          posexplode(col("embedding").cast(ArrayType(DoubleType))))
+        .select(col("label"), col("pos").cast("long").as("pos"),
+          floor(col("col") * 1e6).as("q"))
+        .groupBy(col("label"), col("pos"))
+        .agg(count(lit(1)).as("n"), sum(col("q")).as("s"))
+        .select(col("label"), col("pos"), col("n"),
+          (expr("case when s >= 0 then (2*s + n) div (2*n) else -((2*(-s) + n) div (2*n)) end")
+            / lit(1e6)).as("mean_v"))
+        .orderBy(asc_nulls_first("label"), asc_nulls_first("pos")),
+    Some("""WITH e AS (SELECT label,
+               unnest(CAST(embedding AS DOUBLE[])) AS v,
+               unnest(generate_series(0, len(embedding) - 1)) AS pos
+             FROM embeddings),
+      a AS (SELECT label, pos, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CAST(floor(v * 1e6) AS BIGINT)) AS BIGINT) AS s
+            FROM e GROUP BY label, pos)
+      SELECT label, pos, n,
+             CAST(CASE WHEN s >= 0 THEN (2*s + n) // (2*n)
+                       ELSE -((2*(-s) + n) // (2*n)) END AS BIGINT) / 1e6 AS mean_v
+      FROM a ORDER BY label ASC NULLS FIRST, pos ASC NULLS FIRST"""),
+    "k-means update step: per-label mean embedding via map-combinable agg, integer-exact sums (similarity surface)")
+
+  val all: Seq[Q] = Seq(q31, q105)
 }

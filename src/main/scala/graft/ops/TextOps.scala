@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.{Q, T}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{ArrayType, DecimalType, DoubleType, LongType}
 import org.apache.spark.sql.expressions.Window
@@ -268,5 +269,127 @@ object TextOps {
       ORDER BY doc_id ASC NULLS FIRST, tfidf DESC NULLS LAST, token ASC NULLS FIRST"""),
     "TF-IDF top-3 terms per probe doc; corpus-wide DF via map-combinable aggs, broadcast N (text-analysis surface)")
 
-  val all: Seq[Q] = Seq(q20, q21, q22, q23, q28, q95, q96, q99)
+  /** q103: benchmark decontamination — the test-set-overlap removal pass a
+    * training-data pipeline runs before training (word-8-gram match, the
+    * GPT-3/PaLM style n-gram rule). The benchmark side is derived IN-QUERY
+    * (words 4..11 of every 40th doc, id-capped) so overlap is guaranteed
+    * and both engines build the identical set; the cap makes it bounded by
+    * construction — a real benchmark set is a few thousand items however
+    * big the corpus grows, which is why the broadcast hint is correct here
+    * (contrast q92, where the probe side scaled with the corpus and the
+    * hint had to go). Corpus grams explode map-side and probe the
+    * broadcast hash set: no shuffle of corpus text at all; the only
+    * exchange is the doc-sized hit aggregation. */
+  private val q103 = Q(
+    "q103_decontaminate",
+    (s, dir) => {
+      val withW = T(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+      val bench = withW
+        .filter(col("doc_id") % 40 === 0 && col("doc_id") < 10000 &&
+          size(col("w")) >= 11)
+        .select(col("doc_id").as("bench_id"),
+          array_join(slice(col("w"), 4, 8), " ").as("gram"))
+      val grams = withW.filter(size(col("w")) >= 8)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(w) - 7), i -> array_join(slice(w, i, 8), ' '))"))
+          .as("gram"))
+      grams.join(broadcast(bench), Seq("gram"))
+        .groupBy(col("doc_id"))
+        .agg(countDistinct(col("bench_id")).as("n_bench_hits"))
+        .orderBy(asc_nulls_first("doc_id"))
+    },
+    Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      b AS (SELECT doc_id AS bench_id, array_to_string(w[4:11], ' ') AS gram
+            FROM w WHERE doc_id % 40 = 0 AND doc_id < 10000 AND len(w) >= 11),
+      g AS (SELECT doc_id,
+              unnest([array_to_string(w[i:i+7], ' ') FOR i IN generate_series(1, len(w)-7)]) AS gram
+            FROM w WHERE len(w) >= 8)
+      SELECT doc_id, CAST(COUNT(DISTINCT bench_id) AS BIGINT) AS n_bench_hits
+      FROM g JOIN b USING (gram)
+      GROUP BY doc_id ORDER BY doc_id ASC NULLS FIRST"""),
+    "benchmark decontamination: word-8-gram overlap vs a bounded broadcast benchmark set (training-pipeline surface)")
+
+  /** q104: sliding-window chunking — the context-packing prep step that
+    * splits each document into 64-word chunks with 16-word overlap
+    * (stride 48). Pure map-side (explode of a per-row transform, no
+    * shuffle but the presentation sort); at 100 TB this pipelines inside
+    * whole-stage codegen the way q21's stats do. The tail chunk is
+    * shorter, never dropped; every word lands in ≥1 chunk. */
+  private val q104 = Q(
+    "q104_chunk_overlap",
+    (s, dir) =>
+      T(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .select(col("doc_id"), col("w"), posexplode(expr(
+          """transform(sequence(0, greatest(cast(ceil((size(w) - 64) / 48.0) as int), 0)),
+             i -> array_join(slice(w, i * 48 + 1, 64), ' '))""")))
+        .select(col("doc_id"), col("pos").cast(LongType).as("chunk_idx"),
+          least(lit(64), size(col("w")) - col("pos") * 48).cast(LongType).as("n_words"),
+          md5(col("col").cast("binary")).as("chunk_hash"))
+        .orderBy(asc_nulls_first("doc_id"), asc_nulls_first("chunk_idx")),
+    Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      c AS (SELECT doc_id, len(w) AS n,
+              unnest(generate_series(0, greatest(CAST(ceil((len(w) - 64) / 48.0) AS INT), 0))) AS chunk_idx,
+              unnest([array_to_string(w[i*48+1 : i*48+64], ' ')
+                      FOR i IN generate_series(0, greatest(CAST(ceil((len(w) - 64) / 48.0) AS INT), 0))]) AS chunk
+            FROM w)
+      SELECT doc_id, chunk_idx, CAST(least(64, n - chunk_idx*48) AS BIGINT) AS n_words,
+             md5(chunk) AS chunk_hash
+      FROM c ORDER BY doc_id ASC NULLS FIRST, chunk_idx ASC NULLS FIRST"""),
+    "sliding-window 64/16-overlap word chunking, map-only (context-packing prep surface)")
+
+  /** Greedy first-fit sequence packing: fill bins of `cap` chars in doc_id
+    * order, opening a new bin when the next doc would overflow (an
+    * oversized doc gets its own bin). Inherently sequential WITHIN a
+    * shard — each prefix decides the next bin — so the distribution unit
+    * is the group key: state per group is one (bin, fill) pair and one
+    * sorted buffer. At 100 TB the shard key is (source, day-bucket),
+    * bounding both group size and packing locality; packing across shards
+    * would serialize the whole corpus through one task, which no engine
+    * does. */
+  def packBySource(s: SparkSession, docs: DataFrame, cap: Long): DataFrame = {
+    import s.implicits._
+    docs.select(col("source"), col("doc_id"), col("n_chars"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (src: String, it: Iterator[(String, Long, Long)]) =>
+        val sorted = it.map(t => (t._2, t._3)).toVector.sortBy(_._1)
+        var bin = 1L
+        var fill = 0L
+        sorted.map { case (id, n) =>
+          if (fill > 0 && fill + n > cap) { bin += 1; fill = n }
+          else fill += n
+          (src, id, bin, fill)
+        }
+      }
+      .toDF("source", "doc_id", "bin", "bin_fill")
+  }
+
+  /** q106: packing under the oracle gate — DuckDB replays the identical
+    * greedy recurrence as a recursive CTE (row_number chain per source),
+    * so the driver hash-checks every (doc → bin, running fill) decision,
+    * not just bin counts. */
+  private val q106 = Q(
+    "q106_pack_sequences",
+    (s, dir) =>
+      packBySource(s, T(s, dir, "documents"), 4096L)
+        .orderBy(asc_nulls_first("source"), asc_nulls_first("doc_id")),
+    Some("""WITH RECURSIVE d AS (
+        SELECT source, doc_id, n_chars,
+               row_number() OVER (PARTITION BY source ORDER BY doc_id ASC) AS rn
+        FROM documents),
+      p AS (
+        SELECT source, rn, doc_id, CAST(1 AS BIGINT) AS bin, n_chars AS fill
+        FROM d WHERE rn = 1
+        UNION ALL
+        SELECT d.source, d.rn, d.doc_id,
+               CASE WHEN p.fill + d.n_chars > 4096 THEN p.bin + 1 ELSE p.bin END,
+               CASE WHEN p.fill + d.n_chars > 4096 THEN d.n_chars ELSE p.fill + d.n_chars END
+        FROM p JOIN d ON d.source = p.source AND d.rn = p.rn + 1)
+      SELECT source, doc_id, bin, fill AS bin_fill FROM p
+      ORDER BY source ASC NULLS FIRST, doc_id ASC NULLS FIRST"""),
+    "greedy first-fit sequence packing per source shard (training-batch prep; DuckDB recursive-CTE oracle)")
+
+  val all: Seq[Q] = Seq(q20, q21, q22, q23, q28, q95, q96, q99, q103, q104, q106)
 }
