@@ -198,5 +198,42 @@ object Ivf {
       FROM a ORDER BY label ASC NULLS FIRST, pos ASC NULLS FIRST"""),
     "k-means update step: per-label mean embedding via map-combinable agg, integer-exact sums (similarity surface)")
 
-  val all: Seq[Q] = Seq(q31, q105)
+  /** q107: per-vector int8 scalar quantization — the compression step an
+    * ANN index runs before storing vectors (4× memory cut at 100 TB, the
+    * difference between an in-RAM and a spilled index). Pure map-side:
+    * per-row scale = 127/max|v|, codes = floor(vᵢ·scale) — every output
+    * is integer-exact (floor of the SAME IEEE double product on both
+    * engines; sums of small ints are order-free), so the oracle hashes
+    * the exact code-book statistics: max-magnitude, code sum, and code
+    * energy (sum of squared codes) per vector. No shuffle but the
+    * presentation sort. */
+  private val q107 = Q(
+    "q107_scalar_quant",
+    (s, dir) =>
+      T(s, dir, "embeddings")
+        .select(col("vec_id"),
+          col("embedding").cast(ArrayType(DoubleType)).as("v"))
+        .select(col("vec_id"),
+          expr("array_max(transform(v, x -> abs(x)))").as("mx"),
+          col("v"))
+        .filter(col("mx") > 0)
+        .select(col("vec_id"),
+          floor(col("mx") * 1e6).as("mx_micro"),
+          expr("aggregate(transform(v, x -> floor(x * (127.0D / mx))), 0L, (a, x) -> a + x)")
+            .as("sum_q"),
+          expr("aggregate(transform(v, x -> floor(x * (127.0D / mx))), 0L, (a, x) -> a + x * x)")
+            .as("sum_q2"))
+        .orderBy(asc_nulls_first("vec_id")),
+    Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      m AS (SELECT vec_id, v, list_max([abs(x) FOR x IN v]) AS mx FROM e),
+      q AS (SELECT vec_id, mx, [floor(x * (127.0 / mx)) FOR x IN v] AS qs
+            FROM m WHERE mx > 0)
+      SELECT vec_id,
+             CAST(floor(mx * 1e6) AS BIGINT) AS mx_micro,
+             CAST(list_sum(qs) AS BIGINT) AS sum_q,
+             CAST(list_sum([x * x FOR x IN qs]) AS BIGINT) AS sum_q2
+      FROM q ORDER BY vec_id ASC NULLS FIRST"""),
+    "int8 scalar quantization of embeddings, map-only integer-exact code stats (ANN compression step)")
+
+  val all: Seq[Q] = Seq(q31, q105, q107)
 }

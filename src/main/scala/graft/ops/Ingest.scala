@@ -105,5 +105,68 @@ object Ingest {
       ORDER BY l_returnflag ASC NULLS FIRST"""),
     "ORC sink + source round trip; oracle aggregates the parquet original")
 
-  val all: Seq[Q] = Seq(q51, q88)
+  /** MERGE INTO (upsert) as a read-side join — the table-maintenance
+    * operation the S8 replace-table sink generalizes to when only part of
+    * the table changes. Target FULL OUTER JOIN staged batch on the key;
+    * matched rows take the staged values (UPDATE), unmatched staged rows
+    * append (INSERT), the rest keep. The join is co-partitioned on the
+    * key (both sides shuffle once; AQE picks the strategy) — at 100 TB
+    * with a date/key-partitioned target the staged keys prune the merge
+    * to touched partitions and the rewrite is dynamic partition
+    * overwrite, which is exactly the merge-on-read shape lakehouse
+    * formats execute. */
+  def mergeUpsert(target: DataFrame, staged: DataFrame, key: String): DataFrame = {
+    val cols = target.columns.filterNot(_ == key)
+    val merged = target.join(
+      staged.select(col(key) +: cols.map(c => col(c).as(s"__s_$c")): _*),
+      Seq(key), "full_outer")
+    val action =
+      when(col(s"__s_${cols.head}").isNotNull && col(cols.head).isNotNull, "update")
+        .when(col(cols.head).isNull, "insert").otherwise("keep")
+    merged.select(
+      col(key) +: cols.map(c => coalesce(col(s"__s_$c"), col(c)).as(c))
+        :+ action.as("merge_action"): _*)
+  }
+
+  /** q108: the merge under the oracle gate. The staged batch is derived
+    * IN-QUERY (every 10th order re-priced +1.00 and re-prioritized; one
+    * synthetic insert per 100th key, offset out of the key range), and
+    * the result is fingerprinted per (action, final priority) with
+    * decimal-exact sums, so the hash pins every UPDATE/INSERT/KEEP
+    * decision and every merged value. */
+  private val q108 = Q(
+    "q108_merge_upsert",
+    (s, dir) => {
+      val t = T(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+      val upd = t.filter(col("o_orderkey") % 10 === 0)
+        .select(col("o_orderkey"), lit("U-UPDATED").as("o_orderpriority"),
+          (col("o_totalprice") + lit(1.0)).as("o_totalprice"))
+      val ins = t.filter(col("o_orderkey") % 100 === 0)
+        .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+          lit("N-NEW").as("o_orderpriority"),
+          lit(1000.0).as("o_totalprice"))
+      mergeUpsert(t, upd.unionByName(ins), "o_orderkey")
+        .groupBy(col("merge_action"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2))).cast(DoubleType).as("total"))
+        .orderBy(asc_nulls_first("merge_action"), asc_nulls_first("o_orderpriority"))
+    },
+    Some("""WITH t AS (SELECT o_orderkey AS k, o_orderpriority AS tp, o_totalprice AS tv
+               FROM orders),
+      u AS (SELECT k, 'U-UPDATED' AS sp, tv + 1.0 AS sv FROM t WHERE k % 10 = 0),
+      i AS (SELECT k + 10000000 AS k, 'N-NEW' AS sp, CAST(1000.0 AS DOUBLE) AS sv
+            FROM t WHERE k % 100 = 0),
+      sgd AS (SELECT * FROM u UNION ALL SELECT * FROM i),
+      m AS (SELECT coalesce(sp, tp) AS p, coalesce(sv, tv) AS v,
+                   CASE WHEN sp IS NOT NULL AND tp IS NOT NULL THEN 'update'
+                        WHEN tp IS NULL THEN 'insert' ELSE 'keep' END AS merge_action
+            FROM t FULL OUTER JOIN sgd ON t.k = sgd.k)
+      SELECT merge_action, p AS o_orderpriority, COUNT(*) AS n,
+             CAST(SUM(CAST(v AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM m GROUP BY merge_action, p
+      ORDER BY merge_action ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST"""),
+    "MERGE INTO via full-outer read-side join: update/insert/keep decisions fingerprinted per action+priority")
+
+  val all: Seq[Q] = Seq(q51, q88, q108)
 }
