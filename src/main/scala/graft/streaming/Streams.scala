@@ -74,6 +74,42 @@ object Streams {
       FROM events GROUP BY 1 ORDER BY hour ASC NULLS FIRST"""),
     "streaming tumbling-window agg, complete mode; agrees with batch q17 (SURVEY §2.9)")
 
+  /** Hopping (sliding) window as a STREAM: `window(ts, 1h, 15m)` over the
+    * file source — each event expands to its 4 overlapping windows
+    * map-side inside the micro-batch, state is one aggregate row per open
+    * window (4× the tumbling count, still window-spine-sized, never
+    * event-sized). Complete-mode memory sink holds aggregate rows only. */
+  def streamHoppingWindow(s: SparkSession, dir: String): DataFrame = withStatePartitions(s, 8) {
+    val schema = s.read.parquet(s"$dir/events.parquet").schema
+    val stream = s.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val agg = stream
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_value"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("wstart"),
+        col("n_events"), col("sum_value"))
+    val name = s"stream_hopping_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(name).orderBy(asc_nulls_first("wstart"))
+  }
+
+  private val q109 = Q(
+    "q109_stream_hopping",
+    (s, dir) => streamHoppingWindow(s, dir),
+    // same oracle as the batch twin q102 — stream must agree with batch
+    Some("""SELECT strftime(make_timestamp(((epoch_us(ts) // 900000000) - k) * 900000000),
+               '%Y-%m-%d %H:%M:%S') AS wstart,
+             COUNT(*) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      FROM (SELECT ts, value, unnest([0,1,2,3]) AS k FROM events)
+      GROUP BY 1 ORDER BY wstart ASC NULLS FIRST"""),
+    "streaming hopping-window agg (1h/15m), complete mode; agrees with batch q102 (SURVEY §2.9)")
+
   /** Gap-based sessionization (30-min inactivity) — the classic stateful
     * streaming analytic, here in its batch form: lag → new-session flag →
     * running sum → per-session agg. Fully window-function shaped, so the
@@ -346,5 +382,5 @@ object Streams {
       ORDER BY user_id ASC NULLS FIRST, sess_id ASC NULLS FIRST"""),
     "flatMapGroupsWithState gap sessionization (stream), sharing q52's oracle (SURVEY §2.9)")
 
-  val all: Seq[Q] = Seq(q50, q52, q65, q73, q80)
+  val all: Seq[Q] = Seq(q50, q52, q65, q73, q80, q109)
 }

@@ -160,4 +160,37 @@ class PlanShapeSpec extends AnyFunSuite {
       "as-of join must not plan a quadratic join")
     assert(p.contains("Window"), "missing the ignoreNulls last() window")
   }
+
+  test("q103 decontamination broadcasts the bounded benchmark side only") {
+    val p = planOf("q103_decontaminate")
+    assert(p.contains("BroadcastHashJoin"),
+      "benchmark gram set is bounded by construction and must broadcast")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "corpus grams must probe the broadcast map-side, never shuffle to a join")
+  }
+
+  // AdaptiveSparkPlanExec hides its input plan from TreeNode.collect, so
+  // exchange-shape assertions read the formatted plan string instead.
+  private def exchangeLines(name: String): List[String] =
+    planOf(name).linesIterator.filter(_.contains("Exchange")).toList
+
+  test("q104 chunking is map-only: the only exchange is the presentation sort") {
+    val ex = exchangeLines("q104_chunk_overlap")
+    assert(ex.size == 1, s"expected only the sort exchange, got:\n${ex.mkString("\n")}")
+    assert(ex.head.contains("rangepartitioning"),
+      "the single exchange must be the presentation sort, not a join/agg shuffle")
+  }
+
+  test("q107 quantization is map-only: no agg/join shuffle, vectors never move") {
+    val ex = exchangeLines("q107_scalar_quant")
+    assert(ex.size == 1, s"expected only the sort exchange, got:\n${ex.mkString("\n")}")
+    assert(ex.head.contains("rangepartitioning"),
+      "quantization must reduce map-side; a hash exchange would carry vectors")
+  }
+
+  test("q108 merge plans a single co-partitioned join on the key") {
+    val p = planOf("q108_merge_upsert")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "merge must be a key equi-join")
+  }
 }
