@@ -235,5 +235,40 @@ object Ivf {
       FROM q ORDER BY vec_id ASC NULLS FIRST"""),
     "int8 scalar quantization of embeddings, map-only integer-exact code stats (ANN compression step)")
 
-  val all: Seq[Q] = Seq(q31, q105, q107)
+  /** q113: Matryoshka truncation audit — before a pipeline truncates
+    * embeddings to a dim prefix (the MRL serving trick: store 64, search
+    * 8), it measures how much L2 energy the prefix retains per vector.
+    * Map-only like q107 and integer-exact the same way: components are
+    * quantized to 1e-6 (floor of the same IEEE product on both engines),
+    * energies are sums of small int squares (order-free), and the one
+    * float output — sqrt of the exact ratio — is correctly-rounded IEEE,
+    * identical on both engines before round(,6). At 100 TB this pipelines
+    * into the scan: no shuffle but the presentation sort. */
+  private val q113 = Q(
+    "q113_matryoshka",
+    (s, dir) =>
+      T(s, dir, "embeddings")
+        .select(col("vec_id"),
+          expr("transform(CAST(embedding AS ARRAY<DOUBLE>), x -> floor(x * 1e6))")
+            .as("q"))
+        .select(col("vec_id"),
+          expr("aggregate(q, 0L, (a, x) -> a + x * x)").as("e_full"),
+          expr("aggregate(slice(q, 1, 8), 0L, (a, x) -> a + x * x)").as("e8"))
+        .filter(col("e_full") > 0)
+        .select(col("vec_id"), col("e_full"), col("e8"),
+          round(sqrt(col("e8").cast(DoubleType) / col("e_full")), 6).as("retained"))
+        .orderBy(asc_nulls_first("vec_id")),
+    Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      q AS (SELECT vec_id,
+              [CAST(floor(x * 1e6) AS BIGINT) FOR x IN v] AS qs FROM e),
+      s AS (SELECT vec_id,
+              CAST(list_sum([x * x FOR x IN qs]) AS BIGINT) AS e_full,
+              CAST(list_sum([x * x FOR x IN qs[1:8]]) AS BIGINT) AS e8
+            FROM q)
+      SELECT vec_id, e_full, e8,
+             round(sqrt(CAST(e8 AS DOUBLE) / e_full), 6) AS retained
+      FROM s WHERE e_full > 0 ORDER BY vec_id ASC NULLS FIRST"""),
+    "Matryoshka prefix energy-retention per embedding, integer-exact quantized energies (truncation-audit surface)")
+
+  val all: Seq[Q] = Seq(q31, q105, q107, q113)
 }

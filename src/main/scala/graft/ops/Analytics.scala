@@ -2,7 +2,8 @@ package graft.ops
 
 import graft.{Q, T}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DecimalType, DoubleType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+import org.apache.spark.sql.expressions.Window
 
 /** Round-4 relational/analytic extensions beyond the reference's §2 surface:
   * anti/semi join chains, pivot, grouping sets, time-series gap-fill with
@@ -294,5 +295,48 @@ object Analytics {
       GROUP BY l_returnflag ORDER BY l_returnflag ASC NULLS FIRST"""),
     "deterministic arithmetic sampling (reproducible across engines/runs)")
 
-  val all: Seq[Q] = Seq(q83, q84, q85, q86, q87, q89, q90, q91)
+  /** q112: deterministic global shuffle (training-order permutation) —
+    * every epoch pipeline needs a reproducible random-looking total order
+    * over the corpus. The naive plan (row_number over a global ORDER BY)
+    * collapses into ONE partition's window; this one never does: the mix
+    * hash is range-bucketed by its high bits (bucket = h div 16384, so
+    * bucket order == hash order), positions are
+    * `global = bucket offset + local row_number`, where the offsets are a
+    * 64-row prefix-sum (tiny, broadcast back) and the row_number window is
+    * PARTITIONED by bucket — at 100 TB every stage is either O(#buckets)
+    * or embarrassingly parallel, and the permutation is identical on any
+    * cluster size. DuckDB replays it as the straight global row_number,
+    * proving the two formulations agree row-for-row. */
+  private val q112 = Q(
+    "q112_global_shuffle",
+    (s, dir) => {
+      val base = T(s, dir, "documents")
+        .select(col("doc_id"),
+          ((col("doc_id") * 1315423911L) % 1048573L).as("h"))
+        .withColumn("bucket", expr("h div 16384"))
+      val offsets = base.groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
+        .withColumn("off",
+          coalesce(sum(col("cnt")).over(
+            Window.orderBy(asc("bucket"))
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .drop("cnt")
+      val w = Window.partitionBy(col("bucket"))
+        .orderBy(asc("h"), asc("doc_id"))
+      base.join(broadcast(offsets), Seq("bucket"))
+        .withColumn("pos",
+          (col("off") + row_number().over(w) - lit(1)).cast(LongType))
+        .filter(col("doc_id") % 97 === 0)
+        .select(col("doc_id"), col("pos"))
+        .orderBy(asc_nulls_first("pos"))
+    },
+    Some("""WITH b AS (
+        SELECT doc_id, (doc_id * 1315423911) % 1048573 AS h FROM documents),
+      p AS (SELECT doc_id,
+              ROW_NUMBER() OVER (ORDER BY h ASC, doc_id ASC) - 1 AS pos
+            FROM b)
+      SELECT doc_id, pos FROM p WHERE doc_id % 97 = 0
+      ORDER BY pos ASC NULLS FIRST"""),
+    "reproducible global training-order permutation via range-bucketed hash + distributed per-bucket row_number (no single-partition window)")
+
+  val all: Seq[Q] = Seq(q83, q84, q85, q86, q87, q89, q90, q91, q112)
 }

@@ -391,5 +391,104 @@ object TextOps {
       ORDER BY source ASC NULLS FIRST, doc_id ASC NULLS FIRST"""),
     "greedy first-fit sequence packing per source shard (training-batch prep; DuckDB recursive-CTE oracle)")
 
-  val all: Seq[Q] = Seq(q20, q21, q22, q23, q28, q95, q96, q99, q103, q104, q106)
+  /** q110: Okapi BM25 (k1=1.2, b=0.75) top-3 terms per probe doc — the
+    * retrieval scorer a RAG/dedup-audit pipeline runs where q99's TF-IDF
+    * is too length-biased. Same scale shape as q99: corpus-wide df and
+    * doc-length stats are two map-combinable aggregations over ONE token
+    * frame; the 1-row (N, total-length) frame rides a broadcast; only the
+    * probe slice is scored. Both engines round to 6 decimals BEFORE
+    * ranking (ln() is the one sub-ulp-divergent operation; every other
+    * term is the same IEEE arithmetic in the same order). */
+  private val q110 = Q(
+    "q110_bm25",
+    (s, dir) => {
+      val docs = T(s, dir, "documents")
+      val tc = docs
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+        .filter(length(col("token")) > 0)
+        .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+      val nd = tc.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+      val dfreq = tc.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      val stats = nd.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot_dl"))
+      val scored = tc.filter(col("doc_id") < 50)
+        .join(nd, Seq("doc_id")).join(dfreq, Seq("token"))
+        .crossJoin(broadcast(stats))
+        .select(col("doc_id"), col("token"),
+          round(
+            log((col("n_docs").cast(DoubleType) - col("df") + lit(0.5)) /
+                (col("df") + lit(0.5)) + lit(1.0)) *
+              (col("tf") * lit(2.2)) /
+              (col("tf") + lit(1.2) *
+                (lit(0.25) + lit(0.75) *
+                  (col("dl").cast(DoubleType) /
+                    (col("tot_dl").cast(DoubleType) / col("n_docs"))))),
+            6).as("bm25"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(desc_nulls_last("bm25"), asc_nulls_first("token"))
+      scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3).drop("rn")
+        .orderBy(asc_nulls_first("doc_id"), desc_nulls_last("bm25"),
+          asc_nulls_first("token"))
+    },
+    Some("""WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+      tc AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok
+             WHERE length(token) > 0 GROUP BY doc_id, token),
+      nd AS (SELECT doc_id, SUM(tf) AS dl FROM tc GROUP BY doc_id),
+      dfreq AS (SELECT token, COUNT(*) AS df FROM tc GROUP BY token),
+      st AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS tot_dl FROM nd),
+      sc AS (SELECT tc.doc_id, tc.token,
+              round(ln((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0)
+                * (tf * 2.2)
+                / (tf + 1.2 * (0.25 + 0.75 *
+                    (CAST(dl AS DOUBLE) / (CAST(tot_dl AS DOUBLE) / n_docs)))), 6) AS bm25
+             FROM tc JOIN nd USING (doc_id) JOIN dfreq USING (token) CROSS JOIN st
+             WHERE tc.doc_id < 50),
+      r AS (SELECT doc_id, token, bm25,
+              row_number() OVER (PARTITION BY doc_id
+                ORDER BY bm25 DESC NULLS LAST, token ASC NULLS FIRST) AS rn
+            FROM sc)
+      SELECT doc_id, token, bm25 FROM r WHERE rn <= 3
+      ORDER BY doc_id ASC NULLS FIRST, bm25 DESC NULLS LAST, token ASC NULLS FIRST"""),
+    "Okapi BM25 top-3 terms per probe doc; corpus stats via map-combinable aggs + broadcast (retrieval-scoring surface)")
+
+  /** q111: domain-mixing stratified sample — the pass that re-weights a
+    * raw crawl toward a target language/domain mixture before training
+    * (e.g. upsample en, downsample the tail). Selection is deterministic
+    * arithmetic hashing on doc_id (reproducible across engines, runs, and
+    * partitionings — same idea as q91, per-stratum rate), so the sample is
+    * a pure map-side filter: no shuffle until the per-language audit agg,
+    * and at 100 TB the filter pipelines into the scan. The audit joins
+    * kept counts against full-corpus counts (broadcast: |langs| rows) to
+    * report the achieved rate next to the target. */
+  private val q111 = Q(
+    "q111_stratified_sample",
+    (s, dir) => {
+      val docs = T(s, dir, "documents")
+      val rate = when(col("lang") === "en", lit(60L))
+        .when(col("lang") === "de", lit(25L)).otherwise(lit(10L))
+      val kept = docs
+        .filter((col("doc_id") * 2654435761L) % 100 < rate)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("chars_kept"))
+      val totals = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_total"))
+      kept.join(broadcast(totals), Seq("lang"))
+        .select(col("lang"), col("n_total"), col("n_kept"), col("chars_kept"),
+          round(col("n_kept").cast(DoubleType) / col("n_total"), 6).as("achieved"))
+        .orderBy(asc_nulls_first("lang"))
+    },
+    Some("""WITH kept AS (
+        SELECT lang, COUNT(*) AS n_kept, SUM(n_chars) AS chars_kept
+        FROM documents
+        WHERE (doc_id * 2654435761) % 100 <
+          CASE lang WHEN 'en' THEN 60 WHEN 'de' THEN 25 ELSE 10 END
+        GROUP BY lang),
+      tot AS (SELECT lang, COUNT(*) AS n_total FROM documents GROUP BY lang)
+      SELECT lang, n_total, n_kept, chars_kept,
+             round(CAST(n_kept AS DOUBLE) / n_total, 6) AS achieved
+      FROM kept JOIN tot USING (lang)
+      ORDER BY lang ASC NULLS FIRST"""),
+    "per-language deterministic-hash sampling to a target mixture + achieved-rate audit (domain-mixing surface)")
+
+  val all: Seq[Q] =
+    Seq(q20, q21, q22, q23, q28, q95, q96, q99, q103, q104, q106, q110, q111)
 }
