@@ -307,28 +307,36 @@ object Analytics {
     * or embarrassingly parallel, and the permutation is identical on any
     * cluster size. DuckDB replays it as the straight global row_number,
     * proving the two formulations agree row-for-row. */
+  /** (doc_id, pos): a bijection of the input ids onto 0..n-1 in mix-hash
+    * order — the distributed global-sort-index kernel behind q112. See the
+    * q112 doc for the bucketing argument; `ShuffleOrderSpec` pins the
+    * bijectivity and determinism properties. */
+  def globalShufflePositions(ids: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val base = ids
+      .select(col("doc_id"),
+        ((col("doc_id") * 1315423911L) % 1048573L).as("h"))
+      .withColumn("bucket", expr("h div 16384"))
+    val offsets = base.groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
+      .withColumn("off",
+        coalesce(sum(col("cnt")).over(
+          Window.orderBy(asc("bucket"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .drop("cnt")
+    val w = Window.partitionBy(col("bucket"))
+      .orderBy(asc("h"), asc("doc_id"))
+    base.join(broadcast(offsets), Seq("bucket"))
+      .withColumn("pos",
+        (col("off") + row_number().over(w) - lit(1)).cast(LongType))
+      .select(col("doc_id"), col("pos"))
+  }
+
   private val q112 = Q(
     "q112_global_shuffle",
-    (s, dir) => {
-      val base = T(s, dir, "documents")
-        .select(col("doc_id"),
-          ((col("doc_id") * 1315423911L) % 1048573L).as("h"))
-        .withColumn("bucket", expr("h div 16384"))
-      val offsets = base.groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
-        .withColumn("off",
-          coalesce(sum(col("cnt")).over(
-            Window.orderBy(asc("bucket"))
-              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-        .drop("cnt")
-      val w = Window.partitionBy(col("bucket"))
-        .orderBy(asc("h"), asc("doc_id"))
-      base.join(broadcast(offsets), Seq("bucket"))
-        .withColumn("pos",
-          (col("off") + row_number().over(w) - lit(1)).cast(LongType))
+    (s, dir) =>
+      globalShufflePositions(T(s, dir, "documents").select(col("doc_id")))
         .filter(col("doc_id") % 97 === 0)
         .select(col("doc_id"), col("pos"))
-        .orderBy(asc_nulls_first("pos"))
-    },
+        .orderBy(asc_nulls_first("pos")),
     Some("""WITH b AS (
         SELECT doc_id, (doc_id * 1315423911) % 1048573 AS h FROM documents),
       p AS (SELECT doc_id,

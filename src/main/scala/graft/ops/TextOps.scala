@@ -221,6 +221,23 @@ object TextOps {
       FROM d ORDER BY doc_id ASC NULLS FIRST"""),
     "PII email redaction: count + mask, map-side regexp (training-pipeline scrub pass)")
 
+  /** Per-(doc, token) counts — the shared first stage of every corpus
+    * scorer here (q99 TF-IDF, q110 BM25). Persisted MEMORY_AND_DISK
+    * because its consumers each derive differently-pruned branches (doc
+    * lengths, document frequencies, global stats, the scored slice) that
+    * defeat exchange reuse — without the cache the corpus would be
+    * re-scanned and re-exploded once per branch (4× the dominant cost at
+    * 100 TB; spills rather than OOMs beyond executor memory). Left
+    * resident deliberately: Spark's cache manager keys on the canonical
+    * plan, so q99/q110 on the same (session, dir) share ONE entry instead
+    * of stacking copies. */
+  private def tokenCounts(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
   /** q99: TF-IDF top-3 terms for the first 50 documents. DF and doc
     * lengths come from the WHOLE corpus (two map-combinable aggregations
     * over the token frame), the probe restriction applies only to the
@@ -231,10 +248,7 @@ object TextOps {
     "q99_tfidf",
     (s, dir) => {
       val docs = T(s, dir, "documents")
-      val tc = docs
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
-        .filter(length(col("token")) > 0)
-        .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("cnt"))
+      val tc = tokenCounts(s, dir)
       val nd = tc.groupBy(col("doc_id")).agg(sum(col("cnt")).as("n_tok"))
       val dfreq = tc.groupBy(col("token")).agg(count(lit(1)).as("df"))
       val nn = docs.agg(count(lit(1)).as("nn"))
@@ -402,11 +416,7 @@ object TextOps {
   private val q110 = Q(
     "q110_bm25",
     (s, dir) => {
-      val docs = T(s, dir, "documents")
-      val tc = docs
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
-        .filter(length(col("token")) > 0)
-        .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+      val tc = tokenCounts(s, dir).withColumnRenamed("cnt", "tf")
       val nd = tc.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
       val dfreq = tc.groupBy(col("token")).agg(count(lit(1)).as("df"))
       val stats = nd.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot_dl"))

@@ -193,4 +193,37 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
       "merge must be a key equi-join")
   }
+
+  test("q112 global shuffle: the corpus row_number window is PARTITIONED") {
+    // the whole point of q112 is that the permutation never funnels the
+    // corpus through one partition: the only unpartitioned window allowed
+    // is the 64-row bucket-offset prefix sum. A partitioned WindowExec
+    // prints THREE bracket groups (exprs, partitionSpec, orderSpec); an
+    // unpartitioned one prints two.
+    val rowNumLines = planOf("q112_global_shuffle").linesIterator
+      .filter(l => l.contains("Window [") && l.contains("row_number"))
+      .toList
+    assert(rowNumLines.nonEmpty, "expected a row_number Window in the q112 plan")
+    rowNumLines.foreach { l =>
+      assert("\\], \\[[^\\]]+\\], \\[".r.findFirstIn(l).isDefined,
+        s"corpus row_number window must be bucket-partitioned: $l")
+    }
+  }
+
+  test("q110 BM25 reuses one token-frame aggregation across df/dl/score") {
+    // tf, dl and df all hang off the SAME (doc_id, token) groupBy — the
+    // planner must reuse that exchange, not scan+explode the corpus thrice.
+    val p = planOf("q110_bm25")
+    assert(p.contains("InMemoryTableScan") || p.contains("ReusedExchange"),
+      "token-frame aggregation should be computed once (cached) and reused")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "the 1-row (N, total-length) stats frame must ride a broadcast")
+  }
+
+  test("q113 Matryoshka audit is map-only: the only exchange is the sort") {
+    val ex = exchangeLines("q113_matryoshka")
+    assert(ex.size == 1, s"expected only the sort exchange, got:\n${ex.mkString("\n")}")
+    assert(ex.head.contains("rangepartitioning"),
+      "energy audit must reduce map-side; a hash exchange would carry vectors")
+  }
 }
