@@ -168,5 +168,49 @@ object Ingest {
       ORDER BY merge_action ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST"""),
     "MERGE INTO via full-outer read-side join: update/insert/keep decisions fingerprinted per action+priority")
 
-  val all: Seq[Q] = Seq(q51, q88, q108)
+  /** Small-file compaction — the table-maintenance pass every streaming
+    * ingest needs (micro-batches leave thousands of KB-sized files; scan
+    * cost at 100 TB is dominated by file-open overhead until they are
+    * rewritten). Strategy: `repartitionByRange` on the layout key (ts) →
+    * in-file sort → bounded file count with range-DISJOINT files, so
+    * min/max footer stats prune time-predicate scans afterwards. At
+    * cluster scale the same pass runs per table partition with
+    * `maxRecordsPerFile` bounding file size; AQE coalesces the range
+    * exchange. */
+  def compact(df: DataFrame, targetFiles: Int, sortCol: String): DataFrame =
+    df.repartitionByRange(targetFiles, col(sortCol))
+      .sortWithinPartitions(asc_nulls_first(sortCol))
+
+  /** q115: compaction under the oracle gate. A 64-file fragmented copy of
+    * events is staged once per JVM (Scratch-cached), compacted to 4
+    * range-disjoint ts-sorted files, and the COMPACTED copy is
+    * fingerprinted per hour-of-day (count + decimal-exact sum) — the
+    * oracle recomputes from the original events table, so the hash pins
+    * byte-level content preservation across the rewrite. Layout facts
+    * (file count, per-file range disjointness, in-file ordering) are
+    * asserted in CompactionSpec, which the oracle cannot see. */
+  private val q115 = Q(
+    "q115_compaction",
+    (s, dir) => {
+      val frag = graft.Scratch.dir(s"frag_events_${dir.hashCode.toHexString}")
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(frag, "_SUCCESS")))
+        s.read.parquet(s"$dir/events.parquet")
+          .repartition(64).write.mode(SaveMode.Overwrite).parquet(frag)
+      val out = graft.Scratch.dir(s"compact_events_${dir.hashCode.toHexString}")
+      compact(s.read.parquet(frag), 4, "ts")
+        .write.mode(SaveMode.Overwrite).parquet(out)
+      val compacted = s.read.parquet(out)
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      compacted
+        .groupBy(hour(col("ts")).cast("long").as("hr"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_value"))
+        .orderBy(asc_nulls_first("hr"))
+    },
+    Some("""SELECT CAST(hour(ts) AS BIGINT) AS hr, COUNT(*) AS n_events,
+      CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      FROM events GROUP BY 1 ORDER BY hr ASC NULLS FIRST"""),
+    "small-file compaction: 64 fragments -> 4 range-disjoint sorted files; content fingerprint vs original")
+
+  val all: Seq[Q] = Seq(q51, q88, q108, q115)
 }

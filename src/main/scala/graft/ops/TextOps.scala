@@ -499,6 +499,68 @@ object TextOps {
       ORDER BY lang ASC NULLS FIRST"""),
     "per-language deterministic-hash sampling to a target mixture + achieved-rate audit (domain-mixing surface)")
 
+  /** q116: exact duplicated-substring detection — the bounded-window
+    * variant of suffix-array substring dedup (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better"): every
+    * 40-char window at stride 10 is fingerprinted; windows whose text
+    * occurs in ≥2 DISTINCT documents mark copied passages, and each doc
+    * reports its duplicated-window fraction (basis points, floor —
+    * integer-exact in both engines).
+    *
+    * Scale shape: windows explode map-side inside codegen (sequence +
+    * substring, no UDF); the two aggregations and the back-join carry
+    * xxhash64 FINGERPRINTS (8 bytes), never the 40-char window text —
+    * the oracle groups the raw strings instead, which agrees unless
+    * xxhash64 collides (≈n²/2⁶⁵ ≈ 1e-11 at sf0.01's 13k windows). The
+    * window frame is persisted because the dup-set branch and the
+    * per-doc branch would otherwise each re-scan and re-explode the
+    * corpus (dominant cost at 100 TB; MEMORY_AND_DISK spills, not OOMs).
+    * The dup set is corpus-sized in the worst case, so it is NOT
+    * broadcast-hinted — AQE picks the join strategy. */
+  private val q116 = Q(
+    "q116_dup_substrings",
+    (s, dir) => {
+      val wins = T(s, dir, "documents")
+        .filter(col("n_chars") >= 40)
+        .select(col("doc_id"),
+          explode(sequence(lit(1L), col("n_chars") - 39L, lit(10L))).as("i"),
+          col("text"))
+        .select(col("doc_id"),
+          xxhash64(expr("substring(text, CAST(i AS INT), 40)")).as("h"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val dup = wins.groupBy(col("h"))
+          .agg(countDistinct(col("doc_id")).as("nd"))
+          .filter(col("nd") > 1)
+          .select(col("h"), lit(1).as("isdup"))
+        val out = wins.join(dup, Seq("h"), "left_outer")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_windows"),
+            count(col("isdup")).as("n_dup_windows"))
+          .select(col("doc_id"), col("n_windows"), col("n_dup_windows"),
+            floor(lit(10000.0) * col("n_dup_windows") / col("n_windows"))
+              .cast(LongType).as("dup_bp"))
+          .orderBy(desc_nulls_last("dup_bp"), asc_nulls_first("doc_id"))
+        out.localCheckpoint() // materialize before unpersist
+      } finally { wins.unpersist(); () }
+    },
+    Some("""WITH w AS (
+        SELECT doc_id, substr(text, CAST(i AS INT), 40) AS win
+        FROM documents, unnest(generate_series(1, n_chars - 39, 10)) AS t(i)
+        WHERE n_chars >= 40
+      ), d AS (
+        SELECT win FROM w GROUP BY win HAVING count(DISTINCT doc_id) > 1
+      )
+      SELECT w.doc_id,
+        CAST(count(*) AS BIGINT) AS n_windows,
+        CAST(count(d.win) AS BIGINT) AS n_dup_windows,
+        CAST(floor(10000.0 * count(d.win) / count(*)) AS BIGINT) AS dup_bp
+      FROM w LEFT JOIN d ON w.win = d.win
+      GROUP BY w.doc_id
+      ORDER BY dup_bp DESC NULLS LAST, doc_id ASC NULLS FIRST"""),
+    "exact duplicated-substring windows (40-char/stride-10) per doc; bounded-window Lee et al. substring dedup")
+
   val all: Seq[Q] =
-    Seq(q20, q21, q22, q23, q28, q95, q96, q99, q103, q104, q106, q110, q111)
+    Seq(q20, q21, q22, q23, q28, q95, q96, q99, q103, q104, q106, q110, q111,
+      q116)
 }

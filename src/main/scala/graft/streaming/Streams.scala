@@ -382,5 +382,102 @@ object Streams {
       ORDER BY user_id ASC NULLS FIRST, sess_id ASC NULLS FIRST"""),
     "flatMapGroupsWithState gap sessionization (stream), sharing q52's oracle (SURVEY §2.9)")
 
-  val all: Seq[Q] = Seq(q50, q52, q65, q73, q80, q109)
+  /** Stream-static join — the one streaming join shape the module lacked
+    * (q65 covers stream-stream): arriving events enrich against a STATIC
+    * dimension (customer ⋈ nation, pre-joined and broadcast), then
+    * aggregate per nation. The static side is planned as a broadcast hash
+    * join inside every micro-batch — stateless (no join state store), so
+    * the only stateful operator is the complete-mode aggregate, whose
+    * state is dimension-sized (25 nations). This is exactly the 100 TB
+    * enrichment shape: the fact stream never shuffles for the join. */
+  def streamStaticEnrich(s: SparkSession, dir: String): DataFrame = withStatePartitions(s, 8) {
+    val dim = T(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
+      .join(broadcast(T(s, dir, "nation").select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name"))
+    val schema = s.read.parquet(s"$dir/events.parquet").schema
+    val stream = s.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val agg = stream.join(broadcast(dim), col("user_id") === col("c_custkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_value"))
+    val name = s"stream_static_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(name).orderBy(asc_nulls_first("n_name"))
+  }
+
+  private val q114 = Q(
+    "q114_stream_static_join",
+    (s, dir) => streamStaticEnrich(s, dir),
+    Some("""SELECT n_name, COUNT(*) AS n_events,
+      CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      FROM events e
+      JOIN customer c ON e.user_id = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY n_name ORDER BY n_name ASC NULLS FIRST"""),
+    "stream-static broadcast enrichment join + per-nation agg; agrees with the batch join SQL (SURVEY §2.9)")
+
+  /** Incremental materialized-view maintenance — continuous ingestion's
+    * aggregate-upkeep shape: each micro-batch computes a PARTIAL
+    * aggregate (map-combinable count + decimal sum per (event_type,
+    * day)), which merges into a persisted MV by re-aggregating
+    * MV ∪ partial — never re-reading the already-ingested facts. The MV
+    * is MV-key-sized (event_type × day), versioned between two Scratch
+    * paths (read vN, write vN+1) because overwriting a parquet path
+    * being read is undefined. At 100 TB the merge prunes to the
+    * partitions the batch touched (same merge-on-read shape as q108) and
+    * the per-batch work is O(batch + touched MV keys) — the full-scan
+    * equivalent is O(history) per refresh. Decimal sums make the merge
+    * order-independent, so batch boundaries cannot change the result. */
+  def incrementalMv(s: SparkSession, dir: String): DataFrame = withStatePartitions(s, 8) {
+    val stage = graft.Scratch.dir(s"mv_stage_${dir.hashCode.toHexString}")
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(stage, "_SUCCESS")))
+      s.read.parquet(s"$dir/events.parquet")
+        .repartition(8).write.mode("overwrite").parquet(stage)
+    val mvRoot = graft.Scratch.fresh("mv_state")
+    val schema = s.read.parquet(stage).schema
+    @volatile var version = -1
+    val stream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "2").parquet(stage)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val q = stream.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val partial = batch
+          .groupBy(col("event_type"), date_format(col("ts"), "yyyy-MM-dd").as("day"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(col("value").cast(DecimalType(18, 2))).as("amt"))
+        val merged =
+          if (version < 0) partial
+          else s.read.parquet(s"$mvRoot/v$version").unionByName(partial)
+            .groupBy(col("event_type"), col("day"))
+            .agg(sum(col("n_events")).as("n_events"),
+              sum(col("amt")).cast(DecimalType(18, 2)).as("amt"))
+        merged.coalesce(1).write.mode("overwrite").parquet(s"$mvRoot/v${version + 1}")
+        version += 1
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    s.read.parquet(s"$mvRoot/v$version")
+      .select(col("event_type"), col("day"), col("n_events"),
+        col("amt").cast(DoubleType).as("sum_value"))
+      .orderBy(asc_nulls_first("event_type"), asc_nulls_first("day"))
+  }
+
+  private val q117 = Q(
+    "q117_incremental_mv",
+    (s, dir) => incrementalMv(s, dir),
+    // the incrementally-maintained MV must equal the full batch aggregate
+    Some("""SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+      COUNT(*) AS n_events,
+      CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      FROM events GROUP BY 1, 2
+      ORDER BY event_type ASC NULLS FIRST, day ASC NULLS FIRST"""),
+    "foreachBatch incremental MV maintenance: per-batch partials merged into a versioned MV = full batch agg")
+
+  val all: Seq[Q] = Seq(q50, q52, q65, q73, q80, q109, q114, q117)
 }
