@@ -74,5 +74,72 @@ object Bucketed {
       GROUP BY o_orderpriority ORDER BY o_orderpriority ASC NULLS FIRST"""),
     "bucketed fact-to-fact join: bucketBy(16, orderkey) both sides -> shuffle-free SortMergeJoin (physical-layout scale story)")
 
-  val all: Seq[Q] = Seq(q97)
+  private def withConf[A](s: SparkSession, kv: (String, String)*)(body: => A): A = {
+    val old = kv.map { case (k, _) => k -> s.conf.getOption(k) }
+    kv.foreach { case (k, v) => s.conf.set(k, v) }
+    try body
+    finally old.foreach { case (k, ov) =>
+      ov.fold(s.conf.unset(k))(v => s.conf.set(k, v))
+    }
+  }
+
+  /** Bloom-filter runtime join pruning — the shuffle-join complement to
+    * the bucketed layout: when the build side of a fact⋈fact join carries
+    * a selective predicate, Catalyst's InjectRuntimeFilter plants a
+    * bloom-filter aggregate on it and pushes `might_contain(hash(key))`
+    * into the APPLICATION side's scan, so non-joining fact rows die at
+    * the scan instead of being shuffled — at 100 TB that removes the
+    * dominant exchange for selective joins. Broadcast is disabled in the
+    * query's conf scope to model the cluster case where the filtered
+    * build side exceeds the broadcast threshold (at local sf it would
+    * otherwise BHJ and need no filter); the application-side scan-size
+    * threshold is dropped to zero because the trigger is sized for
+    * clusters (10 GB), not local fixtures. BloomJoinPlanSpec asserts the
+    * `might_contain` scan filter is actually planted. */
+  private def bloomConfs: Seq[(String, String)] = Seq(
+    "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+    "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+    "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+    "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0")
+
+  private def bloomJoinFrame(s: SparkSession, dir: String): DataFrame = {
+    val o = T(s, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"))
+    val l = T(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_returnflag"),
+        col("l_extendedprice"), col("l_discount"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_extendedprice").cast(DecimalType(18, 2)) *
+          (lit(1).cast(DecimalType(18, 2)) - col("l_discount").cast(DecimalType(18, 2))))
+          .cast(DoubleType).as("revenue"))
+      .orderBy(asc_nulls_first("l_returnflag"))
+  }
+
+  /** Result of the pruned join, EXECUTED inside the conf scope (an eager
+    * localCheckpoint) — a lazily-returned frame would re-optimize at
+    * action time, after the `finally` restored the session confs, and
+    * silently lose the runtime filter. */
+  def bloomPrunedJoin(s: SparkSession, dir: String): DataFrame =
+    withConf(s, bloomConfs: _*) { bloomJoinFrame(s, dir).localCheckpoint() }
+
+  /** Optimized plan text inside the conf scope, for the plan spec. */
+  def bloomPlanText(s: SparkSession, dir: String): String =
+    withConf(s, bloomConfs: _*) {
+      bloomJoinFrame(s, dir).queryExecution.optimizedPlan.toString
+    }
+
+  private val q118 = Q(
+    "q118_bloom_join_prune",
+    (s, dir) => bloomPrunedJoin(s, dir),
+    Some("""SELECT l_returnflag, COUNT(*) AS n,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_orderpriority = '1-URGENT'
+      GROUP BY l_returnflag ORDER BY l_returnflag ASC NULLS FIRST"""),
+    "runtime bloom-filter join pruning: might_contain pushed into the fact scan on a selective shuffle join")
+
+  val all: Seq[Q] = Seq(q97, q118)
 }

@@ -119,5 +119,54 @@ object Graph {
       SELECT doc_id, component FROM comp ORDER BY doc_id ASC NULLS FIRST"""),
     "large-star/small-star connected components (dedup clustering; oracle = recursive-CTE closure)")
 
-  val all: Seq[Q] = Seq(q82)
+  /** q119: leakage-safe train/val/test split — the training-data split
+    * that respects near-duplicate structure: assigning splits by DOCUMENT
+    * hash leaks near-identical text across train and eval, so the unit of
+    * assignment must be the dedup COMPONENT (Lee et al. 2022 §5). Split =
+    * deterministic modulo on the component representative (80/10/10), so
+    * by construction no component straddles splits. Same graph topology
+    * (and recursive-CTE oracle closure) as q82; the split adds one
+    * map-side projection + a components-sized aggregation on top. */
+  private val q119 = Q(
+    "q119_leakage_safe_split",
+    (s, dir) => {
+      val docs = T(s, dir, "documents").select(col("doc_id"))
+      val chain = docs.filter(col("doc_id") % 10 =!= 0)
+        .select(col("doc_id").as("src"), (col("doc_id") - 1).as("dst"))
+      val skip = docs.filter(col("doc_id") % 10 >= 5)
+        .select(col("doc_id").as("src"), (col("doc_id") - 3).as("dst"))
+      connectedComponents(docs.select(col("doc_id").as("node")),
+          chain.unionByName(skip))
+        // components on this topology are block starts (multiples of 10),
+        // so key the split on the block INDEX (component/10) — a plain
+        // modulo on the representative would put every group in one split
+        .withColumn("split",
+          when(pmod(floor(col("component") / 10).cast("long"), lit(10)) < 8, "train")
+            .when(pmod(floor(col("component") / 10).cast("long"), lit(10)) === 8, "val")
+            .otherwise("test"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("component")).as("n_components"))
+        .orderBy(asc_nulls_first("split"))
+    },
+    Some("""WITH RECURSIVE
+      e AS (SELECT doc_id AS a, doc_id - 1 AS b FROM documents WHERE doc_id % 10 <> 0
+            UNION ALL
+            SELECT doc_id, doc_id - 3 FROM documents WHERE doc_id % 10 >= 5),
+      ud AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+      reach AS (SELECT doc_id AS src, doc_id AS dst FROM documents
+                UNION
+                SELECT r.src, ud.b FROM reach r JOIN ud ON ud.a = r.dst),
+      comp AS (SELECT src AS doc_id, min(dst) AS component FROM reach GROUP BY src),
+      sp AS (SELECT doc_id, component,
+               CASE WHEN (component // 10) % 10 < 8 THEN 'train'
+                    WHEN (component // 10) % 10 = 8 THEN 'val'
+                    ELSE 'test' END AS split
+             FROM comp)
+      SELECT split, COUNT(*) AS n_docs,
+             CAST(count(DISTINCT component) AS BIGINT) AS n_components
+      FROM sp GROUP BY split ORDER BY split ASC NULLS FIRST"""),
+    "group-aware train/val/test split keyed on dedup components (no near-dup leakage across splits)")
+
+  val all: Seq[Q] = Seq(q82, q119)
 }
