@@ -270,5 +270,58 @@ object Ivf {
       FROM s WHERE e_full > 0 ORDER BY vec_id ASC NULLS FIRST"""),
     "Matryoshka prefix energy-retention per embedding, integer-exact quantized energies (truncation-audit surface)")
 
-  val all: Seq[Q] = Seq(q31, q105, q107, q113)
+  /** q120: k-means ASSIGNMENT step under the oracle — the argmin half of
+    * Lloyd's iteration (q105 gates the mean-update half; together they
+    * pin the whole IVF training kernel). Centroids = the first 8 vectors
+    * (deterministic seed, same rule as the index build); every vector
+    * goes to its nearest centroid by squared L2 with min-centroid-id
+    * tie-break; output is per-centroid membership + total inertia.
+    *
+    * Fully integer-exact: components quantize to floor(x·10⁶) BIGINTs
+    * (the same IEEE product both engines floor identically), squared
+    * diffs sum exactly (≤64·(1.2e6)² ≈ 9e13 « 2⁶³), so the argmin
+    * compares exact integers — no float ordering risk anywhere.
+    *
+    * Scale shape: centroids are a broadcast 8-row frame; distances
+    * compute map-side in the broadcast nested-loop (8× row fan-out
+    * inside codegen, no exchange); the only shuffle carries
+    * (vec_id, cid, d2) triples for the per-vector argmin, then an
+    * 8-row aggregate. At 100 TB: k grows, vectors never shuffle with
+    * their payloads. */
+  private val q120 = Q(
+    "q120_kmeans_assign",
+    (s, dir) => {
+      val qv = T(s, dir, "embeddings")
+        .select(col("vec_id"),
+          expr("transform(CAST(embedding AS ARRAY<DOUBLE>), x -> CAST(floor(x * 1e6) AS BIGINT))")
+            .as("q"))
+      val cents = qv.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("q").as("cq"))
+      qv.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("cid"),
+          expr("aggregate(zip_with(q, cq, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)")
+            .as("d2"))
+        .groupBy(col("vec_id"))
+        .agg(min(struct(col("d2"), col("cid"))).as("best"))
+        .select(col("vec_id"), col("best.cid").as("cid"), col("best.d2").as("d2"))
+        .groupBy(col("cid"))
+        .agg(count(lit(1)).as("n_vecs"), sum(col("d2")).as("inertia"))
+        .orderBy(asc_nulls_first("cid"))
+    },
+    Some("""WITH q AS (SELECT vec_id,
+               [CAST(floor(x * 1e6) AS BIGINT) FOR x IN CAST(embedding AS DOUBLE[])] AS qs
+             FROM embeddings),
+      c AS (SELECT vec_id AS cid, qs AS cq FROM q WHERE vec_id < 8),
+      d AS (SELECT q.vec_id, c.cid,
+              CAST(list_sum([x * x FOR x IN list_transform(list_zip(q.qs, c.cq),
+                p -> p[1] - p[2])]) AS BIGINT) AS d2
+            FROM q CROSS JOIN c),
+      a AS (SELECT vec_id, cid, d2,
+              row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) AS rn
+            FROM d)
+      SELECT cid, COUNT(*) AS n_vecs, CAST(sum(d2) AS BIGINT) AS inertia
+      FROM a WHERE rn = 1 GROUP BY cid ORDER BY cid ASC NULLS FIRST"""),
+    "k-means assignment (argmin over broadcast centroids) + inertia, integer-exact squared L2 (Lloyd's other half vs q105)")
+
+  val all: Seq[Q] = Seq(q31, q105, q107, q113, q120)
 }
