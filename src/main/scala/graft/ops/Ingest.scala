@@ -212,5 +212,93 @@ object Ingest {
       FROM events GROUP BY 1 ORDER BY hr ASC NULLS FIRST"""),
     "small-file compaction: 64 fragments -> 4 range-disjoint sorted files; content fingerprint vs original")
 
-  val all: Seq[Q] = Seq(q51, q88, q108, q115)
+  /** q121: retention/vacuum by partition — the delete-old-data pass that
+    * pairs with compaction (q115) in every ingest pipeline. The events
+    * table is laid out day-partitioned once per JVM; retention then
+    * DELETES whole expired partitions (here: keep day >= the table's
+    * 11th distinct day): each expired `day=` directory is removed
+    * outright, surviving partitions are untouched bytes — no data is
+    * read or rewritten. At 100 TB partition-aligned retention is a
+    * metadata operation per expired partition, never a full-table
+    * rewrite (the in-place UPDATE sibling is q108's merge + dynamic
+    * partition overwrite); the oracle re-derives the surviving content
+    * from the original table, pinning that nothing else changed. */
+  private val q121 = Q(
+    "q121_retention",
+    (s, dir) => {
+      val t = T(s, dir, "events")
+        .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+      val base = graft.Scratch.dir(s"retained_events_${dir.hashCode.toHexString}")
+      val tbl = s"$base/by_day"
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(tbl)))
+        t.write.partitionBy("day").mode(SaveMode.Overwrite).parquet(tbl)
+      val cutoff = t.select(col("day")).distinct()
+        .orderBy(asc_nulls_first("day")).limit(11)
+        .agg(max(col("day"))).head().getString(0)
+      // partition values come from the catalog listing (directory names),
+      // no data files are opened to find what expires; partition-type
+      // inference reads day= back as DATE, so re-stringify for compare
+      val expired = s.read.parquet(tbl)
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day")).distinct()
+        .filter(col("day") < cutoff).collect().map(_.getString(0))
+      expired.foreach { d =>
+        val p = java.nio.file.Paths.get(tbl, s"day=$d")
+        if (java.nio.file.Files.exists(p)) {
+          val walk = java.nio.file.Files.walk(p)
+          try walk.sorted(java.util.Comparator.reverseOrder())
+            .forEach(f => { java.nio.file.Files.delete(f); () })
+          finally walk.close()
+        }
+      }
+      s.read.parquet(tbl)
+        .groupBy(date_format(col("day"), "yyyy-MM-dd").as("day"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_value"))
+        .orderBy(asc_nulls_first("day"))
+    },
+    Some("""WITH d AS (SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, value
+               FROM events),
+      cut AS (SELECT max(day) AS c FROM (
+               SELECT DISTINCT day FROM d ORDER BY day ASC LIMIT 11))
+      SELECT day, COUNT(*) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      FROM d, cut WHERE day >= c
+      GROUP BY day ORDER BY day ASC NULLS FIRST"""),
+    "partition-aligned retention: expired day partitions dropped as directory deletes, survivors untouched")
+
+  /** q122: schema evolution — the ingest reality that upstream producers
+    * ADD columns mid-stream. Batch 1 writes (event_id, value); batch 2
+    * adds a `source` column; `mergeSchema` unifies the footers at read
+    * time and back-fills NULL for pre-evolution rows. At 100 TB schema
+    * merge reads footers (not data) and the unified scan stays
+    * column-pruned; the oracle replays the same union semantics. */
+  private val q122 = Q(
+    "q122_schema_evolution",
+    (s, dir) => {
+      val base = graft.Scratch.dir(s"evolve_${dir.hashCode.toHexString}")
+      val ev = T(s, dir, "events")
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(base, "b1", "_SUCCESS"))) {
+        ev.filter(col("event_id") % 2 === 0)
+          .select(col("event_id"), col("value"))
+          .write.mode(SaveMode.Overwrite).parquet(s"$base/b1")
+        ev.filter(col("event_id") % 2 === 1)
+          .select(col("event_id"), col("value"), col("event_type").as("source"))
+          .write.mode(SaveMode.Overwrite).parquet(s"$base/b2")
+      }
+      s.read.option("mergeSchema", "true").parquet(s"$base/b1", s"$base/b2")
+        .groupBy(coalesce(col("source"), lit("<pre-evolution>")).as("source"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_value"))
+        .orderBy(asc_nulls_first("source"))
+    },
+    Some("""WITH u AS (
+        SELECT event_id, value, NULL AS source FROM events WHERE event_id % 2 = 0
+        UNION ALL
+        SELECT event_id, value, event_type AS source FROM events WHERE event_id % 2 = 1)
+      SELECT coalesce(source, '<pre-evolution>') AS source, COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      FROM u GROUP BY 1 ORDER BY source ASC NULLS FIRST"""),
+    "mergeSchema read across an added column: NULL back-fill for pre-evolution rows, column-pruned unified scan")
+
+  val all: Seq[Q] = Seq(q51, q88, q108, q115, q121, q122)
 }
