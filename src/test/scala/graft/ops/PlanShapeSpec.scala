@@ -226,4 +226,18 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(ex.head.contains("rangepartitioning"),
       "energy audit must reduce map-side; a hash exchange would carry vectors")
   }
+
+  test("q120 k-means assignment: centroids broadcast, vectors never shuffle") {
+    // the 8-row centroid frame must ride a broadcast (distances compute
+    // map-side in the fan-out join); the only hash exchanges carry the
+    // per-vector argmin and the 8-row final agg — if an exchange mentions
+    // the quantized vector column `q`, corpus vectors are being shuffled
+    val p = planOf("q120_kmeans_assign")
+    assert(p.contains("BroadcastExchange"), "centroid side must broadcast")
+    val ex = p.linesIterator.filter(l =>
+      l.contains("Exchange hashpartitioning")).toList
+    assert(ex.nonEmpty, "expected the argmin/agg hash exchanges")
+    ex.foreach(l => assert(!"\\bq#".r.findFirstIn(l).isDefined,
+      s"quantized vectors must not cross an exchange: $l"))
+  }
 }
