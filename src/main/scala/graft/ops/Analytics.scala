@@ -346,5 +346,84 @@ object Analytics {
       ORDER BY pos ASC NULLS FIRST"""),
     "reproducible global training-order permutation via range-bucketed hash + distributed per-bucket row_number (no single-partition window)")
 
-  val all: Seq[Q] = Seq(q83, q84, q85, q86, q87, q89, q90, q91, q112)
+  /** q123: ordered funnel analysis (view → click → purchase) — the
+    * order-DEPENDENT pattern count no plain aggregation expresses: each
+    * later step must happen strictly AFTER the user's earliest qualifying
+    * earlier step. Computed as three chained per-user min-timestamp
+    * aggregations (t1 = first view; t2 = first click after t1; t3 = first
+    * purchase after t2), each a map-combinable conditional min over one
+    * user-keyed shuffle — events never self-join, so a user's whole
+    * history is never materialized in one row. At 100 TB: three narrow
+    * (user_id, ts) aggregations, skew-safe (per-user state is 3
+    * timestamps), versus the quadratic event-to-event self-join the
+    * naive formulation would plan. */
+  private val q123 = Q(
+    "q123_funnel",
+    (s, dir) => {
+      val ev = T(s, dir, "events").select(col("user_id"), col("event_type"), col("ts"))
+      val t1 = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+      val t2 = ev.filter(col("event_type") === "click")
+        .join(t1, Seq("user_id"))
+        .filter(col("ts") > col("t1"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+      val t3 = ev.filter(col("event_type") === "purchase")
+        .join(t2, Seq("user_id"))
+        .filter(col("ts") > col("t2"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+      val steps = t1.select(lit("1_view").as("step"), col("user_id"))
+        .unionByName(t2.select(lit("2_click").as("step"), col("user_id")))
+        .unionByName(t3.select(lit("3_purchase").as("step"), col("user_id")))
+      steps.groupBy(col("step")).agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy(asc_nulls_first("step"))
+    },
+    Some("""WITH t1 AS (SELECT user_id, min(ts) AS t1 FROM events
+               WHERE event_type = 'view' GROUP BY user_id),
+      t2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+               JOIN t1 ON e.user_id = t1.user_id
+               WHERE e.event_type = 'click' AND e.ts > t1.t1 GROUP BY e.user_id),
+      t3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+               JOIN t2 ON e.user_id = t2.user_id
+               WHERE e.event_type = 'purchase' AND e.ts > t2.t2 GROUP BY e.user_id),
+      steps AS (SELECT '1_view' AS step, user_id FROM t1
+                UNION ALL SELECT '2_click', user_id FROM t2
+                UNION ALL SELECT '3_purchase', user_id FROM t3)
+      SELECT step, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+      FROM steps GROUP BY step ORDER BY step ASC NULLS FIRST"""),
+    "ordered view->click->purchase funnel via chained conditional min-aggs (no event self-join)")
+
+  /** q124: cohort retention — users grouped by FIRST-ACTIVE day, counted
+    * on each later active day-offset: the engagement matrix every
+    * analytics stack reports. Two user-keyed aggregations (first day,
+    * distinct active days) and one join; the cohort matrix is
+    * output-sized (days × offsets). At 100 TB the active-day frame is
+    * the only corpus-sized stage and it reduces map-side to
+    * (user, day) distincts before shuffling. */
+  private val q124 = Q(
+    "q124_cohort_retention",
+    (s, dir) => {
+      val ev = T(s, dir, "events")
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+      val active = ev.distinct()
+      val cohort = active.groupBy(col("user_id")).agg(min(col("day")).as("c_day"))
+      active.join(cohort, Seq("user_id"))
+        .select(date_format(col("c_day"), "yyyy-MM-dd").as("cohort_day"),
+          datediff(col("day"), col("c_day")).cast(LongType).as("day_offset"))
+        .groupBy(col("cohort_day"), col("day_offset"))
+        .agg(count(lit(1)).as("n_users"))
+        .filter(col("day_offset") <= 7)
+        .orderBy(asc_nulls_first("cohort_day"), asc_nulls_first("day_offset"))
+    },
+    Some("""WITH active AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      cohort AS (SELECT user_id, min(day) AS c_day FROM active GROUP BY user_id)
+      SELECT strftime(c_day, '%Y-%m-%d') AS cohort_day,
+             CAST(day - c_day AS BIGINT) AS day_offset,
+             COUNT(*) AS n_users
+      FROM active JOIN cohort USING (user_id)
+      WHERE day - c_day <= 7
+      GROUP BY 1, 2
+      ORDER BY cohort_day ASC NULLS FIRST, day_offset ASC NULLS FIRST"""),
+    "cohort retention matrix: first-active-day cohorts x day offsets (distinct-active-day reduction)")
+
+  val all: Seq[Q] = Seq(q83, q84, q85, q86, q87, q89, q90, q91, q112, q123, q124)
 }
