@@ -97,6 +97,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       org.apache.spark.sql.catalyst.FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[graft.llm.VecDot].getName, "vec_dot"),
       (exprs: Seq[Expression]) => graft.llm.VecDot(exprs(0), exprs(1))))
+    e.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("jaro_winkler"),
+      new ExpressionInfo(classOf[graft.ops.JaroWinkler].getName, "jaro_winkler"),
+      (exprs: Seq[Expression]) => graft.ops.JaroWinkler(exprs(0), exprs(1))))
   }
 }
 
@@ -121,6 +125,10 @@ object GeoExpressions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vec_dot",
       (exprs: Seq[Expression]) => graft.llm.VecDot(exprs(0), exprs(1)),
+      "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "jaro_winkler",
+      (exprs: Seq[Expression]) => graft.ops.JaroWinkler(exprs(0), exprs(1)),
       "scala_udf")
   }
 

@@ -425,5 +425,35 @@ object Analytics {
       ORDER BY cohort_day ASC NULLS FIRST, day_offset ASC NULLS FIRST"""),
     "cohort retention matrix: first-active-day cohorts x day offsets (distinct-active-day reduction)")
 
-  val all: Seq[Q] = Seq(q83, q84, q85, q86, q87, q89, q90, q91, q112, q123, q124)
+  /** q125: Jaro-Winkler similarity join — q89's sibling with the scorer
+    * the engine had to BUILD (Spark has no jaro_winkler; `ops/StringSim`
+    * adds it as a native codegen expression; DuckDB ships the same
+    * textbook algorithm, giving the oracle). Brand blocking bounds the
+    * pair count exactly as in q89; the score is rounded to 4 decimals in
+    * BOTH engines before the threshold filter and ordering, so a sub-ulp
+    * float divergence cannot flip inclusion or order (q99's
+    * round-before-rank convention). */
+  private val q125 = Q(
+    "q125_jaro_winkler",
+    (s, dir) => {
+      val p = T(s, dir, "part").select(col("p_partkey"), col("p_brand"), col("p_name"))
+      val a = p.alias("a")
+      val b = p.alias("b")
+      a.join(b, col("a.p_brand") === col("b.p_brand") &&
+          col("a.p_partkey") < col("b.p_partkey"))
+        .select(col("a.p_partkey").as("key_a"), col("b.p_partkey").as("key_b"),
+          round(StringSim.jaroWinkler(col("a.p_name"), col("b.p_name")), 4).as("jw"))
+        .filter(col("jw") >= 0.93)
+        .orderBy(asc_nulls_first("key_a"), asc_nulls_first("key_b"))
+    },
+    Some("""SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+             round(jaro_winkler_similarity(a.p_name, b.p_name), 4) AS jw
+      FROM part a JOIN part b
+        ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+      WHERE round(jaro_winkler_similarity(a.p_name, b.p_name), 4) >= 0.93
+      ORDER BY key_a ASC NULLS FIRST, key_b ASC NULLS FIRST"""),
+    "blocked Jaro-Winkler similarity join on the native codegen expression (DuckDB ships the oracle scorer)")
+
+  val all: Seq[Q] = Seq(q83, q84, q85, q86, q87, q89, q90, q91, q112, q123, q124,
+    q125)
 }
