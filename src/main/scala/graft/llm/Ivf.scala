@@ -297,13 +297,19 @@ object Ivf {
             .as("q"))
       val cents = qv.filter(col("vec_id") < 8)
         .select(col("vec_id").as("cid"), col("q").as("cq"))
+      // argmin as min over the PACKED long d2*8+cid (d2 ≤ 64·(1.2e6)² ≈
+      // 9e13 « 2⁶⁰/8, cid < 8): same ordering as (d2, cid) lexicographic
+      // but HashAggregate-able — min(struct(...)) plans a SortAggregate
+      // with two extra sorts. At larger k, pack with the next power of
+      // two above k.
       qv.crossJoin(broadcast(cents))
         .select(col("vec_id"), col("cid"),
           expr("aggregate(zip_with(q, cq, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)")
             .as("d2"))
         .groupBy(col("vec_id"))
-        .agg(min(struct(col("d2"), col("cid"))).as("best"))
-        .select(col("vec_id"), col("best.cid").as("cid"), col("best.d2").as("d2"))
+        .agg(min(col("d2") * lit(8L) + col("cid")).as("mc"))
+        .select(col("vec_id"), pmod(col("mc"), lit(8L)).as("cid"),
+          expr("mc div 8").as("d2"))
         .groupBy(col("cid"))
         .agg(count(lit(1)).as("n_vecs"), sum(col("d2")).as("inertia"))
         .orderBy(asc_nulls_first("cid"))
