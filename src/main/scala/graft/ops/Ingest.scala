@@ -5,7 +5,7 @@ import graft.sources.Gpkg
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import org.apache.spark.sql.types.{DecimalType, DoubleType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 
 /** Ingest surface (S-series, SURVEY.md §2.1): scans, id generation,
   * idempotent sinks, namespace convention — the load_data.py pipeline
@@ -300,5 +300,53 @@ object Ingest {
       FROM u GROUP BY 1 ORDER BY source ASC NULLS FIRST"""),
     "mergeSchema read across an added column: NULL back-fill for pre-evolution rows, column-pruned unified scan")
 
-  val all: Seq[Q] = Seq(q51, q88, q108, q115, q121, q122)
+  /** q126: table-statistics collection — the ANALYZE pass that feeds a
+    * cost-based optimizer (and partition-pruning min/max manifests) at
+    * warehouse scale. ONE scan computes min/max/exact-NDV/null-count for
+    * every profiled column simultaneously (partial/final map-combinable
+    * aggs), then unpivots to one row per column; the naive form scans
+    * the table once PER column. Exact NDV keeps the oracle exact — a
+    * production pass swaps in approx_count_distinct (q67's HLL path) per
+    * column at 100 TB. */
+  private val q126 = Q(
+    "q126_table_stats",
+    (s, dir) => {
+      val l = T(s, dir, "lineitem")
+      val stats = l.agg(
+        min(col("l_quantity")).as("min1"), max(col("l_quantity")).as("max1"),
+        countDistinct(col("l_quantity")).as("ndv1"),
+        sum(col("l_quantity").isNull.cast(LongType)).as("null1"),
+        min(col("l_extendedprice")).as("min2"), max(col("l_extendedprice")).as("max2"),
+        countDistinct(col("l_extendedprice")).as("ndv2"),
+        sum(col("l_extendedprice").isNull.cast(LongType)).as("null2"),
+        min(col("l_discount")).as("min3"), max(col("l_discount")).as("max3"),
+        countDistinct(col("l_discount")).as("ndv3"),
+        sum(col("l_discount").isNull.cast(LongType)).as("null3"))
+      stats.select(expr(
+        """stack(3,
+           'l_quantity', min1, max1, ndv1, null1,
+           'l_extendedprice', min2, max2, ndv2, null2,
+           'l_discount', min3, max3, ndv3, null3)
+           AS (col_name, vmin, vmax, ndv, n_nulls)"""))
+        .orderBy(asc_nulls_first("col_name"))
+    },
+    Some("""SELECT 'l_quantity' AS col_name, min(l_quantity) AS vmin,
+             max(l_quantity) AS vmax,
+             CAST(count(DISTINCT l_quantity) AS BIGINT) AS ndv,
+             CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls
+      FROM lineitem
+      UNION ALL
+      SELECT 'l_extendedprice', min(l_extendedprice), max(l_extendedprice),
+             CAST(count(DISTINCT l_extendedprice) AS BIGINT),
+             CAST(sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      FROM lineitem
+      UNION ALL
+      SELECT 'l_discount', min(l_discount), max(l_discount),
+             CAST(count(DISTINCT l_discount) AS BIGINT),
+             CAST(sum(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      FROM lineitem
+      ORDER BY col_name ASC NULLS FIRST"""),
+    "single-scan ANALYZE: min/max/exact-NDV/null-count per column, unpivoted (CBO/pruning-manifest stats)")
+
+  val all: Seq[Q] = Seq(q51, q88, q108, q115, q121, q122, q126)
 }
