@@ -348,5 +348,42 @@ object Ingest {
       ORDER BY col_name ASC NULLS FIRST"""),
     "single-scan ANALYZE: min/max/exact-NDV/null-count per column, unpivoted (CBO/pruning-manifest stats)")
 
-  val all: Seq[Q] = Seq(q51, q88, q108, q115, q121, q122, q126)
+  /** q127: JSON-lines sink + source round trip — the ingest format most
+    * raw feeds arrive in (q88 is the ORC sibling). Writes a lineitem
+    * projection as gzipped JSON lines, reads it back through Spark's
+    * JSON source with an EXPLICIT schema (schema inference at 100 TB is
+    * a full extra pass; production ingest always declares), and
+    * aggregates; the oracle computes the same aggregate from the parquet
+    * original, so any serialize/parse infidelity (doubles survive via
+    * shortest-round-trip repr; dates are pre-formatted strings, same
+    * rationale as q88's ORC timestamps) breaks the hash. */
+  private lazy val jsonScratch: String = graft.Scratch.dir("jsonl")
+
+  private val q127 = Q(
+    "q127_json_roundtrip",
+    (s, dir) => {
+      val proj = T(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          col("l_quantity"), col("l_extendedprice"),
+          date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship_day"))
+      proj.write.mode(SaveMode.Overwrite).option("compression", "gzip")
+        .json(jsonScratch)
+      s.read.schema(proj.schema).json(jsonScratch)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_qty"),
+          sum(col("l_extendedprice").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_price"),
+          min(col("ship_day")).as("first_day"), max(col("ship_day")).as("last_day"))
+        .orderBy(asc_nulls_first("l_returnflag"))
+    },
+    Some("""SELECT l_returnflag, COUNT(*) AS n,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+      min(strftime(l_shipdate, '%Y-%m-%d')) AS first_day,
+      max(strftime(l_shipdate, '%Y-%m-%d')) AS last_day
+      FROM lineitem GROUP BY l_returnflag
+      ORDER BY l_returnflag ASC NULLS FIRST"""),
+    "JSON-lines sink + explicit-schema source round trip; oracle aggregates the parquet original")
+
+  val all: Seq[Q] = Seq(q51, q88, q108, q115, q121, q122, q126, q127)
 }
