@@ -467,6 +467,40 @@ object Analytics {
       ORDER BY key_a ASC NULLS FIRST, key_b ASC NULLS FIRST"""),
     "Jaro-Winkler probe search on the native codegen expression (bounded probes x brand block; DuckDB ships the oracle scorer)")
 
+  /** q128: CDC latest-row-wins snapshot — the read-side view of a
+    * change-stream (the write-side compaction is q108's merge): for each
+    * (user, event_type) key the snapshot keeps ONLY the most recent
+    * change, deterministically tie-broken by event_id for equal
+    * timestamps. One window over one key-partitioned exchange; at 100 TB
+    * the same shape runs per key-range partition and the window state is
+    * one row. The snapshot is then fingerprinted per event_type (count +
+    * decimal sum of live values) to keep the compare frame bounded. */
+  private val q128 = Q(
+    "q128_cdc_snapshot",
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(desc_nulls_last("ts"), desc_nulls_last("event_id"))
+      T(s, dir, "events")
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"), col("value"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_keys"),
+          sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_live"),
+          max(col("event_id")).as("max_event"))
+        .orderBy(asc_nulls_first("event_type"))
+    },
+    Some("""WITH r AS (SELECT user_id, event_type, ts, event_id, value,
+               row_number() OVER (PARTITION BY user_id, event_type
+                 ORDER BY ts DESC NULLS LAST, event_id DESC NULLS LAST) AS rn
+             FROM events)
+      SELECT event_type, COUNT(*) AS n_keys,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_live,
+             max(event_id) AS max_event
+      FROM r WHERE rn = 1
+      GROUP BY event_type ORDER BY event_type ASC NULLS FIRST"""),
+    "CDC latest-row-wins snapshot per (user, event_type), deterministic ts+id tie-break (read-side compaction)")
+
   val all: Seq[Q] = Seq(q83, q84, q85, q86, q87, q89, q90, q91, q112, q123, q124,
-    q125)
+    q125, q128)
 }
