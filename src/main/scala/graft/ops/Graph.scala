@@ -177,5 +177,46 @@ object Graph {
       FROM sp GROUP BY split ORDER BY split ASC NULLS FIRST"""),
     "group-aware train/val/test split keyed on dedup components (no near-dup leakage across splits)")
 
-  val all: Seq[Q] = Seq(q82, q119)
+  /** q130: recursive CTE (Spark 4's WITH RECURSIVE) computing the SAME
+    * components as q82, via decreasing-edge reachability — every edge of
+    * the q82 topology points to a smaller id, so UNION ALL recursion
+    * terminates at block starts with a small bounded path count and
+    * min(dst) per src IS the q82 component. The IDENTICAL SQL text runs
+    * in DuckDB as the oracle, which cross-checks three implementations
+    * of one closure: large-star/small-star (q82 Spark), this recursive
+    * CTE (Spark SQL), and DuckDB's recursion. At 100 TB the iterative
+    * operator (q82) is the scale path — a recursive CTE materializes
+    * every path — so this is the SQL-surface twin, not the replacement. */
+  private val q130 = Q(
+    "q130_recursive_cte",
+    (s, dir) => {
+      T(s, dir, "documents").createOrReplaceTempView("documents_rc")
+      s.sql("""WITH RECURSIVE reach(src, dst) AS (
+          SELECT doc_id, doc_id FROM documents_rc
+          UNION ALL
+          SELECT r.src, e.b
+          FROM reach r JOIN (
+            SELECT doc_id AS a, doc_id - 1 AS b FROM documents_rc WHERE doc_id % 10 <> 0
+            UNION ALL
+            SELECT doc_id, doc_id - 3 FROM documents_rc WHERE doc_id % 10 >= 5
+          ) e ON e.a = r.dst)
+        SELECT src AS doc_id, min(dst) AS component
+        FROM reach GROUP BY src
+        ORDER BY doc_id ASC NULLS FIRST""")
+    },
+    Some("""WITH RECURSIVE reach(src, dst) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION ALL
+          SELECT r.src, e.b
+          FROM reach r JOIN (
+            SELECT doc_id AS a, doc_id - 1 AS b FROM documents WHERE doc_id % 10 <> 0
+            UNION ALL
+            SELECT doc_id, doc_id - 3 FROM documents WHERE doc_id % 10 >= 5
+          ) e ON e.a = r.dst)
+        SELECT src AS doc_id, min(dst) AS component
+        FROM reach GROUP BY src
+        ORDER BY doc_id ASC NULLS FIRST"""),
+    "WITH RECURSIVE reachability (Spark 4 recursive CTE), identical SQL in both engines; agrees with q82's iterative components")
+
+  val all: Seq[Q] = Seq(q82, q119, q130)
 }

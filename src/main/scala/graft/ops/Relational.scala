@@ -680,7 +680,33 @@ object Relational {
       GROUP BY 1 ORDER BY wstart ASC NULLS FIRST"""),
     "hopping-window agg (1h window, 15m slide): map-side window explosion, epoch-aligned starts (SURVEY §7.2 v5)")
 
+  /** q129: correlated scalar subquery — "orders that are their
+    * customer's most expensive order". Catalyst DECORRELATES the inner
+    * max into one per-customer aggregate joined back (RewriteCorrelated
+    * ScalarSubquery): what executes is two customer-keyed shuffles, not
+    * a per-row subquery — the transformation that makes correlated SQL
+    * viable at 100 TB. Equality on the stored double is exact (no
+    * arithmetic), ties count in both engines identically. */
+  private val q129 = Q(
+    "q129_correlated_subquery",
+    (s, dir) => {
+      T(s, dir, "orders").createOrReplaceTempView("orders_cs")
+      s.sql("""SELECT o_orderpriority, count(*) AS n_top
+        FROM orders_cs o
+        WHERE o_totalprice = (SELECT max(o2.o_totalprice) FROM orders_cs o2
+                              WHERE o2.o_custkey = o.o_custkey)
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority ASC NULLS FIRST""")
+    },
+    Some("""SELECT o_orderpriority, count(*) AS n_top
+      FROM orders o
+      WHERE o_totalprice = (SELECT max(o2.o_totalprice) FROM orders o2
+                            WHERE o2.o_custkey = o.o_custkey)
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority ASC NULLS FIRST"""),
+    "correlated scalar subquery, decorrelated by Catalyst into joined aggregates (same SQL runs in both engines)")
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q55, q56, q57, q62, q63,
-    q64, q67, q75, q76, q98, q102)
+    q64, q67, q75, q76, q98, q102, q129)
 }
