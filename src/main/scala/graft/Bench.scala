@@ -77,8 +77,16 @@ object Bench {
     val spread = if (repTotals.isEmpty) 0.0 else repTotals.max - repTotals.min
     val failedJson = failed.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val sfNum = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1)).getOrElse("0")
+    // queries_cold = each query's FIRST chronological rep (times lists are
+    // prepend-built, so chronological-first = .last). Several queries are
+    // backed by per-JVM caches (connected components, IVF index, bucketed
+    // tables, shared token frame, staged fixtures): their min/median
+    // amortize the build across reps, and ONLY the cold column still
+    // carries the traversal/build cost — compare cross-round totals on
+    // min for steady-state serving, on cold for one-shot cost.
     val detail = s"""{"metric":"total","value":${r2(totalMin)},"unit":"sec",""" +
       s""""queries":${jmapLong(_.min)},"queries_median":${jmapLong(median)},""" +
+      s""""queries_cold":${jmapLong(_.last)},""" +
       s""""total_min":$totalMin,"total_median":$totalMedian,"reps":$reps,""" +
       s""""rep_totals":$repTotalsJson,"rep_spread":${r2(spread)},""" +
       s""""failed":$failedJson,"sf":$sfNum}"""

@@ -106,10 +106,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
 object GeoExpressions {
 
+  /** Sessions already registered — weak keys, so a stopped session's entry
+    * is collectable and the guard never retains a session. The guard also
+    * silences the per-query `SimpleFunctionRegistry ... replaced` WARN
+    * spam that used to bury real warnings in Bench/Verify tails. */
+  private val registered: java.util.Set[SparkSession] =
+    java.util.Collections.newSetFromMap(
+      new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
+
   /** Idempotently register the native functions on an EXISTING session —
     * needed because the driver's t1 smoke calls SparkEntry.entry(spark)
     * with a session built WITHOUT GraftExtensions. */
-  def ensureRegistered(spark: SparkSession): Unit = {
+  def ensureRegistered(spark: SparkSession): Unit = synchronized {
+    if (registered.contains(spark)) return
+    registered.add(spark)
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "st_contains_point",
       (exprs: Seq[Expression]) => StContainsPoint(exprs(0), exprs(1), exprs(2)),

@@ -35,7 +35,7 @@ object Dedup {
   /** Distinct word 3-shingles of column `c` (whole value when shorter
     * than 3 tokens) — exact verification of candidate pairs + the q94
     * n-gram-Jaccard kernel. */
-  private def shingles(c: String): Column = expr(
+  private[llm] def shingles(c: String): Column = expr(
     s"""case when size(split($c, ' ')) >= 3 then
          array_distinct(transform(sequence(0, size(split($c, ' ')) - 3),
            i -> concat_ws(' ',

@@ -239,7 +239,8 @@ object Analytics {
           col("a.p_partkey") < col("b.p_partkey"))
         .filter(l1Udf(col("a.cv"), col("b.cv")) <= 4)
         .select(col("a.p_partkey").as("key_a"), col("b.p_partkey").as("key_b"),
-          levenshtein(col("a.p_name"), col("b.p_name"), 2).as("dist"))
+          // Spark levenshtein is int32, DuckDB's int64 — BIGINT convention
+          levenshtein(col("a.p_name"), col("b.p_name"), 2).cast(LongType).as("dist"))
         .filter(col("dist") >= 0)
         .orderBy(asc_nulls_first("key_a"), asc_nulls_first("key_b"))
     },

@@ -98,7 +98,13 @@ object Graph {
   private val componentCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
-  private def docComponents(s: SparkSession, dir: String): DataFrame =
+  private def docComponents(s: SparkSession, dir: String): DataFrame = {
+    // Self-healing eviction: drop entries whose session is stopped — a
+    // checkpointed frame from a stopped session is unusable, and the
+    // strong key would otherwise retain the session (and its RDDs)
+    // forever. Cheap: the cache holds one entry per (session, dir).
+    val it = componentCache.keySet.iterator()
+    while (it.hasNext) if (it.next()._1.sparkContext.isStopped) it.remove()
     componentCache.computeIfAbsent((s, dir), _ => {
       val docs = T(s, dir, "documents").select(col("doc_id"))
       val chain = docs.filter(col("doc_id") % 10 =!= 0)
@@ -109,6 +115,7 @@ object Graph {
           chain.unionByName(skip))
         .localCheckpoint()
     })
+  }
 
   /** q82: dedup-cluster components on a deterministic non-trivial graph
     * over documents: chain edges (i, i-1) within each block of 10 plus

@@ -348,6 +348,41 @@ object Ingest {
       ORDER BY col_name ASC NULLS FIRST"""),
     "single-scan ANALYZE: min/max/exact-NDV/null-count per column, unpivoted (CBO/pruning-manifest stats)")
 
+  /** q131: the 100 TB sibling of q126 — same single-scan stack() unpivot,
+    * with exact countDistinct swapped for approx_count_distinct (HLL++,
+    * default rsd 0.05). The exact form's multi-column DISTINCT expands
+    * every row once PER profiled column before the partial aggregate —
+    * at 100 TB that is an n-fold scan blow-up; the sketch keeps the pass
+    * one map-combinable scan with fixed few-KB state per column.
+    * Rows-only by design: DuckDB's approx sketch differs, so values
+    * cannot hash-match an oracle — TableStatsApproxSpec bounds the
+    * relative NDV error against q126's exact answer instead (min/max/
+    * null-count remain exact and are asserted equal). */
+  private val q131 = Q(
+    "q131_table_stats_approx",
+    (s, dir) => {
+      val l = T(s, dir, "lineitem")
+      val stats = l.agg(
+        min(col("l_quantity")).as("min1"), max(col("l_quantity")).as("max1"),
+        approx_count_distinct(col("l_quantity")).as("ndv1"),
+        sum(col("l_quantity").isNull.cast(LongType)).as("null1"),
+        min(col("l_extendedprice")).as("min2"), max(col("l_extendedprice")).as("max2"),
+        approx_count_distinct(col("l_extendedprice")).as("ndv2"),
+        sum(col("l_extendedprice").isNull.cast(LongType)).as("null2"),
+        min(col("l_discount")).as("min3"), max(col("l_discount")).as("max3"),
+        approx_count_distinct(col("l_discount")).as("ndv3"),
+        sum(col("l_discount").isNull.cast(LongType)).as("null3"))
+      stats.select(expr(
+        """stack(3,
+           'l_quantity', min1, max1, ndv1, null1,
+           'l_extendedprice', min2, max2, ndv2, null2,
+           'l_discount', min3, max3, ndv3, null3)
+           AS (col_name, vmin, vmax, ndv, n_nulls)"""))
+        .orderBy(asc_nulls_first("col_name"))
+    },
+    None,
+    "approximate ANALYZE: single scan, HLL++ NDV per column — the sketch-backed stats pass a CBO runs at 100 TB")
+
   /** q127: JSON-lines sink + source round trip — the ingest format most
     * raw feeds arrive in (q88 is the ORC sibling). Writes a lineitem
     * projection as gzipped JSON lines, reads it back through Spark's
@@ -385,5 +420,5 @@ object Ingest {
       ORDER BY l_returnflag ASC NULLS FIRST"""),
     "JSON-lines sink + explicit-schema source round trip; oracle aggregates the parquet original")
 
-  val all: Seq[Q] = Seq(q51, q88, q108, q115, q121, q122, q126, q127)
+  val all: Seq[Q] = Seq(q51, q88, q108, q115, q121, q122, q126, q127, q131)
 }

@@ -1,16 +1,18 @@
 package graft.ops
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{DataType, DoubleType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Jaro-Winkler string similarity as a native Catalyst expression — the
   * entity-resolution scorer next to q89's Levenshtein (Spark ships
   * `levenshtein` but no Jaro-Winkler; DuckDB ships both, which gives the
-  * oracle). Standard textbook definition (Winkler 1990), matching
-  * DuckDB's semantics exactly (validated empirically in JaroWinklerSpec):
+  * oracle). Standard textbook definition (Winkler 1990) scored over the
+  * RAW UTF-8 BYTES — DuckDB's strings are UTF-8 byte arrays, so byte
+  * scoring matches its semantics exactly for ASCII and multi-byte text
+  * alike (validated empirically in JaroWinklerSpec, incl. non-ASCII):
   * match window floor(max(|a|,|b|)/2)-1, transpositions = half the
   * mismatched matched positions, prefix boost p=0.1 capped at 4 applied
   * only when jaro > 0.7, empty input → 0.
@@ -21,18 +23,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * hot path instead of going through ScalaUDF conversion. */
 object StringSimCodegen {
 
-  /** Static entry point referenced from generated code. ASCII inputs
-    * (numBytes == numChars) score directly on the UTF8 bytes — the hot
-    * path allocates two small byte arrays instead of decoding two
-    * Strings per evaluation, which halves the per-pair cost on the
-    * millions-of-pairs blocked join. Non-ASCII falls back to the
-    * char-based implementation (identical algorithm on code units). */
-  def jaroWinkler(a: UTF8String, b: UTF8String): Double = {
-    val na = a.numBytes
-    val nb = b.numBytes
-    if (na == a.numChars && nb == b.numChars) jaroBytes(a.getBytes, b.getBytes)
-    else jaroWinklerImpl(a.toString, b.toString)
-  }
+  /** Static entry point referenced from generated code. Scores the raw
+    * UTF-8 bytes for ALL inputs — exactly what DuckDB's
+    * jaro_winkler_similarity does (its strings are UTF-8 byte arrays),
+    * so ASCII and multi-byte text agree with the q125 oracle alike. This
+    * is also the fast path: two small byte-array copies per evaluation,
+    * no String decode, which halves the per-pair cost on the
+    * millions-of-pairs blocked join. */
+  def jaroWinkler(a: UTF8String, b: UTF8String): Double =
+    jaroBytes(a.getBytes, b.getBytes)
 
   private def jaroBytes(sa: Array[Byte], sb: Array[Byte]): Double = {
     val la = sa.length
@@ -78,56 +77,22 @@ object StringSimCodegen {
     jaro + prefix * 0.1 * (1.0 - jaro)
   }
 
-  def jaroWinklerImpl(sa: String, sb: String): Double = {
-    val la = sa.length
-    val lb = sb.length
-    if (la == 0 || lb == 0) return 0.0
-    val window = math.max(math.max(la, lb) / 2 - 1, 0)
-    val aMatch = new Array[Boolean](la)
-    val bMatch = new Array[Boolean](lb)
-    var m = 0
-    var i = 0
-    while (i < la) {
-      val lo = math.max(0, i - window)
-      val hi = math.min(lb - 1, i + window)
-      var j = lo
-      var found = false
-      while (j <= hi && !found) {
-        if (!bMatch(j) && sa.charAt(i) == sb.charAt(j)) {
-          aMatch(i) = true; bMatch(j) = true; m += 1; found = true
-        }
-        j += 1
-      }
-      i += 1
-    }
-    if (m == 0) return 0.0
-    var mismatched = 0
-    var k = 0
-    i = 0
-    while (i < la) {
-      if (aMatch(i)) {
-        while (!bMatch(k)) k += 1
-        if (sa.charAt(i) != sb.charAt(k)) mismatched += 1
-        k += 1
-      }
-      i += 1
-    }
-    val md = m.toDouble
-    val t = mismatched / 2.0
-    val jaro = (md / la + md / lb + (md - t) / md) / 3.0
-    if (jaro <= 0.7) return jaro
-    var prefix = 0
-    val maxPrefix = math.min(4, math.min(la, lb))
-    while (prefix < maxPrefix && sa.charAt(prefix) == sb.charAt(prefix)) prefix += 1
-    jaro + prefix * 0.1 * (1.0 - jaro)
-  }
+  /** String convenience (specs, driver-side use): same UTF-8-byte scoring
+    * as the expression path, so the spec exercises the real kernel. */
+  def jaroWinklerImpl(sa: String, sb: String): Double =
+    jaroBytes(sa.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      sb.getBytes(java.nio.charset.StandardCharsets.UTF_8))
 }
 
 case class JaroWinkler(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ImplicitCastInputTypes {
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "jaro_winkler"
+  // analysis-time type check + implicit casts (same contract as Spark's
+  // own Levenshtein) instead of a runtime ClassCastException. Return type
+  // left inferred: naming AbstractDataType is private[sql]-restricted.
+  override def inputTypes = Seq(StringType, StringType)
 
   override protected def nullSafeEval(a: Any, b: Any): Any =
     StringSimCodegen.jaroWinkler(

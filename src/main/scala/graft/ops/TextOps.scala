@@ -487,7 +487,7 @@ object TextOps {
         .orderBy(asc_nulls_first("lang"))
     },
     Some("""WITH kept AS (
-        SELECT lang, COUNT(*) AS n_kept, SUM(n_chars) AS chars_kept
+        SELECT lang, COUNT(*) AS n_kept, CAST(SUM(n_chars) AS BIGINT) AS chars_kept
         FROM documents
         WHERE (doc_id * 2654435761) % 100 <
           CASE lang WHEN 'en' THEN 60 WHEN 'de' THEN 25 ELSE 10 END

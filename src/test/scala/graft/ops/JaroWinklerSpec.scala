@@ -28,6 +28,21 @@ class JaroWinklerSpec extends AnyFunSuite {
       assert(math.abs(jw(a, b) - want) < 1e-6, s"jw($a, $b) = ${jw(a, b)}")
   }
 
+  test("non-ASCII pairs match DuckDB's UTF-8-byte scoring to 1e-6") {
+    // expected values from duckdb jaro_winkler_similarity (v1.x) — DuckDB
+    // scores the raw UTF-8 bytes, and so does the kernel
+    val cases = Seq(
+      ("café", "cafe", 0.848333333),
+      ("señorita", "senorita", 0.907407407),
+      ("münchen", "muenchen", 0.850000000),
+      ("日本語テスト", "日本語テスト", 1.0),
+      ("日本語", "本日語", 0.933333333),
+      ("naïve", "naive", 0.857777778),
+      ("crème brûlée", "creme brulee", 0.797037037))
+    for ((a, b, want) <- cases)
+      assert(math.abs(jw(a, b) - want) < 1e-6, s"jw($a, $b) = ${jw(a, b)}")
+  }
+
   test("empty and degenerate inputs return 0 (DuckDB semantics)") {
     assert(jw("", "") === 0.0)
     assert(jw("a", "") === 0.0)

@@ -47,6 +47,13 @@ def main(sf_dir: str, out_dir: str) -> int:
         mismatch = None
         for c in got.columns:
             a, b = got[c], want[c]
+            # Driver's compare hashes typed values: int64 vs float64 (e.g.
+            # DuckDB HUGEINT SUM -> float64) hash-mismatches even when the
+            # values are equal. Enforce post-norm dtype equality here so the
+            # local gate predicts the driver's verdict.
+            if str(a.dtype) != str(b.dtype):
+                mismatch = f"col {c}: dtype {a.dtype} vs {b.dtype}"
+                break
             try:
                 eq = (a.isna() & b.isna()) | (a == b)
             except Exception:
