@@ -68,6 +68,26 @@ class PipelineSpec extends AnyFunSuite {
       "a bin over the cap may only contain a single oversized doc")
   }
 
+  test("no exchange in the composed plan carries the text column") {
+    // the scaladoc claim "text never re-shuffles after the LSH stage":
+    // downstream of the (checkpointed) dedup flags, column pruning must
+    // drop `text` before every join/pack/order shuffle — a regression
+    // here re-shuffles the corpus' heaviest column at 100 TB
+    val df = Pipeline.trainingShards(spark, Pipeline.plantedCorpus(spark, sf), 0.8, cap)
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out)) { df.explain("formatted") }
+    val lines = out.toString("UTF-8").linesIterator.toVector
+    val exchangeIdx = lines.zipWithIndex.collect {
+      case (l, i) if l.matches("""\(\d+\) Exchange.*""") => i
+    }
+    assert(exchangeIdx.nonEmpty, "expected shuffles in the composed plan")
+    for (i <- exchangeIdx) {
+      val block = lines.drop(i).takeWhile(_.trim.nonEmpty)
+      assert(!block.exists(_.contains("text#")),
+        s"exchange at line $i carries text:\n${block.mkString("\n")}")
+    }
+  }
+
   test("train order is a bijection onto 0..n_train-1; eval rows carry none") {
     val train = result.filter(col("split") === "train")
     val nTrain = train.count()
