@@ -499,6 +499,119 @@ object TextOps {
       ORDER BY lang ASC NULLS FIRST"""),
     "per-language deterministic-hash sampling to a target mixture + achieved-rate audit (domain-mixing surface)")
 
+  /** q133: per-source cardinality cap — keep at most `k` docs per source,
+    * chosen by deterministic hash order (the "cap any one domain" guard a
+    * mixing pass runs before q111/q134-style reweighting). Exact top-k per
+    * group, computed SKEW-SAFE as two bounded windows instead of one sort
+    * per source: rank within (source, salt-of-doc_id) and keep ≤ k, then
+    * rank the ≤ 32·k survivors per source. Top-k of a union is the top-k
+    * of the per-salt top-ks, so the result is exact for ANY salt; no
+    * partition ever sorts more than max(n/32, 32·k) rows — a one-window
+    * version sorts an entire hot source on one task at 100 TB. The salt
+    * never reaches the output, so the cross-engine oracle replays the
+    * plain one-window definition. */
+  /** Exact per-source top-`k` by deterministic hash order, via the salted
+    * two-level window (see q133's scaladoc). Input needs (source, doc_id);
+    * output is (source, doc_id, rk) with rk ∈ 1..k contiguous per source. */
+  def sourceCap(docs: DataFrame, k: Int): DataFrame = {
+    val h = (col("doc_id") * lit(2654435761L)) % lit(1000000007L)
+    val salted = docs
+      .select(col("source"), col("doc_id"), h.as("h"),
+        pmod(xxhash64(col("doc_id")), lit(32)).as("salt"))
+      .withColumn("rk1", row_number().over(
+        Window.partitionBy(col("source"), col("salt"))
+          .orderBy(asc("h"), asc("doc_id"))))
+      .filter(col("rk1") <= k)
+    salted
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("source"))
+          .orderBy(asc("h"), asc("doc_id"))).cast(LongType))
+      .filter(col("rk") <= k)
+      .select(col("source"), col("doc_id"), col("rk"))
+      .orderBy(asc_nulls_first("source"), asc_nulls_first("rk"))
+  }
+
+  private val q133 = Q(
+    "q133_source_cap",
+    (s, dir) => sourceCap(T(s, dir, "documents"), 15),
+    Some("""SELECT source, doc_id, rk FROM (
+        SELECT source, doc_id,
+               row_number() OVER (PARTITION BY source
+                 ORDER BY (doc_id * 2654435761) % 1000000007 ASC, doc_id ASC) AS rk
+        FROM documents) t
+      WHERE rk <= 15
+      ORDER BY source ASC NULLS FIRST, rk ASC NULLS FIRST"""),
+    "per-source doc cap: exact deterministic top-15 per source via salted two-level window (skew-safe group top-k)")
+
+  /** q134: token-budget mixture application — given target mixture
+    * weights per source (basis points) and a token budget of HALF the
+    * corpus (chars as the token proxy), SOLVE the per-source sampling
+    * rate and apply it: rate_s = min(1, weight_s·B / avail_s), i.e. an
+    * over-represented source is downsampled toward its target share and
+    * an under-represented one keeps everything (capped at 1 — static
+    * mixture application, the degenerate-free part of DoReMi-style
+    * reweighting). Distinct from q111, whose rates are GIVEN: here the
+    * rates are computed from corpus statistics. All arithmetic is integer
+    * (basis points, `div`) so the result is bit-stable across engines.
+    * Scale shape: `avail` is a |sources|-row map-combinable agg; the
+    * rate table broadcasts; selection is a pure map-side filter on the
+    * scan; the audit agg is partial/final. One wide scan, no fact
+    * shuffle. */
+  private val q134 = Q(
+    "q134_token_budget_mixture",
+    (s, dir) => {
+      val docs = T(s, dir, "documents")
+      val weightBp = when(col("source") === "src0", lit(2500L))
+        .when(col("source") === "src1", lit(1500L))
+        .when(col("source") === "src2", lit(1000L))
+        .otherwise(lit(294L))
+      val avail = docs.groupBy(col("source"))
+        .agg(sum(col("n_chars")).as("avail_chars"))
+      val total = avail.agg(sum(col("avail_chars")).as("total"))
+      val rates = avail.crossJoin(broadcast(total))
+        .withColumn("weight_bp", weightBp)
+        .withColumn("target_chars",
+          expr("(weight_bp * (total div 2)) div 10000"))
+        .withColumn("rate_bp",
+          least(lit(10000L), expr("(10000 * target_chars) div avail_chars")))
+      val kept = docs
+        .join(broadcast(rates.select(col("source"), col("rate_bp"))), Seq("source"))
+        .filter((col("doc_id") * lit(2654435761L)) % 10000 < col("rate_bp"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("chars_kept"))
+      rates.join(kept, Seq("source"), "left")
+        .select(col("source"), col("avail_chars"), col("target_chars"),
+          col("rate_bp"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          coalesce(col("chars_kept"), lit(0L)).as("chars_kept"))
+        .orderBy(asc_nulls_first("source"))
+    },
+    Some("""WITH avail AS (
+        SELECT source, SUM(n_chars) AS avail_chars,
+               CASE source WHEN 'src0' THEN 2500 WHEN 'src1' THEN 1500
+                           WHEN 'src2' THEN 1000 ELSE 294 END AS weight_bp
+        FROM documents GROUP BY source),
+      tot AS (SELECT SUM(avail_chars) AS total FROM avail),
+      rates AS (
+        SELECT source, avail_chars, weight_bp,
+               (weight_bp * (total // 2)) // 10000 AS target_chars,
+               LEAST(10000, (10000 * ((weight_bp * (total // 2)) // 10000)) // avail_chars) AS rate_bp
+        FROM avail, tot),
+      kept AS (
+        SELECT d.source, COUNT(*) AS n_kept, SUM(d.n_chars) AS chars_kept
+        FROM documents d JOIN rates r USING (source)
+        WHERE (d.doc_id * 2654435761) % 10000 < r.rate_bp
+        GROUP BY d.source)
+      SELECT source,
+             CAST(avail_chars AS BIGINT) AS avail_chars,
+             CAST(target_chars AS BIGINT) AS target_chars,
+             CAST(rate_bp AS BIGINT) AS rate_bp,
+             CAST(COALESCE(n_kept, 0) AS BIGINT) AS n_kept,
+             CAST(COALESCE(chars_kept, 0) AS BIGINT) AS chars_kept
+      FROM rates LEFT JOIN kept USING (source)
+      ORDER BY source ASC NULLS FIRST"""),
+    "token-budget mixture: solve per-source rates from target weights + half-corpus budget, apply map-side, audit (computed-rate sibling of q111)")
+
   /** q116: exact duplicated-substring detection — the bounded-window
     * variant of suffix-array substring dedup (Lee et al. 2022,
     * "Deduplicating Training Data Makes Language Models Better"): every
@@ -562,5 +675,5 @@ object TextOps {
 
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q28, q95, q96, q99, q103, q104, q106, q110, q111,
-      q116)
+      q116, q133, q134)
 }

@@ -88,4 +88,52 @@ class TextPipelineSpec extends AnyFunSuite {
       .select("doc_id").distinct().as[Long].collect().toSet
     assert(hits == Set(1L))
   }
+
+  // ---- q133 salted per-source top-k -----------------------------------
+
+  test("sourceCap: salted two-level window equals the plain one-window top-k on a skewed corpus") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // one hot source (500 docs), one normal (40), one smaller than k (5)
+    val docs = ((1L to 500L).map(i => ("hot", i)) ++
+      (501L to 540L).map(i => ("mid", i)) ++
+      (541L to 545L).map(i => ("tiny", i))).toDF("source", "doc_id")
+    val k = 15
+    val got = TextOps.sourceCap(docs, k)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val h = (col("doc_id") * lit(2654435761L)) % lit(1000000007L)
+    val want = docs
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("source")).orderBy(h.asc, col("doc_id").asc))
+        .cast("long"))
+      .filter(col("rk") <= k)
+      .orderBy(asc_nulls_first("source"), asc_nulls_first("rk"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == want)
+    // a source smaller than k survives whole, ranks contiguous from 1
+    val tiny = got.filter(_._1 == "tiny")
+    assert(tiny.map(_._3) == (1L to 5L) && tiny.map(_._2).toSet == (541L to 545L).toSet)
+    assert(got.count(_._1 == "hot") == k && got.count(_._1 == "mid") == k)
+  }
+
+  // ---- q134 token-budget mixture --------------------------------------
+
+  test("token-budget mixture: rates capped at 10000 bp, full-keep sources keep everything, kept <= avail") {
+    val dir = "/root/testdata/sf0.001"
+    val out = graft.SparkEntry.queries("q134_token_budget_mixture")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(out.nonEmpty)
+    val totals = graft.T(spark, dir, "documents").groupBy(col("source"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    out.foreach { case (src, avail, target, rateBp, nKept, charsKept) =>
+      assert(rateBp >= 0L && rateBp <= 10000L, s"$src rate out of range")
+      assert(charsKept <= avail, s"$src kept more chars than available")
+      assert(nKept <= totals(src), s"$src kept more docs than exist")
+      // rate 10000 = under-represented source: budget says keep all of it
+      if (rateBp == 10000L) assert(nKept == totals(src), s"$src capped rate must keep every doc")
+      // the rate solve respects the target: a downsampled source was over target
+      if (rateBp < 10000L) assert(avail > target, s"$src downsampled despite avail <= target")
+    }
+  }
 }
