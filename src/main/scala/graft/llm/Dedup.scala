@@ -88,8 +88,15 @@ object Dedup {
     * the text itself never shuffles. */
   private def collapseExact(sigs: DataFrame): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
+    // Lazy local checkpoint: the signature frame feeds four consumers
+    // (exact pairs, bucket sizes, both self-join sides) whose
+    // AQE-replanned subtrees never hit ReusedExchange — without it the
+    // signature UDF pass re-runs per consumer. Same shape at 100 TB:
+    // signatures (~0.5 KB/doc, DISK-backed) materialize once, the raw
+    // text is scanned once.
     val withRep = sigs.withColumn("rep_id",
       min(col("doc_id")).over(Window.partitionBy(col("h"))))
+      .localCheckpoint(false)
     val exact = withRep.filter(col("doc_id") =!= col("rep_id"))
       .select(col("rep_id").as("doc_a"), col("doc_id").as("doc_b"))
     (withRep, exact)
