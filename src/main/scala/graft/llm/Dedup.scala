@@ -258,8 +258,10 @@ object Dedup {
       col("embedding").cast(ArrayType(DoubleType)).as("v"))
     // candidate ids only through the bucket self-join + dedup shuffle;
     // vectors are re-joined for surviving pairs afterwards
+    // materialized once — feeds both self-join sides (see collapseExact)
     val bucketed = lshBuckets(vecs.select(col("vec_id"), col("v")), "v")
       .select(col("vec_id"), col("table"), col("bucket"))
+      .localCheckpoint(false)
     val a = bucketed.alias("a")
     val b = bucketed.alias("b")
     val pairIds = a.join(b,
