@@ -164,6 +164,101 @@ object Dedup {
     None,
     "MinHash-LSH candidate pairs + exact n-gram Jaccard verify (dedup surface)")
 
+  /** Incremental dedup: classify a DELTA batch against an EXISTING corpus
+    * without re-running corpus×corpus — the daily-ingest shape of a
+    * production pipeline. Per delta doc: `exact` (text hash already in
+    * the corpus), `near` (best corpus match with shingle-Jaccard ≥
+    * threshold via band-index probe), else `unique`.
+    *
+    * Scale shape (the asymmetric version of [[minhashPairs]]):
+    *  - the corpus side contributes ONLY its maintained signature/band
+    *    index — (band, bh, doc_id) plus an exact-hash set; at 100 TB both
+    *    are standing tables updated per batch, and ONLY the delta (the
+    *    small side) computes signatures at ingest time;
+    *  - the probe is a bucket equi-join delta-bands × corpus-bands —
+    *    never delta × corpus;
+    *  - exact verification re-joins text only for surviving candidates,
+    *    and only the best match per delta doc survives the final agg. */
+  def incrementalDedup(s: SparkSession, corpus: DataFrame, delta: DataFrame,
+      threshold: Double, maxBucket: Int = MaxBucketSize): DataFrame = {
+    // the standing index: in production these two frames are tables
+    // maintained across batches (append the delta after classifying it);
+    // here they materialize once per call (lazy checkpoint — the corpus
+    // scan must not re-run per consumer)
+    val corpusHashes = corpus.select(col("doc_id"), xxhash64(col("text")).as("h"))
+      .localCheckpoint(false)
+    val corpusBands = corpus
+      .select(col("doc_id"), posexplode(bandsUdf(minhashUdf(col("text")))).as(Seq("band", "bh")))
+      .localCheckpoint(false)
+    val deltaSigs = delta.select(col("doc_id"), xxhash64(col("text")).as("h"),
+      minhashUdf(col("text")).as("sig")).localCheckpoint(false)
+    // exact: delta hash already present in the corpus (earliest corpus doc wins)
+    val exactHit = deltaSigs.alias("d")
+      .join(corpusHashes.alias("c"), col("d.h") === col("c.h"))
+      .groupBy(col("d.doc_id").as("doc_id"))
+      .agg(min(col("c.doc_id")).as("dup_of"))
+      .withColumn("kind", lit("exact")).withColumn("jaccard", lit(1.0))
+    // near: band-probe the corpus index with the not-exact delta remainder
+    val probe = deltaSigs.join(exactHit.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), posexplode(bandsUdf(col("sig"))).as(Seq("band", "bh")))
+    val hot = corpusBands.groupBy(col("band"), col("bh"))
+      .agg(count(lit(1)).as("bn")).filter(col("bn") > maxBucket)
+      .select(col("band"), col("bh"))
+    val cand = probe.alias("d")
+      .join(hot, Seq("band", "bh"), "left_anti")
+      .join(corpusBands.alias("c"), Seq("band", "bh"))
+      .select(col("d.doc_id").as("delta_id"), col("c.doc_id").as("corpus_id"))
+      .distinct()
+    val candIdsD = cand.select(col("delta_id").as("doc_id")).distinct()
+    val candIdsC = cand.select(col("corpus_id").as("doc_id")).distinct()
+    val shD = delta.join(candIdsD, Seq("doc_id"), "left_semi")
+      .select(col("doc_id").as("delta_id"), shingleExpr.as("sh_d"))
+    val shC = corpus.join(candIdsC, Seq("doc_id"), "left_semi")
+      .select(col("doc_id").as("corpus_id"), shingleExpr.as("sh_c"))
+    val nearHit = cand.join(shD, Seq("delta_id")).join(shC, Seq("corpus_id"))
+      .select(col("delta_id"), col("corpus_id"),
+        round(size(array_intersect(col("sh_d"), col("sh_c"))).cast(DoubleType)
+          / size(array_union(col("sh_d"), col("sh_c"))), 4).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      // best match: highest jaccard, earliest corpus doc breaking ties
+      .groupBy(col("delta_id").as("doc_id"))
+      .agg(max(struct(col("jaccard"), (-col("corpus_id")).as("negid"))).as("best"))
+      .select(col("doc_id"), (-col("best.negid")).as("dup_of"),
+        lit("near").as("kind"), col("best.jaccard").as("jaccard"))
+    val classified = exactHit.select(col("doc_id"), col("kind"), col("dup_of"), col("jaccard"))
+      .unionByName(nearHit.select(col("doc_id"), col("kind"), col("dup_of"), col("jaccard")))
+    delta.select(col("doc_id"))
+      .join(classified, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("kind"), lit("unique")).as("kind"),
+        col("dup_of"), col("jaccard"))
+      .orderBy(asc_nulls_first("doc_id"))
+  }
+
+  /** q135: incremental dedup over a PLANTED delta (the driver corpus is
+    * dup-free): delta = every 20th doc with 3 appended tokens (near,
+    * shingle-Jaccard ≈ 0.9), every 50th verbatim (exact), and a
+    * synthetic-unique doc per 100 ids (word-reversed text — shares no
+    * 3-shingle with its source). Rows-only by design (LSH banding is not
+    * SQL-replayable — q101 precedent); DedupSpec pins the exact planted
+    * expectation per kind. */
+  private val q135 = Q(
+    "q135_incremental_dedup",
+    (s, dir) => {
+      val corpus = T(s, dir, "documents").select(col("doc_id"), col("text"))
+      val near = corpus.filter(col("doc_id") % 20 === 0)
+        .select((col("doc_id") + 500000).as("doc_id"),
+          concat(col("text"), lit(" appended near dup suffix")).as("text"))
+      val exact = corpus.filter(col("doc_id") % 50 === 0)
+        .select((col("doc_id") + 600000).as("doc_id"), col("text"))
+      val fresh = corpus.filter(col("doc_id") % 100 === 0)
+        .select((col("doc_id") + 700000).as("doc_id"),
+          array_join(reverse(split(col("text"), " ")), " ").as("text"))
+      incrementalDedup(s, corpus, near.unionByName(exact).unionByName(fresh), 0.8)
+    },
+    None,
+    "incremental delta-vs-corpus dedup: exact-hash hit, band-index near probe, or unique (daily-ingest shape)")
+
   /** SimHash near-dup pairs: exact-hash collapse → 4×16-bit chunk
     * bucketing over representatives (a pair within Hamming distance 3
     * must agree on ≥1 chunk), capped buckets, exact bit_count verify.
@@ -590,5 +685,5 @@ object Dedup {
     None,
     "capstone dedup: MinHash-LSH pairs -> connected components -> canonical doc per cluster (keep flags)")
 
-  val all: Seq[Q] = Seq(q24, q25, q26, q27, q30, q92, q93, q94, q101)
+  val all: Seq[Q] = Seq(q24, q25, q26, q27, q30, q92, q93, q94, q101, q135)
 }

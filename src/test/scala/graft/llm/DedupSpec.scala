@@ -52,6 +52,29 @@ class DedupSpec extends AnyFunSuite {
       "an unplanted doc was clustered away")
   }
 
+  test("incremental dedup classifies each delta doc: exact beats near, unique stays clean") {
+    val rnd = new scala.util.Random(47)
+    def sentence() = Iterator.fill(14)("v" + rnd.nextInt(8000)).mkString(" ")
+    val corpusRows = (1L to 40L).map(i => (i, Iterator.fill(6)(sentence()).mkString(". ")))
+    val corpus = docsDf(corpusRows)
+    val byId = corpusRows.toMap
+    val delta = docsDf(Seq(
+      (101L, byId(1L) + " appended near dup suffix"),          // near of 1
+      (102L, byId(2L)),                                        // exact of 2
+      (103L, Iterator.fill(6)(sentence()).mkString(". ")),     // genuinely new
+      (104L, byId(3L))))                                       // exact of 3
+    val out = Dedup.incrementalDedup(spark, corpus, delta, 0.8).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        if (r.isNullAt(3)) -1.0 else r.getDouble(3)))).toMap
+    assert(out.keySet === Set(101L, 102L, 103L, 104L), "every delta doc classified exactly once")
+    assert(out(102L) === (("exact", 2L, 1.0)), s"verbatim copy: ${out(102L)}")
+    assert(out(104L) === (("exact", 3L, 1.0)), s"verbatim copy: ${out(104L)}")
+    val (kind101, dup101, j101) = out(101L)
+    assert(kind101 == "near" && dup101 == 1L && j101 >= 0.8, s"near clone: ${out(101L)}")
+    assert(out(103L) === (("unique", -1L, -1.0)), s"fresh doc: ${out(103L)}")
+  }
+
   test("exact jaccard of identical docs is 1.0") {
     val docs = docsDf(Seq((1L, base), (2L, base)))
     val pairs = Dedup.minhashPairs(spark, docs).collect()
