@@ -420,5 +420,72 @@ object Ingest {
       ORDER BY l_returnflag ASC NULLS FIRST"""),
     "JSON-lines sink + explicit-schema source round trip; oracle aggregates the parquet original")
 
-  val all: Seq[Q] = Seq(q51, q88, q108, q115, q121, q122, q126, q127, q131)
+  /** q136: snapshot diff — the data-regression check a pipeline runs
+    * between two materializations of one table: which keys were added,
+    * removed, or changed (any non-key column differs, null-safely).
+    * Snapshot B is derived in-query from the driver's orders table with
+    * planted edits (every 97th key dropped, every 100th key's status
+    * flipped, every 500th re-inserted under a new key), so the expected
+    * diff is exact and the oracle replays the same construction.
+    *
+    * Scale shape: ONE full-outer shuffle join on the snapshot key — the
+    * honest floor for a general diff of two unordered snapshots. The
+    * column comparison is null-safe equality inside the joined row
+    * (codegen, no extra pass). At 100 TB, narrow the join first when
+    * metadata allows: partition-level fingerprints (q115's layout),
+    * a CDC log when one exists (q128), or a bloom probe (q118) —
+    * this operator is the fallback that needs none of them. */
+  private val q136 = Q(
+    "q136_snapshot_diff",
+    (s, dir) => {
+      val a = T(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_orderpriority"))
+      val b = a.filter(col("o_orderkey") % 97 =!= 0)
+        .withColumn("o_orderstatus",
+          when(col("o_orderkey") % 100 === 0, lit("X")).otherwise(col("o_orderstatus")))
+        .unionByName(a.filter(col("o_orderkey") % 500 === 0)
+          .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+            col("o_orderstatus"), col("o_orderpriority")))
+      val change = when(col("a.o_orderkey").isNull, lit("added"))
+        .when(col("b.o_orderkey").isNull, lit("removed"))
+        .when(!(col("a.o_orderstatus") <=> col("b.o_orderstatus")) ||
+          !(col("a.o_orderpriority") <=> col("b.o_orderpriority")), lit("changed"))
+      a.alias("a")
+        .join(b.alias("b"), col("a.o_orderkey") === col("b.o_orderkey"), "full_outer")
+        .select(coalesce(col("a.o_orderkey"), col("b.o_orderkey")).as("o_orderkey"),
+          change.as("change"),
+          col("a.o_orderstatus").as("old_status"),
+          col("b.o_orderstatus").as("new_status"))
+        .filter(col("change").isNotNull)
+        .orderBy(asc_nulls_first("o_orderkey"))
+    },
+    Some("""WITH a AS (
+        SELECT o_orderkey, o_orderstatus, o_orderpriority FROM orders),
+      b AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 100 = 0 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+               o_orderpriority
+        FROM orders WHERE o_orderkey % 97 <> 0
+        UNION ALL
+        SELECT o_orderkey + 10000000, o_orderstatus, o_orderpriority
+        FROM orders WHERE o_orderkey % 500 = 0),
+      j AS (
+        SELECT a.o_orderkey AS ka, b.o_orderkey AS kb,
+               a.o_orderstatus AS sa, b.o_orderstatus AS sb,
+               a.o_orderpriority AS pa, b.o_orderpriority AS pb
+        FROM a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey),
+      d AS (
+        SELECT COALESCE(ka, kb) AS o_orderkey,
+               CASE WHEN ka IS NULL THEN 'added'
+                    WHEN kb IS NULL THEN 'removed'
+                    WHEN sa IS DISTINCT FROM sb OR pa IS DISTINCT FROM pb THEN 'changed'
+               END AS change,
+               sa AS old_status, sb AS new_status
+        FROM j)
+      SELECT o_orderkey, change, old_status, new_status
+      FROM d WHERE change IS NOT NULL
+      ORDER BY o_orderkey ASC NULLS FIRST"""),
+    "snapshot diff: added/removed/changed keys between two table versions via one full-outer key join (pipeline regression check)")
+
+  val all: Seq[Q] = Seq(q51, q88, q108, q115, q121, q122, q126, q127, q131, q136)
 }

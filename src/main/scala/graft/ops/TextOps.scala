@@ -612,6 +612,64 @@ object TextOps {
       ORDER BY source ASC NULLS FIRST"""),
     "token-budget mixture: solve per-source rates from target weights + half-corpus budget, apply map-side, audit (computed-rate sibling of q111)")
 
+  /** q137: group-wise winsorization — clip `n_chars` to each language's
+    * exact [p05, p95] before computing corpus statistics, the standard
+    * outlier-robust cleaning pass. Percentiles are RANK-BASED (the value
+    * at row ceil(q·n) in (n_chars, doc_id) order), so every number here
+    * is integer-exact across engines — no float percentile interpolation
+    * to disagree on. Audit output per language: n, both thresholds, how
+    * many rows clipped at each side, and the clipped sum.
+    *
+    * Scale shape: one window pass per group for (rank, count) — exact
+    * percentiles need each group's total order, which is this operator's
+    * honest cost; at 100 TB the approx sibling (q76's Greenwald-Khanna
+    * sketch) replaces the sort when ±ε rank error is acceptable. The
+    * threshold table is |langs| rows, broadcast back; the clip itself is
+    * map-side. */
+  private val q137 = Q(
+    "q137_winsorize",
+    (s, dir) => {
+      val ranked = T(s, dir, "documents")
+        .select(col("lang"), col("doc_id"), col("n_chars"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("lang"))
+            .orderBy(asc("n_chars"), asc("doc_id"))).cast(LongType))
+        .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("lang"))))
+      val thr = ranked
+        .withColumn("rlo", expr("(5 * cnt + 99) div 100"))
+        .withColumn("rhi", expr("(95 * cnt + 99) div 100"))
+        .groupBy(col("lang"))
+        .agg(min(when(col("rn") === col("rlo"), col("n_chars"))).as("lo"),
+          min(when(col("rn") === col("rhi"), col("n_chars"))).as("hi"))
+      ranked.join(broadcast(thr), Seq("lang"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"),
+          min(col("lo")).as("p05"), min(col("hi")).as("p95"),
+          sum(when(col("n_chars") < col("lo"), 1L).otherwise(0L)).as("n_clip_lo"),
+          sum(when(col("n_chars") > col("hi"), 1L).otherwise(0L)).as("n_clip_hi"),
+          sum(least(greatest(col("n_chars"), col("lo")), col("hi"))).as("sum_clipped"))
+        .orderBy(asc_nulls_first("lang"))
+    },
+    Some("""WITH ranked AS (
+        SELECT lang, doc_id, n_chars,
+               row_number() OVER (PARTITION BY lang ORDER BY n_chars ASC, doc_id ASC) AS rn,
+               COUNT(*) OVER (PARTITION BY lang) AS cnt
+        FROM documents),
+      thr AS (
+        SELECT lang,
+               MIN(CASE WHEN rn = (5 * cnt + 99) // 100 THEN n_chars END) AS lo,
+               MIN(CASE WHEN rn = (95 * cnt + 99) // 100 THEN n_chars END) AS hi
+        FROM ranked GROUP BY lang)
+      SELECT lang, COUNT(*) AS n,
+             CAST(MIN(lo) AS BIGINT) AS p05, CAST(MIN(hi) AS BIGINT) AS p95,
+             CAST(SUM(CASE WHEN n_chars < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_lo,
+             CAST(SUM(CASE WHEN n_chars > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_hi,
+             CAST(SUM(LEAST(GREATEST(n_chars, lo), hi)) AS BIGINT) AS sum_clipped
+      FROM ranked JOIN thr USING (lang)
+      GROUP BY lang
+      ORDER BY lang ASC NULLS FIRST"""),
+    "group-wise winsorization: rank-based exact p05/p95 clip of n_chars per language + clipped-stats audit (outlier-robust cleaning)")
+
   /** q116: exact duplicated-substring detection — the bounded-window
     * variant of suffix-array substring dedup (Lee et al. 2022,
     * "Deduplicating Training Data Makes Language Models Better"): every
@@ -675,5 +733,5 @@ object TextOps {
 
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q28, q95, q96, q99, q103, q104, q106, q110, q111,
-      q116, q133, q134)
+      q116, q133, q134, q137)
 }
