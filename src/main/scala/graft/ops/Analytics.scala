@@ -502,6 +502,129 @@ object Analytics {
       GROUP BY event_type ORDER BY event_type ASC NULLS FIRST"""),
     "CDC latest-row-wins snapshot per (user, event_type), deterministic ts+id tie-break (read-side compaction)")
 
+  /** q138: data-quality assertions — the pre-publish audit a pipeline
+    * runs on a staging table (Deequ/dbt-test surface): primary-key
+    * duplicate rows, null foreign keys, and orphaned foreign keys, each
+    * with its violation rate in basis points. The staging table is the
+    * driver's (clean) orders with violations PLANTED in-query — every
+    * 200th key re-inserted, every 150th custkey nulled, every 170th
+    * pointed at a nonexistent customer — so the expected counts are
+    * exact and the oracle replays the same construction.
+    *
+    * Scale shape: the PK check is one count-vs-count-distinct aggregate
+    * (map-combinable; at 100 TB swap in HLL — q131 — when ±ε suffices);
+    * the orphan check is a left-anti probe of the dimension (broadcast
+    * here; bloom-gated — q118 — when the dim doesn't broadcast). One
+    * fact scan per check, no fact-fact shuffle. */
+  private val q138 = Q(
+    "q138_quality_assertions",
+    (s, dir) => {
+      val base = T(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val dirty = base
+        .withColumn("o_custkey",
+          when(col("o_orderkey") % 150 === 0, lit(null).cast(LongType))
+            .when(col("o_orderkey") % 170 === 0, lit(99999999L))
+            .otherwise(col("o_custkey")))
+        .unionByName(base.filter(col("o_orderkey") % 200 === 0)
+          .select(col("o_orderkey"), col("o_custkey")))
+      val custKeys = T(s, dir, "customer").select(col("c_custkey"))
+      val pk = dirty.agg(count(lit(1)).as("n_rows"),
+          (count(lit(1)) - countDistinct(col("o_orderkey"))).as("n_violations"))
+        .withColumn("check", lit("pk_duplicate_rows"))
+      val fkNull = dirty.agg(count(lit(1)).as("n_rows"),
+          sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("n_violations"))
+        .withColumn("check", lit("fk_null"))
+      val orphan = dirty.filter(col("o_custkey").isNotNull)
+        .join(broadcast(custKeys), col("o_custkey") === col("c_custkey"), "left_anti")
+        .agg(count(lit(1)).as("n_violations"))
+        .crossJoin(dirty.agg(count(lit(1)).as("n_rows")))
+        .withColumn("check", lit("fk_orphan"))
+      pk.unionByName(fkNull).unionByName(orphan.select(col("n_rows"), col("n_violations"), col("check")))
+        .select(col("check"), col("n_rows"),
+          col("n_violations").cast(LongType).as("n_violations"),
+          expr("(10000 * n_violations) div n_rows").as("rate_bp"))
+        .orderBy(asc_nulls_first("check"))
+    },
+    Some("""WITH base AS (SELECT o_orderkey, o_custkey FROM orders),
+      dirty AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 150 = 0 THEN NULL
+                    WHEN o_orderkey % 170 = 0 THEN 99999999
+                    ELSE o_custkey END AS o_custkey
+        FROM base
+        UNION ALL
+        SELECT o_orderkey, o_custkey FROM base WHERE o_orderkey % 200 = 0),
+      checks AS (
+        SELECT 'pk_duplicate_rows' AS "check", COUNT(*) AS n_rows,
+               COUNT(*) - COUNT(DISTINCT o_orderkey) AS n_violations
+        FROM dirty
+        UNION ALL
+        SELECT 'fk_null', COUNT(*),
+               SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+        FROM dirty
+        UNION ALL
+        SELECT 'fk_orphan', (SELECT COUNT(*) FROM dirty),
+               COUNT(*) FILTER (WHERE o_custkey IS NOT NULL
+                 AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = dirty.o_custkey))
+        FROM dirty)
+      SELECT "check", CAST(n_rows AS BIGINT) AS n_rows,
+             CAST(n_violations AS BIGINT) AS n_violations,
+             CAST((10000 * n_violations) // n_rows AS BIGINT) AS rate_bp
+      FROM checks
+      ORDER BY "check" ASC NULLS FIRST"""),
+    "data-quality assertions on a planted-dirty staging table: PK dup rows, null FK, orphan FK with rates (pre-publish audit)")
+
+  /** q139: SCD type-2 temporal join — enrich facts with the dimension
+    * version VALID AT the fact's timestamp (point-in-interval join), the
+    * standard slowly-changing-dimension read. The versioned dimension is
+    * derived in-query from customer: one version before 1998-01-01 and
+    * one (renamed segment) after, so orders 1995–2001 genuinely straddle
+    * the boundary and each order matches exactly one version.
+    *
+    * Scale shape: the join condition is EQUALITY on the dimension key
+    * plus the interval residual, so Catalyst plans a hash join on
+    * c_custkey (broadcast: dims are small) with the interval as a
+    * post-join filter — never a nested-loop range join. Aggregation is
+    * partial/final on |segments×versions| groups. */
+  private val q139 = Q(
+    "q139_scd2_join",
+    (s, dir) => {
+      val cust = T(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment"))
+      val dim = cust.select(col("c_custkey"), col("c_mktsegment").as("segment"),
+          to_timestamp(lit("1990-01-01")).as("valid_from"),
+          to_timestamp(lit("1998-01-01")).as("valid_to"))
+        .unionByName(cust.select(col("c_custkey"),
+          concat(col("c_mktsegment"), lit("_V2")).as("segment"),
+          to_timestamp(lit("1998-01-01")).as("valid_from"),
+          to_timestamp(lit("9999-12-31")).as("valid_to")))
+      T(s, dir, "orders").select(col("o_custkey"), col("o_orderdate"))
+        .join(broadcast(dim), col("o_custkey") === col("c_custkey") &&
+          col("o_orderdate") >= col("valid_from") &&
+          col("o_orderdate") < col("valid_to"))
+        .groupBy(col("segment"))
+        .agg(count(lit(1)).as("n_orders"),
+          date_format(min(col("o_orderdate")), "yyyy-MM-dd").as("first_day"),
+          date_format(max(col("o_orderdate")), "yyyy-MM-dd").as("last_day"))
+        .orderBy(asc_nulls_first("segment"))
+    },
+    Some("""WITH dim AS (
+        SELECT c_custkey, c_mktsegment AS segment,
+               TIMESTAMP '1990-01-01' AS valid_from, TIMESTAMP '1998-01-01' AS valid_to
+        FROM customer
+        UNION ALL
+        SELECT c_custkey, c_mktsegment || '_V2',
+               TIMESTAMP '1998-01-01', TIMESTAMP '9999-12-31'
+        FROM customer)
+      SELECT segment, COUNT(*) AS n_orders,
+             strftime(MIN(o_orderdate), '%Y-%m-%d') AS first_day,
+             strftime(MAX(o_orderdate), '%Y-%m-%d') AS last_day
+      FROM orders o JOIN dim d
+        ON o.o_custkey = d.c_custkey
+       AND o.o_orderdate >= d.valid_from AND o.o_orderdate < d.valid_to
+      GROUP BY segment
+      ORDER BY segment ASC NULLS FIRST"""),
+    "SCD type-2 point-in-interval join: facts enriched with the dimension version valid at fact time (hash join on key + interval residual)")
+
   val all: Seq[Q] = Seq(q83, q84, q85, q86, q87, q89, q90, q91, q112, q123, q124,
-    q125, q128)
+    q125, q128, q138, q139)
 }
