@@ -625,6 +625,80 @@ object Analytics {
       ORDER BY segment ASC NULLS FIRST"""),
     "SCD type-2 point-in-interval join: facts enriched with the dimension version valid at fact time (hash join on key + interval residual)")
 
+  /** q140: categorical drift audit — how far a column's value
+    * distribution moved between a reference window (orders before
+    * 1998-01-01) and the current window (after), per monitored column.
+    * The metric is total-variation distance in basis points,
+    * TVD = ½·Σ|p_v − q_v|: unlike PSI/KL it needs no logarithm, so with
+    * bp-floored rates every number is integer-exact across engines (a
+    * cross-engine float-`ln` would not be bit-stable). Emits per column
+    * the distinct-value count, both window sizes, the worst
+    * single-value shift, and the TVD — the drift gate an ML pipeline
+    * checks before promoting a new snapshot.
+    *
+    * Scale shape: one groupBy per monitored column over a shared scan,
+    * each |distinct values|-sized; totals broadcast back as one row.
+    * Map-combinable throughout; no fact-fact shuffle. */
+  private val q140 = Q(
+    "q140_segment_drift",
+    (s, dir) => {
+      val lab = T(s, dir, "orders")
+        .select(col("o_orderstatus"), col("o_orderpriority"),
+          (col("o_orderdate") < to_timestamp(lit("1998-01-01"))).as("is_ref"))
+      def drift(c: String) = {
+        val counts = lab.groupBy(col(c).as("val"))
+          .agg(sum(when(col("is_ref"), 1L).otherwise(0L)).as("n_ref"),
+            sum(when(col("is_ref"), 0L).otherwise(1L)).as("n_cur"))
+        val totals = counts.agg(sum(col("n_ref")).as("ref_n"), sum(col("n_cur")).as("cur_n"))
+        counts.crossJoin(broadcast(totals))
+          .withColumn("diff_bp",
+            abs(expr("(10000 * n_ref) div ref_n") - expr("(10000 * n_cur) div cur_n")))
+          .groupBy(lit(c).as("col_name"))
+          .agg(count(lit(1)).as("n_values"),
+            min(col("ref_n")).as("ref_n"), min(col("cur_n")).as("cur_n"),
+            max(col("diff_bp")).as("max_diff_bp"),
+            expr("sum(diff_bp) div 2").as("tvd_bp"))
+      }
+      drift("o_orderstatus").unionByName(drift("o_orderpriority"))
+        .orderBy(asc_nulls_first("col_name"))
+    },
+    Some("""WITH lab AS (
+        SELECT o_orderstatus, o_orderpriority,
+               (o_orderdate < TIMESTAMP '1998-01-01') AS is_ref
+        FROM orders),
+      s1 AS (
+        SELECT o_orderstatus AS val,
+               SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS n_ref,
+               SUM(CASE WHEN is_ref THEN 0 ELSE 1 END) AS n_cur
+        FROM lab GROUP BY 1),
+      d1 AS (
+        SELECT ABS((10000 * n_ref) // rt - (10000 * n_cur) // ct) AS diff_bp, rt, ct
+        FROM s1, (SELECT SUM(n_ref) AS rt, SUM(n_cur) AS ct FROM s1)),
+      s2 AS (
+        SELECT o_orderpriority AS val,
+               SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS n_ref,
+               SUM(CASE WHEN is_ref THEN 0 ELSE 1 END) AS n_cur
+        FROM lab GROUP BY 1),
+      d2 AS (
+        SELECT ABS((10000 * n_ref) // rt - (10000 * n_cur) // ct) AS diff_bp, rt, ct
+        FROM s2, (SELECT SUM(n_ref) AS rt, SUM(n_cur) AS ct FROM s2)),
+      u AS (
+        SELECT 'o_orderstatus' AS col_name, COUNT(*) AS n_values,
+               MIN(rt) AS ref_n, MIN(ct) AS cur_n,
+               MAX(diff_bp) AS max_diff_bp, SUM(diff_bp) // 2 AS tvd_bp
+        FROM d1
+        UNION ALL
+        SELECT 'o_orderpriority', COUNT(*), MIN(rt), MIN(ct),
+               MAX(diff_bp), SUM(diff_bp) // 2
+        FROM d2)
+      SELECT col_name, CAST(n_values AS BIGINT) AS n_values,
+             CAST(ref_n AS BIGINT) AS ref_n, CAST(cur_n AS BIGINT) AS cur_n,
+             CAST(max_diff_bp AS BIGINT) AS max_diff_bp,
+             CAST(tvd_bp AS BIGINT) AS tvd_bp
+      FROM u
+      ORDER BY col_name ASC NULLS FIRST"""),
+    "categorical drift between time windows: per-column total-variation distance in basis points + worst value shift (snapshot promotion gate)")
+
   val all: Seq[Q] = Seq(q83, q84, q85, q86, q87, q89, q90, q91, q112, q123, q124,
-    q125, q128, q138, q139)
+    q125, q128, q138, q139, q140)
 }
