@@ -699,6 +699,80 @@ object Analytics {
       ORDER BY col_name ASC NULLS FIRST"""),
     "categorical drift between time windows: per-column total-variation distance in basis points + worst value shift (snapshot promotion gate)")
 
+  /** q141: numeric drift audit — the continuous-column sibling of q140:
+    * bucket `o_totalprice` by the REFERENCE window's rank-based decile
+    * thresholds (q137's technique: the value at row (k·n) div 10, ties
+    * broken by key — integer-exact), assign both windows' rows to those
+    * frozen buckets, and report per-bucket rates and shifts in basis
+    * points. Freezing the bucket edges on the reference window is what
+    * makes the comparison well-defined — re-bucketing each window by its
+    * own quantiles would hide exactly the drift being measured. Raw
+    * doubles are only COMPARED (never arithmetic), so results are
+    * bit-stable across engines.
+    *
+    * Scale shape: one window pass over the reference slice for the nine
+    * thresholds (exact-percentile cost, q76's sketch is the approx
+    * sibling), then the 9-element threshold array broadcasts inside a
+    * 1-row frame and bucket assignment is a map-side array filter; the
+    * final agg is 10 groups. */
+  private val q141 = Q(
+    "q141_numeric_drift",
+    (s, dir) => {
+      val lab = T(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice").as("x"),
+          (col("o_orderdate") < to_timestamp(lit("1998-01-01"))).as("is_ref"))
+      val ranked = lab.filter(col("is_ref"))
+        .withColumn("rn", row_number().over(
+          Window.orderBy(asc("x"), asc("o_orderkey"))).cast(LongType))
+        .withColumn("cnt", count(lit(1)).over(Window.partitionBy()))
+      val isBoundary = (1 to 9).map(k => col("rn") === expr(s"($k * cnt) div 10"))
+        .reduce(_ || _)
+      val thr = ranked.filter(isBoundary)
+        .agg(sort_array(collect_list(col("x"))).as("ts"))
+      val counts = lab.crossJoin(broadcast(thr))
+        .select(col("is_ref"),
+          (size(expr("filter(ts, t -> x > t)")) + 1).cast(LongType).as("bucket"))
+        .groupBy(col("bucket"))
+        .agg(sum(when(col("is_ref"), 1L).otherwise(0L)).as("n_ref"),
+          sum(when(col("is_ref"), 0L).otherwise(1L)).as("n_cur"))
+      val totals = counts.agg(sum(col("n_ref")).as("ref_n"), sum(col("n_cur")).as("cur_n"))
+      counts.crossJoin(broadcast(totals))
+        .select(col("bucket"), col("n_ref"), col("n_cur"),
+          expr("(10000 * n_ref) div ref_n").as("ref_bp"),
+          expr("(10000 * n_cur) div cur_n").as("cur_bp"),
+          abs(expr("(10000 * n_ref) div ref_n") - expr("(10000 * n_cur) div cur_n")).as("diff_bp"))
+        .orderBy(asc_nulls_first("bucket"))
+    },
+    Some("""WITH lab AS (
+        SELECT o_orderkey, o_totalprice AS x,
+               (o_orderdate < TIMESTAMP '1998-01-01') AS is_ref
+        FROM orders),
+      r AS (
+        SELECT x, row_number() OVER (ORDER BY x ASC, o_orderkey ASC) AS rn,
+               COUNT(*) OVER () AS cnt
+        FROM lab WHERE is_ref),
+      thr AS (
+        SELECT list_sort(list(x)) AS ts FROM r
+        WHERE rn IN ((1*cnt)//10, (2*cnt)//10, (3*cnt)//10, (4*cnt)//10,
+                     (5*cnt)//10, (6*cnt)//10, (7*cnt)//10, (8*cnt)//10, (9*cnt)//10)),
+      b AS (
+        SELECT is_ref, 1 + len(list_filter(ts, t -> x > t)) AS bucket
+        FROM lab, thr),
+      c AS (
+        SELECT bucket,
+               SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS n_ref,
+               SUM(CASE WHEN is_ref THEN 0 ELSE 1 END) AS n_cur
+        FROM b GROUP BY bucket),
+      t AS (SELECT SUM(n_ref) AS ref_n, SUM(n_cur) AS cur_n FROM c)
+      SELECT CAST(bucket AS BIGINT) AS bucket,
+             CAST(n_ref AS BIGINT) AS n_ref, CAST(n_cur AS BIGINT) AS n_cur,
+             CAST((10000 * n_ref) // ref_n AS BIGINT) AS ref_bp,
+             CAST((10000 * n_cur) // cur_n AS BIGINT) AS cur_bp,
+             CAST(ABS((10000 * n_ref) // ref_n - (10000 * n_cur) // cur_n) AS BIGINT) AS diff_bp
+      FROM c, t
+      ORDER BY bucket ASC NULLS FIRST"""),
+    "numeric drift: current window bucketed by the reference window's frozen rank-based deciles, per-bucket bp rates and shifts (continuous sibling of q140)")
+
   val all: Seq[Q] = Seq(q83, q84, q85, q86, q87, q89, q90, q91, q112, q123, q124,
-    q125, q128, q138, q139, q140)
+    q125, q128, q138, q139, q140, q141)
 }
