@@ -240,4 +240,21 @@ class PlanShapeSpec extends AnyFunSuite {
     ex.foreach(l => assert(!"\\bq#".r.findFirstIn(l).isDefined,
       s"quantized vectors must not cross an exchange: $l"))
   }
+
+  test("q139 SCD-2 join: hash join on the dim key, interval as residual — no nested loop") {
+    // equality on c_custkey must anchor the join; a regression that loses
+    // it (e.g. folding the key compare into the interval predicate) plans
+    // BroadcastNestedLoopJoin, which is corpus × dim-versions at scale
+    val p = planOf("q139_scd2_join")
+    assert(p.contains("BroadcastHashJoin"), "dim side should broadcast-hash on c_custkey")
+    assert(!p.contains("NestedLoop"), "interval predicate degraded the join to a nested loop")
+  }
+
+  test("q133 source cap: two bounded windows, first salted — no whole-source sort") {
+    val p = planOf("q133_source_cap")
+    val windows = p.linesIterator.filter(_.matches(""".*[\s\[(]Window \[.*""")).toList
+    assert(windows.size == 2, s"expected the salted two-level window, got: $windows")
+    assert(windows.exists(w => w.contains("salt")),
+      s"first window must partition by (source, salt): $windows")
+  }
 }
