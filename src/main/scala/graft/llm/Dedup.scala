@@ -182,38 +182,60 @@ object Dedup {
   def incrementalDedup(s: SparkSession, corpus: DataFrame, delta: DataFrame,
       threshold: Double, maxBucket: Int = MaxBucketSize): DataFrame = {
     // the standing index: in production these two frames are tables
-    // maintained across batches (append the delta after classifying it);
-    // here they materialize once per call (lazy checkpoint — the corpus
-    // scan must not re-run per consumer)
+    // maintained across batches (append the delta after classifying it —
+    // exactly what [[graft.streaming.Streams]]' q142 does); here they
+    // materialize once per call (lazy checkpoint — the corpus scan must
+    // not re-run per consumer)
     val corpusHashes = corpus.select(col("doc_id"), xxhash64(col("text")).as("h"))
       .localCheckpoint(false)
     val corpusBands = corpus
       .select(col("doc_id"), posexplode(bandsUdf(minhashUdf(col("text")))).as(Seq("band", "bh")))
       .localCheckpoint(false)
+    classifyAgainstIndex(delta, corpusHashes, corpusBands,
+      corpus.select(col("doc_id"), col("text")), threshold, maxBucket)
+  }
+
+  /** The (hash, band) index rows for a doc batch — what a standing
+    * signature store appends per ingested batch (streaming q142). */
+  def indexFrames(docs: DataFrame): (DataFrame, DataFrame) = {
+    val sigs = docs.select(col("doc_id"), xxhash64(col("text")).as("h"),
+      minhashUdf(col("text")).as("sig")).localCheckpoint(false)
+    (sigs.select(col("doc_id"), col("h")),
+      sigs.select(col("doc_id"), posexplode(bandsUdf(col("sig"))).as(Seq("band", "bh"))))
+  }
+
+  /** The probe kernel shared by [[incrementalDedup]] (index built from a
+    * corpus frame) and the streaming ingest dedup (index read from the
+    * standing tables it maintains per batch): classify each delta doc as
+    * exact / near / unique against (idxHashes (doc_id, h),
+    * idxBands (doc_id, band, bh), idxDocs (doc_id, text)). */
+  def classifyAgainstIndex(delta: DataFrame, idxHashes: DataFrame,
+      idxBands: DataFrame, idxDocs: DataFrame, threshold: Double,
+      maxBucket: Int = MaxBucketSize): DataFrame = {
     val deltaSigs = delta.select(col("doc_id"), xxhash64(col("text")).as("h"),
       minhashUdf(col("text")).as("sig")).localCheckpoint(false)
-    // exact: delta hash already present in the corpus (earliest corpus doc wins)
+    // exact: delta hash already present in the index (earliest doc wins)
     val exactHit = deltaSigs.alias("d")
-      .join(corpusHashes.alias("c"), col("d.h") === col("c.h"))
+      .join(idxHashes.alias("c"), col("d.h") === col("c.h"))
       .groupBy(col("d.doc_id").as("doc_id"))
       .agg(min(col("c.doc_id")).as("dup_of"))
       .withColumn("kind", lit("exact")).withColumn("jaccard", lit(1.0))
-    // near: band-probe the corpus index with the not-exact delta remainder
+    // near: band-probe the index with the not-exact delta remainder
     val probe = deltaSigs.join(exactHit.select(col("doc_id")), Seq("doc_id"), "left_anti")
       .select(col("doc_id"), posexplode(bandsUdf(col("sig"))).as(Seq("band", "bh")))
-    val hot = corpusBands.groupBy(col("band"), col("bh"))
+    val hot = idxBands.groupBy(col("band"), col("bh"))
       .agg(count(lit(1)).as("bn")).filter(col("bn") > maxBucket)
       .select(col("band"), col("bh"))
     val cand = probe.alias("d")
       .join(hot, Seq("band", "bh"), "left_anti")
-      .join(corpusBands.alias("c"), Seq("band", "bh"))
+      .join(idxBands.alias("c"), Seq("band", "bh"))
       .select(col("d.doc_id").as("delta_id"), col("c.doc_id").as("corpus_id"))
       .distinct()
     val candIdsD = cand.select(col("delta_id").as("doc_id")).distinct()
     val candIdsC = cand.select(col("corpus_id").as("doc_id")).distinct()
     val shD = delta.join(candIdsD, Seq("doc_id"), "left_semi")
       .select(col("doc_id").as("delta_id"), shingleExpr.as("sh_d"))
-    val shC = corpus.join(candIdsC, Seq("doc_id"), "left_semi")
+    val shC = idxDocs.join(candIdsC, Seq("doc_id"), "left_semi")
       .select(col("doc_id").as("corpus_id"), shingleExpr.as("sh_c"))
     val nearHit = cand.join(shD, Seq("delta_id")).join(shC, Seq("corpus_id"))
       .select(col("delta_id"), col("corpus_id"),

@@ -3,7 +3,7 @@ package graft.streaming
 import graft.{Q, T}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DecimalType, DoubleType, StringType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, IntegerType, LongType, StringType, StructField, StructType}
 
 /** Structured Streaming surface (SURVEY.md §2.9 extension): the events
   * table replayed through readStream, windowed-aggregated, and drained
@@ -554,5 +554,85 @@ object Streams {
       ORDER BY event_type ASC NULLS FIRST, day ASC NULLS FIRST"""),
     "foreachBatch incremental MV maintenance: per-batch partials merged into a versioned MV = full batch agg")
 
-  val all: Seq[Q] = Seq(q50, q52, q65, q73, q80, q109, q114, q117)
+  /** q142: streaming ingest near-dup dedup — the stateful sibling of the
+    * batch incremental dedup (q135) and the streaming exact dedup (q73):
+    * each arriving micro-batch is classified exact / near / unique
+    * against the SIGNATURE INDEX the stream itself maintains (append-only
+    * hash, band, and doc tables updated per batch), so every document is
+    * deduplicated against exactly what arrived BEFORE it — prefix
+    * semantics in arrival order. Intra-batch duplicates are the batch
+    * operator's job (q101) and are deliberately not re-checked per batch.
+    * Replayed batchIds are skipped via marker files (q117's idempotency
+    * pattern), so a foreachBatch retry cannot double-append
+    * classifications or index rows.
+    *
+    * Scale shape: per batch, only the delta computes signatures (once,
+    * checkpointed) and probes the standing band table via the bucket
+    * equi-join of [[graft.llm.Dedup.classifyAgainstIndex]]; the index
+    * tables grow append-only exactly like a production signature store.
+    * The stage replays four arrival waves (corpus → near clones → exact
+    * clones → reversed-unique) written with strictly increasing mtimes,
+    * so FileStreamSource's oldest-first order makes the expectation
+    * exact: originals classify unique, every planted clone finds its
+    * source. */
+  def streamIncrementalDedup(s: SparkSession, corpus0: DataFrame,
+      threshold: Double): DataFrame = withStatePartitions(s, 8) {
+    import java.nio.file.{Files, Paths}
+    val corpus = corpus0.select(col("doc_id"), col("text"))
+    val stage = graft.Scratch.fresh("sid_stage")
+    val waves = Seq(
+      corpus,
+      corpus.filter(col("doc_id") % 20 === 0)
+        .select((col("doc_id") + 500000L).as("doc_id"),
+          concat(col("text"), lit(" appended near dup suffix")).as("text")),
+      corpus.filter(col("doc_id") % 50 === 0)
+        .select((col("doc_id") + 600000L).as("doc_id"), col("text")),
+      corpus.filter(col("doc_id") % 100 === 0)
+        .select((col("doc_id") + 700000L).as("doc_id"),
+          array_join(reverse(split(col("text"), " ")), " ").as("text")))
+    waves.foreach(_.coalesce(1).write.mode("append").parquet(stage))
+    val root = graft.Scratch.fresh("sid_state")
+    val idxH = s"$root/idx_h"; val idxB = s"$root/idx_b"
+    val idxD = s"$root/idx_d"; val outDir = s"$root/out"
+    val hSchema = StructType(Seq(StructField("doc_id", LongType), StructField("h", LongType)))
+    val bSchema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("band", IntegerType), StructField("bh", LongType)))
+    val dSchema = corpus.schema
+    val oSchema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("kind", StringType), StructField("dup_of", LongType),
+      StructField("jaccard", DoubleType)))
+    def readOrEmpty(path: String, schema: StructType) =
+      if (Files.exists(Paths.get(path))) s.read.schema(schema).parquet(path)
+      else s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    val q = s.readStream.schema(dSchema).option("maxFilesPerTrigger", "1").parquet(stage)
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch0: DataFrame, batchId: Long) =>
+        val marker = Paths.get(root, "_applied", batchId.toString)
+        if (!Files.exists(marker)) {
+          val batch = batch0.localCheckpoint() // one materialization, three consumers
+          graft.llm.Dedup.classifyAgainstIndex(batch,
+              readOrEmpty(idxH, hSchema), readOrEmpty(idxB, bSchema),
+              readOrEmpty(idxD, dSchema), threshold)
+            .write.mode("append").parquet(outDir)
+          val (h, b) = graft.llm.Dedup.indexFrames(batch)
+          h.write.mode("append").parquet(idxH)
+          b.write.mode("append").parquet(idxB)
+          batch.write.mode("append").parquet(idxD)
+          Files.createDirectories(marker.getParent)
+          Files.createFile(marker)
+          ()
+        }
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    s.read.schema(oSchema).parquet(outDir).orderBy(asc_nulls_first("doc_id"))
+  }
+
+  private val q142 = Q(
+    "q142_stream_incremental_dedup",
+    (s, dir) => streamIncrementalDedup(s, T(s, dir, "documents"), 0.8),
+    None,
+    "streaming ingest near-dup dedup: per-batch classify vs the self-maintained signature index (prefix arrival semantics, idempotent batches)")
+
+  val all: Seq[Q] = Seq(q50, q52, q65, q73, q80, q109, q114, q117, q142)
 }

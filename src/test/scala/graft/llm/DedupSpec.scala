@@ -75,6 +75,23 @@ class DedupSpec extends AnyFunSuite {
     assert(out(103L) === (("unique", -1L, -1.0)), s"fresh doc: ${out(103L)}")
   }
 
+  test("streaming incremental dedup: prefix semantics — every doc classified against earlier arrivals only") {
+    val rnd = new scala.util.Random(53)
+    def sentence() = Iterator.fill(14)("u" + rnd.nextInt(8000)).mkString(" ")
+    val corpus = docsDf((1L to 100L).map(i => (i, Iterator.fill(6)(sentence()).mkString(". "))))
+    val out = graft.streaming.Streams.streamIncrementalDedup(spark, corpus, 0.8)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2)))).toMap
+    // 100 originals + 5 near (%20) + 2 exact (%50) + 1 reversed (%100)
+    assert(out.size === 108, s"got ${out.size} classifications")
+    (1L to 100L).foreach(i => assert(out(i) === (("unique", -1L)), s"original $i: ${out(i)}"))
+    Seq(20L, 40L, 60L, 80L, 100L).foreach { i =>
+      assert(out(500000L + i) === (("near", i)), s"near clone of $i: ${out(500000L + i)}") }
+    Seq(50L, 100L).foreach { i =>
+      assert(out(600000L + i) === (("exact", i)), s"exact clone of $i: ${out(600000L + i)}") }
+    assert(out(700100L) === (("unique", -1L)), s"reversed doc: ${out(700100L)}")
+  }
+
   test("exact jaccard of identical docs is 1.0") {
     val docs = docsDf(Seq((1L, base), (2L, base)))
     val pairs = Dedup.minhashPairs(spark, docs).collect()
