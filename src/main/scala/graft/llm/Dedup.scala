@@ -195,14 +195,19 @@ object Dedup {
       corpus.select(col("doc_id"), col("text")), threshold, maxBucket)
   }
 
-  /** The (hash, band) index rows for a doc batch — what a standing
-    * signature store appends per ingested batch (streaming q142). */
-  def indexFrames(docs: DataFrame): (DataFrame, DataFrame) = {
-    val sigs = docs.select(col("doc_id"), xxhash64(col("text")).as("h"),
+  /** One materialized (doc_id, h, sig) signature pass over a doc batch —
+    * computed ONCE per ingested batch and shared by the probe
+    * ([[classifyAgainstIndex]]) and the index append (streaming q142),
+    * the way a production signature store works. */
+  def deltaSignatures(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), xxhash64(col("text")).as("h"),
       minhashUdf(col("text")).as("sig")).localCheckpoint(false)
+
+  /** The (hash, band) index rows derived from [[deltaSignatures]] output —
+    * what a standing signature store appends per ingested batch. */
+  def indexFrames(sigs: DataFrame): (DataFrame, DataFrame) =
     (sigs.select(col("doc_id"), col("h")),
       sigs.select(col("doc_id"), posexplode(bandsUdf(col("sig"))).as(Seq("band", "bh"))))
-  }
 
   /** The probe kernel shared by [[incrementalDedup]] (index built from a
     * corpus frame) and the streaming ingest dedup (index read from the
@@ -211,9 +216,9 @@ object Dedup {
     * idxBands (doc_id, band, bh), idxDocs (doc_id, text)). */
   def classifyAgainstIndex(delta: DataFrame, idxHashes: DataFrame,
       idxBands: DataFrame, idxDocs: DataFrame, threshold: Double,
-      maxBucket: Int = MaxBucketSize): DataFrame = {
-    val deltaSigs = delta.select(col("doc_id"), xxhash64(col("text")).as("h"),
-      minhashUdf(col("text")).as("sig")).localCheckpoint(false)
+      maxBucket: Int = MaxBucketSize,
+      precomputedSigs: Option[DataFrame] = None): DataFrame = {
+    val deltaSigs = precomputedSigs.getOrElse(deltaSignatures(delta))
     // exact: delta hash already present in the index (earliest doc wins)
     val exactHit = deltaSigs.alias("d")
       .join(idxHashes.alias("c"), col("d.h") === col("c.h"))

@@ -576,21 +576,31 @@ object Streams {
     * exact: originals classify unique, every planted clone finds its
     * source. */
   def streamIncrementalDedup(s: SparkSession, corpus0: DataFrame,
-      threshold: Double): DataFrame = withStatePartitions(s, 8) {
+      threshold: Double, stageKey: Option[String] = None): DataFrame = withStatePartitions(s, 8) {
     import java.nio.file.{Files, Paths}
     val corpus = corpus0.select(col("doc_id"), col("text"))
-    val stage = graft.Scratch.fresh("sid_stage")
-    val waves = Seq(
-      corpus,
-      corpus.filter(col("doc_id") % 20 === 0)
-        .select((col("doc_id") + 500000L).as("doc_id"),
-          concat(col("text"), lit(" appended near dup suffix")).as("text")),
-      corpus.filter(col("doc_id") % 50 === 0)
-        .select((col("doc_id") + 600000L).as("doc_id"), col("text")),
-      corpus.filter(col("doc_id") % 100 === 0)
-        .select((col("doc_id") + 700000L).as("doc_id"),
-          array_join(reverse(split(col("text"), " ")), " ").as("text")))
-    waves.foreach(_.coalesce(1).write.mode("append").parquet(stage))
+    // the staged arrival waves are pure functions of the input corpus, so
+    // keyed callers (q142: keyed by sf dir) write them once per JVM —
+    // q117's stage-memo pattern; the INDEX state below is always fresh
+    val stage = stageKey.map(k => graft.Scratch.dir(s"sid_stage_$k"))
+      .getOrElse(graft.Scratch.fresh("sid_stage"))
+    if (!Files.exists(Paths.get(stage, "_staged"))) {
+      // a dir without the marker is a partially-staged leftover: the
+      // append-mode wave writes below are not restartable, so restage
+      stageKey.foreach(k => graft.Scratch.fresh(s"sid_stage_$k"))
+      val waves = Seq(
+        corpus,
+        corpus.filter(col("doc_id") % 20 === 0)
+          .select((col("doc_id") + 500000L).as("doc_id"),
+            concat(col("text"), lit(" appended near dup suffix")).as("text")),
+        corpus.filter(col("doc_id") % 50 === 0)
+          .select((col("doc_id") + 600000L).as("doc_id"), col("text")),
+        corpus.filter(col("doc_id") % 100 === 0)
+          .select((col("doc_id") + 700000L).as("doc_id"),
+            array_join(reverse(split(col("text"), " ")), " ").as("text")))
+      waves.foreach(_.coalesce(1).write.mode("append").parquet(stage))
+      Files.createFile(Paths.get(stage, "_staged"))
+    }
     val root = graft.Scratch.fresh("sid_state")
     val idxH = s"$root/idx_h"; val idxB = s"$root/idx_b"
     val idxD = s"$root/idx_d"; val outDir = s"$root/out"
@@ -610,11 +620,14 @@ object Streams {
         val marker = Paths.get(root, "_applied", batchId.toString)
         if (!Files.exists(marker)) {
           val batch = batch0.localCheckpoint() // one materialization, three consumers
+          // signatures compute ONCE per batch, shared by probe + index append
+          val sigs = graft.llm.Dedup.deltaSignatures(batch)
           graft.llm.Dedup.classifyAgainstIndex(batch,
               readOrEmpty(idxH, hSchema), readOrEmpty(idxB, bSchema),
-              readOrEmpty(idxD, dSchema), threshold)
+              readOrEmpty(idxD, dSchema), threshold,
+              precomputedSigs = Some(sigs))
             .write.mode("append").parquet(outDir)
-          val (h, b) = graft.llm.Dedup.indexFrames(batch)
+          val (h, b) = graft.llm.Dedup.indexFrames(sigs)
           h.write.mode("append").parquet(idxH)
           b.write.mode("append").parquet(idxB)
           batch.write.mode("append").parquet(idxD)
@@ -630,7 +643,8 @@ object Streams {
 
   private val q142 = Q(
     "q142_stream_incremental_dedup",
-    (s, dir) => streamIncrementalDedup(s, T(s, dir, "documents"), 0.8),
+    (s, dir) => streamIncrementalDedup(s, T(s, dir, "documents"), 0.8,
+      Some(dir.hashCode.toHexString)),
     None,
     "streaming ingest near-dup dedup: per-batch classify vs the self-maintained signature index (prefix arrival semantics, idempotent batches)")
 
