@@ -487,5 +487,47 @@ object Ingest {
       ORDER BY o_orderkey ASC NULLS FIRST"""),
     "snapshot diff: added/removed/changed keys between two table versions via one full-outer key join (pipeline regression check)")
 
-  val all: Seq[Q] = Seq(q51, q88, q108, q115, q121, q122, q126, q127, q131, q136)
+  /** q143: algebraic rollup composition — the coarser aggregate table
+    * derived FROM the finer one (dekad-level from the daily MV), never
+    * from the facts: count-of-counts, sum-of-sums (exact DECIMAL — the
+    * part that silently breaks when the daily table stores floats),
+    * min-of-mins, max-of-maxes, with the mean re-derived from the
+    * composed sums (a stored daily mean does NOT compose — the classic
+    * rollup bug this query pins). The oracle computes the dekad level
+    * DIRECTLY from the raw facts, so the hash match proves the
+    * composition algebra end to end.
+    *
+    * Scale shape: the compose reads |days×types| rows, not the fact
+    * table — the entire point of maintaining aggregate hierarchies at
+    * 100 TB (q117 maintains the daily level incrementally; this is the
+    * read path that rolls it up). */
+  private val q143 = Q(
+    "q143_rollup_compose",
+    (s, dir) => {
+      val daily = T(s, dir, "events")
+        .groupBy(col("event_type"), date_format(col("ts"), "yyyy-MM-dd").as("day"),
+          expr("least(3, 1 + (day(ts) - 1) div 10)").as("dekad"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(18, 2))).as("amt"),
+          min(col("value")).as("minv"), max(col("value")).as("maxv"))
+      daily.groupBy(col("event_type"), col("dekad"))
+        .agg(sum(col("n")).as("n_events"),
+          sum(col("amt")).cast(DoubleType).as("total"),
+          min(col("minv")).as("min_value"), max(col("maxv")).as("max_value"),
+          round(sum(col("amt")).cast(DoubleType) / sum(col("n")), 6).as("avg_value"))
+        .orderBy(asc_nulls_first("event_type"), asc_nulls_first("dekad"))
+    },
+    Some("""SELECT event_type,
+             CAST(LEAST(3, 1 + (EXTRACT(day FROM ts) - 1) // 10) AS BIGINT) AS dekad,
+             COUNT(*) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
+             MIN(value) AS min_value, MAX(value) AS max_value,
+             round(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_value
+      FROM events
+      GROUP BY event_type, dekad
+      ORDER BY event_type ASC NULLS FIRST, dekad ASC NULLS FIRST"""),
+    "algebraic rollup: dekad aggregates composed from the daily aggregate table = direct fact-level aggregation (the oracle computes the latter)")
+
+  val all: Seq[Q] = Seq(q51, q88, q108, q115, q121, q122, q126, q127, q131, q136,
+    q143)
 }
