@@ -1,0 +1,300 @@
+package graft.llm
+
+import graft.{Q, T}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType}
+
+/** Data-curation operators a production pretraining pipeline runs between
+  * raw crawl and tokenization — the selection/scoring layer that sits on
+  * top of the dedup surface ([[Dedup]]) and the quality rules
+  * (q21–q23/q95/q96):
+  *
+  *   - q144 DSIR importance weights (Xie et al. 2023, "Data Selection for
+  *     Language Models via Importance Resampling"): per-token
+  *     target/raw likelihood ratios aggregated per document;
+  *   - q145 SemDeDup (Abbas et al. 2023): cluster embeddings with the
+  *     q120 argmin kernel, then drop within-cluster semantic duplicates
+  *     above a cosine threshold;
+  *   - q146 bigram-LM continuation score: the cheap perplexity proxy a
+  *     pipeline uses before it can afford a real LM pass (KenLM-style
+  *     filtering à la CCNet, Wenzek et al. 2020), with no float log —
+  *     continuation probabilities stay in exact integer ppm space;
+  *   - q147 hard-negative mining: per-anchor cross-label cosine top-k,
+  *     the contrastive-pair generation step (SimCSE/DPR style).
+  *
+  * All four are oracle-checked. Determinism follows Q.scala: counts and
+  * ratios live in BIGINT ppm space (integer division floors identically
+  * in Spark `div` and DuckDB `//` for the nonnegative operands here);
+  * the one float output (q147 cosine) is `round(_, 4)` in both engines,
+  * the same contract q28 proves green. */
+object Curation {
+
+  /** Tokens exactly as the corpus-stats queries (q95/q99/q110) see them:
+    * whitespace split, empties dropped IN ARRAY SPACE so positional
+    * queries keep contiguous positions. */
+  private def tokens(s: org.apache.spark.sql.SparkSession, dir: String) =
+    T(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        explode(expr("filter(split(text, ' '), x -> x <> '')")).as("token"))
+
+  /** q144: DSIR-style importance weights. Target distribution = the
+    * `lang = 'en'` slice, raw = the whole corpus; per-token weight is the
+    * add-one-smoothed likelihood ratio in exact integer ppm,
+    *
+    *   w(t) = floor( (n_tgt+1)(raw_total+V) * 10^6
+    *               / ((n_raw+1)(tgt_total+V)) ),
+    *
+    * and a document's score is the sum of w over its token OCCURRENCES
+    * (the unigram-product log-likelihood ratio, kept in ratio space so no
+    * float ln enters the compare — same no-log trick as q140's TVD).
+    *
+    * Scale shape: token stats are one map-combinable groupBy (the shuffle
+    * carries (token, partial n_raw, partial n_tgt)); the totals row is a
+    * broadcast single-row cross join; the weight table is vocabulary-sized
+    * and broadcast into a map-side join against the token stream — the
+    * doc-score aggregation is the only corpus-sized shuffle and it carries
+    * (doc_id, partial sums). At 100 TB the paper's trick applies verbatim:
+    * hash tokens into 2^16 buckets map-side and the weight table stays
+    * broadcastable no matter the vocabulary. Products are bounded by
+    * (max token count)·(corpus tokens)·10^6 « 2^63 for any corpus that
+    * fits an exabyte. */
+  private val q144 = Q(
+    "q144_dsir_weights",
+    (s, dir) => {
+      val toks = tokens(s, dir)
+      val stats = toks.groupBy(col("token")).agg(
+        count(lit(1)).as("n_raw"),
+        count(when(col("lang") === "en", 1)).as("n_tgt"))
+      val totals = stats.agg(
+        sum(col("n_raw")).as("raw_total"),
+        sum(col("n_tgt")).as("tgt_total"),
+        count(lit(1)).as("vocab"))
+      val weights = stats.crossJoin(broadcast(totals))
+        .select(col("token"),
+          expr("((n_tgt + 1) * (raw_total + vocab) * 1000000L) div ((n_raw + 1) * (tgt_total + vocab))")
+            .as("w_ppm"))
+      toks.join(broadcast(weights), "token")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tok"), sum(col("w_ppm")).as("score"))
+        .select(col("doc_id"), col("n_tok"), col("score"),
+          expr("score div n_tok").as("avg_ppm"))
+        .orderBy(asc_nulls_first("doc_id"))
+    },
+    Some("""WITH t AS (SELECT doc_id, lang,
+               unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+             FROM documents),
+      s AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS n_raw,
+                   CAST(COUNT(*) FILTER (WHERE lang = 'en') AS BIGINT) AS n_tgt
+            FROM t GROUP BY token),
+      tot AS (SELECT CAST(SUM(n_raw) AS BIGINT) AS raw_total,
+                     CAST(SUM(n_tgt) AS BIGINT) AS tgt_total,
+                     CAST(COUNT(*) AS BIGINT) AS vocab FROM s),
+      w AS (SELECT token,
+              CAST(((n_tgt + 1) * (raw_total + vocab) * 1000000)
+                   // ((n_raw + 1) * (tgt_total + vocab)) AS BIGINT) AS w_ppm
+            FROM s, tot)
+      SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok,
+             CAST(SUM(w.w_ppm) AS BIGINT) AS score,
+             CAST(SUM(w.w_ppm) // COUNT(*) AS BIGINT) AS avg_ppm
+      FROM t JOIN w USING (token)
+      GROUP BY t.doc_id ORDER BY doc_id ASC NULLS FIRST"""),
+    "DSIR importance weights: smoothed target/raw token likelihood ratios in integer ppm, summed per doc (data-selection surface)")
+
+  /** q145: SemDeDup — semantic dedup over embeddings. Stage 1 reuses the
+    * q120 assignment kernel verbatim (quantize to floor(x·10⁶) BIGINTs,
+    * argmin over 8 broadcast centroids via the packed d2·8+cid min).
+    * Stage 2 self-joins WITHIN clusters only (the paper's point: k-means
+    * first makes the quadratic step per-cluster, not corpus-wide) and
+    * drops any vector with a smaller-id neighbor at cosine ≥ τ.
+    *
+    * The threshold compare is integer-EXACT, no float cosine anywhere:
+    * cos ≥ τ = 2/5  ⟺  dot > 0 ∧ 25·dot² ≥ 4·‖a‖²·‖b‖², evaluated in
+    * DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) — dot ≤ 64·(1.2·10⁶)² ≈
+    * 9·10¹³ so dot² ≈ 8·10²⁷ needs 128-bit space but stays exact. τ is
+    * 0.4 here because the synthetic embeddings are near-orthogonal
+    * (max cosine ≈ 0.5); production runs ≈ 0.95 — same plan either way,
+    * and CurationSpec plants true near-dup vectors to prove the drop
+    * logic at high τ.
+    *
+    * Scale shape: centroids broadcast; the only corpus shuffles carry
+    * (vec_id, packed argmin) and the cluster-keyed pair join — quadratic
+    * per cluster by design (that is SemDeDup's contract), bounded by the
+    * same hot-bucket cap pattern as [[Dedup]] if a cluster ever runs hot. */
+  /** The SemDeDup kernel, τ = tauNum/tauDen (a rational so the threshold
+    * compare stays integer-exact: cos ≥ τ ⟺ dot > 0 ∧ tauDen²·dot² ≥
+    * tauNum²·‖a‖²·‖b‖², all in DECIMAL(38,0) — ≤ ~10³¹ for 64-dim unit-ish
+    * vectors, exact). Input columns (vec_id: long, v: array<double>);
+    * centroids are the vec_id < 8 rows (the q120 deterministic seed rule);
+    * output (vec_id, cid, keep). */
+  def semDedup(emb: org.apache.spark.sql.DataFrame, tauNum: Long, tauDen: Long): org.apache.spark.sql.DataFrame = {
+    val qv = emb.select(col("vec_id"),
+      expr("transform(v, x -> CAST(floor(x * 1e6) AS BIGINT))").as("q"))
+    val cents = qv.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("q").as("cq"))
+    val assigned = qv.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("q"), col("cid"),
+        expr("aggregate(zip_with(q, cq, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)")
+          .as("d2"))
+      .groupBy(col("vec_id"))
+      .agg(min(col("d2") * lit(8L) + col("cid")).as("mc"), first(col("q")).as("q"))
+      .select(col("vec_id"), pmod(col("mc"), lit(8L)).as("cid"), col("q"))
+    val left = assigned.select(col("vec_id").as("va"), col("cid"), col("q").as("qa"))
+    val right = assigned.select(col("vec_id").as("vb"), col("cid"), col("q").as("qb"))
+    val n2 = tauNum * tauNum
+    val d2 = tauDen * tauDen
+    val dropped = left.join(right, "cid")
+      .filter(col("vb") < col("va"))
+      .select(col("va"),
+        expr("aggregate(zip_with(qa, qb, (a, b) -> a * b), 0L, (acc, x) -> acc + x)").as("dot"),
+        expr("aggregate(qa, 0L, (acc, x) -> acc + x * x)").as("na"),
+        expr("aggregate(qb, 0L, (acc, x) -> acc + x * x)").as("nb"))
+      .filter(col("dot") > 0 &&
+        expr(s"CAST(dot AS DECIMAL(38,0)) * CAST(dot AS DECIMAL(38,0)) * $d2 >= " +
+          s"CAST(na AS DECIMAL(38,0)) * CAST(nb AS DECIMAL(38,0)) * $n2"))
+      .select(col("va")).distinct().withColumn("isdup", lit(1L))
+    assigned.join(dropped, assigned("vec_id") === dropped("va"), "left")
+      .select(assigned("vec_id"), col("cid"),
+        when(col("isdup").isNull, 1L).otherwise(0L).as("keep"))
+      .orderBy(asc_nulls_first("vec_id"))
+  }
+
+  private val q145 = Q(
+    "q145_semdedup",
+    (s, dir) => semDedup(
+      T(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast(ArrayType(DoubleType)).as("v")),
+      tauNum = 2L, tauDen = 5L),
+    Some("""WITH q AS (SELECT vec_id,
+               [CAST(floor(x * 1e6) AS BIGINT) FOR x IN CAST(embedding AS DOUBLE[])] AS qs
+             FROM embeddings),
+      c AS (SELECT vec_id AS cid, qs AS cq FROM q WHERE vec_id < 8),
+      d AS (SELECT q.vec_id, c.cid,
+              CAST(list_sum([x * x FOR x IN list_transform(list_zip(q.qs, c.cq),
+                p -> p[1] - p[2])]) AS BIGINT) AS d2
+            FROM q CROSS JOIN c),
+      a AS (SELECT vec_id, cid,
+              row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) AS rn
+            FROM d),
+      m AS (SELECT a.vec_id, a.cid, q.qs FROM a JOIN q USING (vec_id) WHERE rn = 1),
+      p AS (SELECT x.vec_id AS va,
+              CAST(list_sum([pr[1] * pr[2] FOR pr IN list_zip(x.qs, y.qs)]) AS BIGINT) AS dot,
+              CAST(list_sum([t * t FOR t IN x.qs]) AS BIGINT) AS na,
+              CAST(list_sum([t * t FOR t IN y.qs]) AS BIGINT) AS nb
+            FROM m x JOIN m y ON x.cid = y.cid AND y.vec_id < x.vec_id),
+      dr AS (SELECT DISTINCT va FROM p WHERE dot > 0
+               AND CAST(dot AS HUGEINT) * CAST(dot AS HUGEINT) * 25
+                   >= CAST(na AS HUGEINT) * CAST(nb AS HUGEINT) * 4)
+      SELECT m.vec_id, CAST(m.cid AS BIGINT) AS cid,
+             CAST(CASE WHEN dr.va IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep
+      FROM m LEFT JOIN dr ON m.vec_id = dr.va
+      ORDER BY vec_id ASC NULLS FIRST"""),
+    "SemDeDup: q120-kernel cluster assign, within-cluster integer-exact cosine-threshold drop (semantic-dedup surface)")
+
+  /** q146: bigram-LM continuation score — the perplexity proxy. Corpus
+    * bigram counts c(w1,w2) and head counts c(w1) = Σ_w2 c(w1,w2) give a
+    * per-occurrence continuation probability floor(10⁶·c2/c1); a doc's
+    * score is the sum over its bigram occurrences and avg_ppm the integer
+    * mean — degenerate repeated text scores near 10⁶, incoherent
+    * token-salad scores low, which is exactly the CCNet keep/drop axis,
+    * with every number exact (no log, no float).
+    *
+    * Scale shape: bigram extraction is a per-doc window (partition =
+    * doc_id — thousands of tokens at most, never a corpus-sized window);
+    * the counts shuffle carries (w1, w2, partial) map-combined; the
+    * weight table is vocab²-bounded and broadcast (hash-bucket it at an
+    * open vocabulary, as in q144); the doc-score shuffle carries partial
+    * sums only. */
+  private val q146 = Q(
+    "q146_bigram_lm",
+    (s, dir) => {
+      val toks = T(s, dir, "documents")
+        .select(col("doc_id"), posexplode(expr("filter(split(text, ' '), x -> x <> '')")))
+        .select(col("doc_id"), col("pos"), col("col").as("w"))
+      val wn = Window.partitionBy(col("doc_id")).orderBy(asc_nulls_first("pos"))
+      val bigrams = toks
+        .select(col("doc_id"), col("w").as("w1"), lead(col("w"), 1).over(wn).as("w2"))
+        .filter(col("w2").isNotNull)
+      val cnt2 = bigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+      val cnt1 = cnt2.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
+      val weights = cnt2.join(cnt1, "w1")
+        .select(col("w1"), col("w2"), expr("(1000000L * c2) div c1").as("ppm"))
+      bigrams.join(broadcast(weights), Seq("w1", "w2"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"), sum(col("ppm")).as("score"))
+        .select(col("doc_id"), col("n_bigrams"), col("score"),
+          expr("score div n_bigrams").as("avg_ppm"))
+        .orderBy(asc_nulls_first("doc_id"))
+    },
+    Some("""WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+             FROM documents),
+      t AS (SELECT doc_id, unnest(ws) AS w,
+                   unnest(generate_series(1, len(ws))) AS pos FROM toks),
+      b AS (SELECT doc_id, w AS w1,
+                   lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2 FROM t),
+      bb AS (SELECT doc_id, w1, w2 FROM b WHERE w2 IS NOT NULL),
+      cnt2 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2 FROM bb GROUP BY w1, w2),
+      cnt1 AS (SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1 FROM cnt2 GROUP BY w1),
+      wt AS (SELECT cnt2.w1, cnt2.w2,
+                    CAST((1000000 * c2) // c1 AS BIGINT) AS ppm
+             FROM cnt2 JOIN cnt1 USING (w1))
+      SELECT bb.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             CAST(SUM(ppm) AS BIGINT) AS score,
+             CAST(SUM(ppm) // COUNT(*) AS BIGINT) AS avg_ppm
+      FROM bb JOIN wt ON bb.w1 = wt.w1 AND bb.w2 = wt.w2
+      GROUP BY bb.doc_id ORDER BY doc_id ASC NULLS FIRST"""),
+    "bigram continuation score in integer ppm: the no-log perplexity proxy for quality filtering (CCNet-style surface)")
+
+  /** q147: hard-negative mining for contrastive training — for each
+    * anchor (a deterministic 10% slice, vec_id ≡ 0 mod 10), the top-5
+    * most-similar vectors with a DIFFERENT label: the "looks close,
+    * means different" pairs DPR/SimCSE batches are built from. Cosine and
+    * ranking follow the q28 contract exactly (round to 4 dp, vid
+    * tie-break) via the native codegen [[VecDot]] kernel.
+    *
+    * Scale shape: anchors are a bounded broadcast (the label filter makes
+    * the join non-equi, so Spark plans BroadcastNestedLoopJoin — correct
+    * here precisely because one side is small by construction); candidates
+    * stream map-only through codegen'd dot products; the only shuffle is
+    * the per-anchor top-k window on (qid, score) pairs. At 100 TB you
+    * feed anchors through the IVF index (q31) for candidate pruning
+    * instead of the scan — this query pins the exact semantics that
+    * approximation must match. */
+  private val q147 = Q(
+    "q147_hard_negatives",
+    (s, dir) => {
+      import graft.geo.GeoExpressions.vecDot
+      val e = T(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"),
+          col("embedding").cast(ArrayType(DoubleType)).as("v"))
+      val withN = e.withColumn("nrm", sqrt(vecDot(col("v"), col("v"))))
+      val anchors = withN.filter(pmod(col("vec_id"), lit(10L)) === 0)
+        .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+          col("v").as("qv"), col("nrm").as("qn"))
+      val cand = withN.select(col("vec_id").as("vid"), col("label").as("clabel"),
+        col("v").as("cv"), col("nrm").as("cn"))
+      val scored = cand.join(broadcast(anchors), col("qlabel") =!= col("clabel"))
+        .select(col("qid"), col("vid"),
+          round(vecDot(col("qv"), col("cv")) / (col("qn") * col("cn")), 4).as("score"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(desc_nulls_last("score"), asc_nulls_first("vid"))
+      scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5).drop("rn")
+        .orderBy(asc_nulls_first("qid"), asc_nulls_first("vid"))
+    },
+    Some("""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      n AS (SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+      s AS (SELECT q.vec_id AS qid, c.vec_id AS vid,
+                   round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 4) AS score
+            FROM n q JOIN n c ON q.label <> c.label
+            WHERE q.vec_id % 10 = 0),
+      r AS (SELECT qid, vid, score,
+                   row_number() OVER (PARTITION BY qid
+                     ORDER BY score DESC NULLS LAST, vid ASC NULLS FIRST) AS rn
+            FROM s)
+      SELECT qid, vid, score FROM r WHERE rn <= 5
+      ORDER BY qid ASC NULLS FIRST, vid ASC NULLS FIRST"""),
+    "hard-negative mining: per-anchor cross-label cosine top-5, q28 ranking contract (contrastive-pair surface)")
+
+  val all: Seq[Q] = Seq(q144, q145, q146, q147)
+}
