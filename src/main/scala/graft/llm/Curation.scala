@@ -199,22 +199,24 @@ object Curation {
     * token-salad scores low, which is exactly the CCNet keep/drop axis,
     * with every number exact (no log, no float).
     *
-    * Scale shape: bigram extraction is a per-doc window (partition =
-    * doc_id — thousands of tokens at most, never a corpus-sized window);
-    * the counts shuffle carries (w1, w2, partial) map-combined; the
-    * weight table is vocab²-bounded and broadcast (hash-bucket it at an
-    * open vocabulary, as in q144); the doc-score shuffle carries partial
-    * sums only. */
+    * Scale shape: bigram extraction is MAP-SIDE — adjacent pairs come
+    * straight out of the token array (no per-doc window, no exchange
+    * before the first aggregate); the counts shuffle carries (w1, w2,
+    * partial) map-combined; the weight table is vocab²-bounded and
+    * broadcast (hash-bucket it at an open vocabulary, as in q144); the
+    * doc-score shuffle carries partial sums only. */
   private val q146 = Q(
     "q146_bigram_lm",
     (s, dir) => {
-      val toks = T(s, dir, "documents")
-        .select(col("doc_id"), posexplode(expr("filter(split(text, ' '), x -> x <> '')")))
-        .select(col("doc_id"), col("pos"), col("col").as("w"))
-      val wn = Window.partitionBy(col("doc_id")).orderBy(asc_nulls_first("pos"))
-      val bigrams = toks
-        .select(col("doc_id"), col("w").as("w1"), lead(col("w"), 1).over(wn).as("w2"))
-        .filter(col("w2").isNotNull)
+      val bigrams = T(s, dir, "documents")
+        .select(col("doc_id"), expr("filter(split(text, ' '), x -> x <> '')").as("ws"))
+        .select(col("doc_id"),
+          // sequence(1, 0) would step BACKWARDS for a 1-token doc — guard
+          explode(expr(
+            "CASE WHEN size(ws) >= 2 THEN transform(sequence(1, size(ws) - 1), " +
+              "i -> struct(ws[i - 1] AS w1, ws[i] AS w2)) ELSE array() END"))
+            .as("b"))
+        .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
       val cnt2 = bigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
       val cnt1 = cnt2.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
       val weights = cnt2.join(cnt1, "w1")

@@ -94,12 +94,14 @@ class CurationSpec extends AnyFunSuite {
     // head seen once ⇒ also probability 1. Corpus stats stay per-head.
     Seq(
       (1L, "a b a b a", "en", "s0", 9L),
-      (2L, "x y z", "en", "s1", 5L))
-      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      (2L, "x y z", "en", "s1", 5L),
+      (3L, "solo", "en", "s2", 4L)) // 1 token: zero bigrams, must not
+      .toDF("doc_id", "text", "lang", "source", "n_chars") // pollute counts
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
     val out = graft.SparkEntry.queries("q146_bigram_lm")(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
-    assert(out.toSeq === Seq((1L, 4L, 1000000L), (2L, 2L, 1000000L)))
+    assert(out.toSeq === Seq((1L, 4L, 1000000L), (2L, 2L, 1000000L)),
+      "the 1-token doc contributes no bigram rows and no head counts")
   }
 
   test("hard negatives never return a same-label vector and rank by cosine") {
