@@ -298,5 +298,66 @@ object Curation {
       ORDER BY qid ASC NULLS FIRST, vid ASC NULLS FIRST"""),
     "hard-negative mining: per-anchor cross-label cosine top-5, q28 ranking contract (contrastive-pair surface)")
 
-  val all: Seq[Q] = Seq(q144, q145, q146, q147)
+  /** q149: cross-source overlap matrix — for every source pair, how much
+    * of the smaller source's distinct 3-shingle set also appears in the
+    * other (containment in basis points). The corpus-INTERNAL audit that
+    * catches mirrored crawls / syndicated boilerplate before dedup
+    * (q103 is the corpus-vs-benchmark sibling; this is corpus-vs-itself
+    * per source).
+    *
+    * Scale shape: shingles extract map-side (q146's array pattern); the
+    * distinct (source, shingle) set is one map-combinable aggregate; the
+    * pair join is keyed on the SHINGLE, so fan-out per key is bounded by
+    * the number of sources containing it (≤ #sources, never corpus-sized
+    * all-pairs); per-source set sizes broadcast back into the final
+    * pair-sized frame. Shuffles carry (shingle-hash-sized) keys and
+    * counts only — at 100 TB swap the raw shingle string for its
+    * xxhash64 as the join key (q116's fingerprint trick) and nothing
+    * else changes. */
+  private val q149 = Q(
+    "q149_source_overlap",
+    (s, dir) => {
+      val sh = T(s, dir, "documents")
+        .select(col("source"), expr("filter(split(text, ' '), x -> x <> '')").as("ws"))
+        .select(col("source"), explode(expr(
+          "CASE WHEN size(ws) >= 3 THEN transform(sequence(2, size(ws) - 1), " +
+            "i -> concat_ws(' ', ws[i - 2], ws[i - 1], ws[i])) ELSE array() END"))
+          .as("sh"))
+        .distinct()
+      val sizes = sh.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      val shared = sh.as("a")
+        .join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+        .agg(count(lit(1)).as("shared"))
+      shared
+        .join(broadcast(sizes.select(col("source").as("src_a"), col("n").as("n_a"))), "src_a")
+        .join(broadcast(sizes.select(col("source").as("src_b"), col("n").as("n_b"))), "src_b")
+        .select(col("src_a"), col("src_b"), col("shared"), col("n_a"), col("n_b"),
+          expr("(10000 * shared) div least(n_a, n_b)").as("containment_bp"))
+        .orderBy(asc_nulls_first("src_a"), asc_nulls_first("src_b"))
+    },
+    Some("""WITH toks AS (SELECT source, doc_id,
+               list_filter(string_split(text, ' '), x -> x <> '') AS ws
+             FROM documents),
+      t AS (SELECT source, doc_id, unnest(ws) AS w,
+                   unnest(generate_series(1, len(ws))) AS pos FROM toks),
+      g AS (SELECT source, w AS w1,
+                   lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2,
+                   lead(w, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS w3
+            FROM t),
+      sh AS (SELECT DISTINCT source, w1 || ' ' || w2 || ' ' || w3 AS sh
+             FROM g WHERE w3 IS NOT NULL),
+      sz AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY source),
+      p AS (SELECT a.source AS src_a, b.source AS src_b,
+                   CAST(COUNT(*) AS BIGINT) AS shared
+            FROM sh a JOIN sh b ON a.sh = b.sh AND a.source < b.source
+            GROUP BY 1, 2)
+      SELECT p.src_a, p.src_b, p.shared, sa.n AS n_a, sb.n AS n_b,
+             CAST((10000 * p.shared) // least(sa.n, sb.n) AS BIGINT) AS containment_bp
+      FROM p JOIN sz sa ON p.src_a = sa.source
+             JOIN sz sb ON p.src_b = sb.source
+      ORDER BY src_a ASC NULLS FIRST, src_b ASC NULLS FIRST"""),
+    "cross-source 3-shingle containment matrix in bp: the corpus-internal mirror/syndication audit (q103's internal sibling)")
+
+  val all: Seq[Q] = Seq(q144, q145, q146, q147, q149)
 }

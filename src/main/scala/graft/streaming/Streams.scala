@@ -3,7 +3,7 @@ package graft.streaming
 import graft.{Q, T}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DecimalType, DoubleType, IntegerType, LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{BooleanType, DecimalType, DoubleType, IntegerType, LongType, StringType, StructField, StructType}
 
 /** Structured Streaming surface (SURVEY.md §2.9 extension): the events
   * table replayed through readStream, windowed-aggregated, and drained
@@ -641,6 +641,95 @@ object Streams {
     s.read.schema(oSchema).parquet(outDir).orderBy(asc_nulls_first("doc_id"))
   }
 
+  /** q148: streaming drift monitor — the in-stream sibling of the batch
+    * drift audit q140 (same metric, same oracle). Orders arrive in four
+    * waves in ARBITRARY order (split by key, not by time — monitoring
+    * state must be insensitive to arrival order); each micro-batch folds
+    * its per-(column, value) ref/cur counts into a versioned parquet
+    * state table (value-cardinality-sized, like q117's MV), and the TVD
+    * report is computed from the FINAL maintained state — proving the
+    * incrementally-maintained counts reproduce the batch answer exactly.
+    * Replayed batchIds overwrite their own version (marker files), so a
+    * foreachBatch retry is a no-op — q117's idempotency pattern.
+    *
+    * Scale shape: per batch one map-combinable stack+groupBy (shuffle
+    * carries (col, val, partials)); the state merge unions two
+    * value-cardinality-sized frames — never the fact stream; the final
+    * report is q140's broadcast-totals projection over the tiny state. */
+  def streamDrift(s: SparkSession, orders0: DataFrame,
+      stageKey: Option[String] = None): DataFrame = withStatePartitions(s, 8) {
+    import java.nio.file.{Files, Paths}
+    val stage = stageKey.map(k => graft.Scratch.dir(s"drift_stage_$k"))
+      .getOrElse(graft.Scratch.fresh("drift_stage"))
+    if (!Files.exists(Paths.get(stage, "_staged"))) {
+      stageKey.foreach(k => graft.Scratch.fresh(s"drift_stage_$k"))
+      val src = orders0.select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_orderpriority"),
+        (col("o_orderdate") < to_timestamp(lit("1998-01-01"))).as("is_ref"))
+      (0 until 4).foreach { w =>
+        src.filter(pmod(col("o_orderkey"), lit(4)) === w).drop("o_orderkey")
+          .coalesce(1).write.mode("append").parquet(stage)
+      }
+      Files.createFile(Paths.get(stage, "_staged"))
+      ()
+    }
+    val root = graft.Scratch.fresh("drift_state")
+    val inSchema = StructType(Seq(StructField("o_orderstatus", StringType),
+      StructField("o_orderpriority", StringType), StructField("is_ref", BooleanType)))
+    val stSchema = StructType(Seq(StructField("col_name", StringType),
+      StructField("val", StringType), StructField("n_ref", LongType),
+      StructField("n_cur", LongType)))
+    def readState(v: Long): DataFrame =
+      if (v >= 0 && Files.exists(Paths.get(s"$root/v$v")))
+        s.read.schema(stSchema).parquet(s"$root/v$v")
+      else s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row], stSchema)
+    val q = s.readStream.schema(inSchema).option("maxFilesPerTrigger", "1").parquet(stage)
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val marker = Paths.get(root, "_applied", batchId.toString)
+        if (!Files.exists(marker)) {
+          val batchCounts = batch
+            .selectExpr("stack(2, 'o_orderstatus', o_orderstatus, " +
+              "'o_orderpriority', o_orderpriority) AS (col_name, val)", "is_ref")
+            .groupBy(col("col_name"), col("val"))
+            .agg(sum(when(col("is_ref"), 1L).otherwise(0L)).as("n_ref"),
+              sum(when(col("is_ref"), 0L).otherwise(1L)).as("n_cur"))
+          readState(batchId - 1).unionByName(batchCounts)
+            .groupBy(col("col_name"), col("val"))
+            .agg(sum(col("n_ref")).as("n_ref"), sum(col("n_cur")).as("n_cur"))
+            .coalesce(1).write.mode("overwrite").parquet(s"$root/v$batchId")
+          Files.createDirectories(marker.getParent)
+          Files.createFile(marker)
+          ()
+        }
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val applied = Option(Paths.get(root, "_applied").toFile.list())
+      .map(_.map(_.toLong)).getOrElse(Array.empty[Long])
+    val counts = readState(if (applied.isEmpty) -1L else applied.max)
+    val totals = counts.groupBy(col("col_name"))
+      .agg(sum(col("n_ref")).as("ref_n"), sum(col("n_cur")).as("cur_n"))
+    counts.join(broadcast(totals), "col_name")
+      .withColumn("diff_bp",
+        abs(expr("(10000 * n_ref) div ref_n") - expr("(10000 * n_cur) div cur_n")))
+      .groupBy(col("col_name"))
+      .agg(count(lit(1)).as("n_values"),
+        min(col("ref_n")).as("ref_n"), min(col("cur_n")).as("cur_n"),
+        max(col("diff_bp")).as("max_diff_bp"),
+        expr("sum(diff_bp) div 2").as("tvd_bp"))
+      .orderBy(asc_nulls_first("col_name"))
+  }
+
+  /** q148's oracle is q140's batch SQL verbatim — the stream must land on
+    * the batch answer (the q50/q17 twin convention, applied to
+    * monitoring state). */
+  private val q148 = Q(
+    "q148_stream_drift",
+    (s, dir) => streamDrift(s, T(s, dir, "orders"), Some(dir.hashCode.toHexString)),
+    graft.ops.Analytics.all.find(_.name == "q140_segment_drift").flatMap(_.oracle),
+    "streaming drift monitor: per-batch count folding into versioned state, final TVD == q140's batch answer (monitoring surface)")
+
   private val q142 = Q(
     "q142_stream_incremental_dedup",
     (s, dir) => streamIncrementalDedup(s, T(s, dir, "documents"), 0.8,
@@ -648,5 +737,5 @@ object Streams {
     None,
     "streaming ingest near-dup dedup: per-batch classify vs the self-maintained signature index (prefix arrival semantics, idempotent batches)")
 
-  val all: Seq[Q] = Seq(q50, q52, q65, q73, q80, q109, q114, q117, q142)
+  val all: Seq[Q] = Seq(q50, q52, q65, q73, q80, q109, q114, q117, q142, q148)
 }
