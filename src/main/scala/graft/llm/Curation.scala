@@ -305,29 +305,36 @@ object Curation {
     * (q103 is the corpus-vs-benchmark sibling; this is corpus-vs-itself
     * per source).
     *
-    * Scale shape: shingles extract map-side (q146's array pattern); the
-    * distinct (source, shingle) set is one map-combinable aggregate; the
-    * pair join is keyed on the SHINGLE, so fan-out per key is bounded by
-    * the number of sources containing it (≤ #sources, never corpus-sized
-    * all-pairs); per-source set sizes broadcast back into the final
-    * pair-sized frame. Shuffles carry (shingle-hash-sized) keys and
-    * counts only — at 100 TB swap the raw shingle string for its
-    * xxhash64 as the join key (q116's fingerprint trick) and nothing
-    * else changes. */
+    * Scale shape: shingles extract map-side (q146's array pattern), then
+    * ONE corpus shuffle — groupBy(shingle) collecting the source set
+    * (bounded by #sources per key) — feeds both per-source set sizes and
+    * the pair counts: ordered pairs expand MAP-SIDE from the sorted
+    * source set (≤ C(#sources,2) per shingle), so there is no distinct
+    * pass and no shingle-keyed self-join (the naive two-shuffle shape).
+    * The grouped frame is localCheckpoint'd once for its two consumers —
+    * AQE-replanned subtrees never hit ReusedExchange. At 100 TB swap the
+    * raw shingle string for its xxhash64 as the grouping key (q116's
+    * fingerprint trick) and nothing else changes. */
   private val q149 = Q(
     "q149_source_overlap",
     (s, dir) => {
-      val sh = T(s, dir, "documents")
+      val grouped = T(s, dir, "documents")
         .select(col("source"), expr("filter(split(text, ' '), x -> x <> '')").as("ws"))
         .select(col("source"), explode(expr(
           "CASE WHEN size(ws) >= 3 THEN transform(sequence(2, size(ws) - 1), " +
             "i -> concat_ws(' ', ws[i - 2], ws[i - 1], ws[i])) ELSE array() END"))
           .as("sh"))
-        .distinct()
-      val sizes = sh.groupBy(col("source")).agg(count(lit(1)).as("n"))
-      val shared = sh.as("a")
-        .join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.source") < col("b.source"))
-        .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+        .groupBy(col("sh")).agg(expr("array_sort(collect_set(source))").as("srcs"))
+        .localCheckpoint(false)
+      val sizes = grouped.select(explode(col("srcs")).as("source"))
+        .groupBy(col("source")).agg(count(lit(1)).as("n"))
+      val shared = grouped.filter(size(col("srcs")) >= 2)
+        .select(explode(expr(
+          "flatten(transform(sequence(0, size(srcs) - 2), " +
+            "i -> transform(sequence(i + 1, size(srcs) - 1), " +
+            "j -> struct(element_at(srcs, i + 1) AS src_a, element_at(srcs, j + 1) AS src_b))))"))
+          .as("p"))
+        .groupBy(col("p.src_a").as("src_a"), col("p.src_b").as("src_b"))
         .agg(count(lit(1)).as("shared"))
       shared
         .join(broadcast(sizes.select(col("source").as("src_a"), col("n").as("n_a"))), "src_a")
