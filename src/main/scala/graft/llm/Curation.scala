@@ -205,9 +205,9 @@ object Curation {
     * partial) map-combined; the weight table is vocab²-bounded and
     * broadcast (hash-bucket it at an open vocabulary, as in q144); the
     * doc-score shuffle carries partial sums only. */
-  private val q146 = Q(
-    "q146_bigram_lm",
-    (s, dir) => {
+  /** The q146 score frame — (doc_id, n_bigrams, score, avg_ppm), unsorted
+    * (q151 composes it; q146 adds the presentation sort). */
+  def bigramScores(s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
       val bigrams = T(s, dir, "documents")
         .select(col("doc_id"), expr("filter(split(text, ' '), x -> x <> '')").as("ws"))
         .select(col("doc_id"),
@@ -226,8 +226,11 @@ object Curation {
         .agg(count(lit(1)).as("n_bigrams"), sum(col("ppm")).as("score"))
         .select(col("doc_id"), col("n_bigrams"), col("score"),
           expr("score div n_bigrams").as("avg_ppm"))
-        .orderBy(asc_nulls_first("doc_id"))
-    },
+  }
+
+  private val q146 = Q(
+    "q146_bigram_lm",
+    (s, dir) => bigramScores(s, dir).orderBy(asc_nulls_first("doc_id")),
     Some("""WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
              FROM documents),
       t AS (SELECT doc_id, unnest(ws) AS w,
@@ -366,5 +369,124 @@ object Curation {
       ORDER BY src_a ASC NULLS FIRST, src_b ASC NULLS FIRST"""),
     "cross-source 3-shingle containment matrix in bp: the corpus-internal mirror/syndication audit (q103's internal sibling)")
 
-  val all: Seq[Q] = Seq(q144, q145, q146, q147, q149)
+  /** q150: temperature-scaled source mixing (the T5/mT5/XLM-R α-sampling
+    * rule, α = 1/2): sampling rate per source ∝ n_s^α, flattening the
+    * source distribution so giant crawls don't drown small curated sets.
+    * √n is quantized floor(√n·10⁶) BEFORE the normalization sum — IEEE
+    * sqrt is correctly rounded so both engines floor the same double, and
+    * from there every number (rates in bp, allocation of a 10⁶-doc
+    * budget) is exact integer arithmetic.
+    *
+    * Scale shape: one map-combinable groupBy(source) over the scan, a
+    * source-cardinality frame ever after (totals broadcast as one row).
+    * The allocation column is what q134's token-budget solver consumes
+    * as its per-source target at 100 TB. */
+  private val q150 = Q(
+    "q150_temperature_mixing",
+    (s, dir) => {
+      val counts = T(s, dir, "documents")
+        .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+        .withColumn("sqrt_micro",
+          floor(sqrt(col("n_docs").cast(DoubleType)) * 1e6).cast(LongType))
+      val totals = counts.agg(sum(col("sqrt_micro")).as("z"))
+      counts.crossJoin(broadcast(totals))
+        .select(col("source"), col("n_docs"), col("sqrt_micro"),
+          expr("(10000 * sqrt_micro) div z").as("rate_bp"),
+          expr("(1000000 * sqrt_micro) div z").as("alloc_1m"))
+        .orderBy(asc_nulls_first("source"))
+    },
+    Some("""WITH c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY source),
+      q AS (SELECT source, n_docs,
+              CAST(floor(sqrt(n_docs) * 1e6) AS BIGINT) AS sqrt_micro FROM c),
+      z AS (SELECT CAST(SUM(sqrt_micro) AS BIGINT) AS z FROM q)
+      SELECT source, n_docs, sqrt_micro,
+             CAST((10000 * sqrt_micro) // z AS BIGINT) AS rate_bp,
+             CAST((1000000 * sqrt_micro) // z AS BIGINT) AS alloc_1m
+      FROM q, z ORDER BY source ASC NULLS FIRST"""),
+    "temperature-scaled source mixing rates (alpha=0.5), integer-exact from quantized sqrt (T5-style sampling surface)")
+
+  /** q151: curriculum training order — easy-first data ordering
+    * (Bengio et al. 2009 applied to LM pretraining): docs are banded by
+    * the DECILES of their q146 quality score (q141's frozen rank-boundary
+    * technique — the value at row (k·n) div 10, doc_id tie-break), then
+    * ordered highest-quality band first with a reproducible shuffle
+    * WITHIN each band (q112's Knuth-hash order), and the global position
+    * materializes via q112's two-level trick: a (band, hash-range) bucket
+    * id, per-bucket distributed row_number, plus a broadcast prefix-sum
+    * of the ~640 bucket counts — the total order is (phase asc, h asc,
+    * doc_id asc) with NO single-partition data window.
+    *
+    * Scale shape: the score frame is q146's (already audited); the decile
+    * pass is the one exact-percentile window (q141's documented cost —
+    * q76's sketch is the approx sibling); banding is a map-side array
+    * filter against a broadcast 9-element threshold list; positions add
+    * one bucket-keyed shuffle. */
+  private val q151 = Q(
+    "q151_curriculum_order",
+    (s, dir) => {
+      val scores = bigramScores(s, dir).select(col("doc_id"), col("avg_ppm"))
+      val ranked = scores
+        .withColumn("rn", row_number().over(
+          Window.orderBy(asc("avg_ppm"), asc("doc_id"))).cast(LongType))
+        .withColumn("cnt", count(lit(1)).over(Window.partitionBy()))
+      val isBoundary = (1 to 9).map(k => col("rn") === expr(s"($k * cnt) div 10"))
+        .reduce(_ || _)
+      val thr = ranked.filter(isBoundary)
+        .agg(sort_array(collect_list(col("avg_ppm"))).as("ts"))
+      val banded = scores.crossJoin(broadcast(thr))
+        .select(col("doc_id"),
+          (size(expr("filter(ts, t -> avg_ppm > t)")) + 1).cast(LongType).as("band"))
+        .withColumn("h", (col("doc_id") * 1315423911L) % 1048573L)
+        // phase 0 = best decile first; 64 hash-range buckets per band
+        .withColumn("phase", lit(10L) - col("band"))
+        .withColumn("bucket", col("phase") * 64L + expr("h div 16384"))
+      val offsets = banded.groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
+        .withColumn("off",
+          coalesce(sum(col("cnt")).over(
+            Window.orderBy(asc("bucket"))
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .drop("cnt")
+      val w = Window.partitionBy(col("bucket")).orderBy(asc("h"), asc("doc_id"))
+      banded.join(broadcast(offsets), Seq("bucket"))
+        .withColumn("pos", (col("off") + row_number().over(w) - lit(1)).cast(LongType))
+        .filter(col("doc_id") % 7 === 0)
+        .select(col("doc_id"), col("band"), col("pos"))
+        .orderBy(asc_nulls_first("pos"))
+    },
+    Some("""WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+             FROM documents),
+      t AS (SELECT doc_id, unnest(ws) AS w,
+                   unnest(generate_series(1, len(ws))) AS pos FROM toks),
+      b AS (SELECT doc_id, w AS w1,
+                   lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2 FROM t),
+      bb AS (SELECT doc_id, w1, w2 FROM b WHERE w2 IS NOT NULL),
+      cnt2 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2 FROM bb GROUP BY w1, w2),
+      cnt1 AS (SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1 FROM cnt2 GROUP BY w1),
+      wt AS (SELECT cnt2.w1, cnt2.w2,
+                    CAST((1000000 * c2) // c1 AS BIGINT) AS ppm
+             FROM cnt2 JOIN cnt1 USING (w1)),
+      sc AS (SELECT bb.doc_id,
+                    CAST(SUM(ppm) // COUNT(*) AS BIGINT) AS avg_ppm
+             FROM bb JOIN wt ON bb.w1 = wt.w1 AND bb.w2 = wt.w2
+             GROUP BY bb.doc_id),
+      rk AS (SELECT doc_id, avg_ppm,
+                    ROW_NUMBER() OVER (ORDER BY avg_ppm ASC, doc_id ASC) AS rn,
+                    COUNT(*) OVER () AS cnt
+             FROM sc),
+      thr AS (SELECT list_sort(list(avg_ppm)) AS ts FROM rk
+              WHERE rn IN ((1*cnt)//10, (2*cnt)//10, (3*cnt)//10, (4*cnt)//10,
+                           (5*cnt)//10, (6*cnt)//10, (7*cnt)//10, (8*cnt)//10,
+                           (9*cnt)//10)),
+      bd AS (SELECT sc.doc_id,
+                    CAST(len(list_filter(thr.ts, x -> sc.avg_ppm > x)) + 1 AS BIGINT) AS band,
+                    (sc.doc_id * 1315423911) % 1048573 AS h
+             FROM sc, thr),
+      p AS (SELECT doc_id, band,
+                   ROW_NUMBER() OVER (ORDER BY (10 - band) ASC, h ASC, doc_id ASC) - 1 AS pos
+            FROM bd)
+      SELECT doc_id, band, CAST(pos AS BIGINT) AS pos FROM p WHERE doc_id % 7 = 0
+      ORDER BY pos ASC NULLS FIRST"""),
+    "curriculum order: q146-score deciles (frozen rank boundaries), best band first, in-band Knuth shuffle, two-level global positions (training-order surface)")
+
+  val all: Seq[Q] = Seq(q144, q145, q146, q147, q149, q150, q151)
 }
