@@ -773,6 +773,63 @@ object Analytics {
       ORDER BY bucket ASC NULLS FIRST"""),
     "numeric drift: current window bucketed by the reference window's frozen rank-based deciles, per-bucket bp rates and shifts (continuous sibling of q140)")
 
+  /** q152: robust outlier audit — per-source median and MAD (median
+    * absolute deviation) of document length, flagging rows beyond
+    * 3·MAD. The robust sibling of mean±k·σ (one planted outlier drags a
+    * mean/σ gate, never a median/MAD gate) and of q137 (which CLAMPS at
+    * rank percentiles; this FLAGS at a robust distance). Lower-median
+    * convention: the value at rank (n+1) div 2 with doc_id tie-break —
+    * every number is an integer compare on BIGINTs, exact across engines
+    * (the q141/q137 rank-boundary doctrine).
+    *
+    * Scale shape: two per-SOURCE window passes (rank within source — the
+    * partition is a source, never the corpus) + a source-cardinality
+    * median/MAD frame broadcast back; the final agg is source-sized. At
+    * 100 TB swap the exact per-source rank for q76's GK sketch per group
+    * if a single source outgrows a partition set. */
+  private val q152 = Q(
+    "q152_mad_outliers",
+    (s, dir) => {
+      val x = T(s, dir, "documents").select(col("source"), col("doc_id"), col("n_chars"))
+      def groupMedian(df: org.apache.spark.sql.DataFrame, valueCol: String) = df
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("source")).orderBy(asc(valueCol), asc("doc_id"))).cast(LongType))
+        .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("source"))))
+        .filter(col("rn") === expr("(cnt + 1) div 2"))
+      val med = groupMedian(x, "n_chars").select(col("source"), col("n_chars").as("med"))
+      val dev = x.join(broadcast(med), "source")
+        .withColumn("dev", abs(col("n_chars") - col("med")))
+      val mad = groupMedian(dev.select(col("source"), col("doc_id"), col("dev")), "dev")
+        .select(col("source"), col("dev").as("mad"))
+      dev.join(broadcast(mad), "source")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), min(col("med")).as("med_chars"),
+          min(col("mad")).as("mad_chars"),
+          sum(when(col("dev") > col("mad") * 3, 1L).otherwise(0L)).as("n_outliers"))
+        .select(col("source"), col("n_docs"), col("med_chars"), col("mad_chars"),
+          col("n_outliers"), expr("(10000 * n_outliers) div n_docs").as("outlier_bp"))
+        .orderBy(asc_nulls_first("source"))
+    },
+    Some("""WITH x AS (SELECT source, doc_id, n_chars FROM documents),
+      r1 AS (SELECT source, doc_id, n_chars,
+              ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars ASC, doc_id ASC) AS rn,
+              COUNT(*) OVER (PARTITION BY source) AS cnt FROM x),
+      med AS (SELECT source, n_chars AS med FROM r1 WHERE rn = (cnt + 1) // 2),
+      d AS (SELECT x.source, x.doc_id, abs(x.n_chars - med.med) AS dev, med.med
+            FROM x JOIN med USING (source)),
+      r2 AS (SELECT source, doc_id, dev, med,
+              ROW_NUMBER() OVER (PARTITION BY source ORDER BY dev ASC, doc_id ASC) AS rn,
+              COUNT(*) OVER (PARTITION BY source) AS cnt FROM d),
+      mad AS (SELECT source, dev AS mad FROM r2 WHERE rn = (cnt + 1) // 2)
+      SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(MIN(d.med) AS BIGINT) AS med_chars,
+             CAST(MIN(mad.mad) AS BIGINT) AS mad_chars,
+             CAST(SUM(CASE WHEN d.dev > 3 * mad.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+             CAST((10000 * SUM(CASE WHEN d.dev > 3 * mad.mad THEN 1 ELSE 0 END)) // COUNT(*) AS BIGINT) AS outlier_bp
+      FROM d JOIN mad USING (source)
+      GROUP BY d.source ORDER BY source ASC NULLS FIRST"""),
+    "per-source median/MAD length outliers at 3*MAD, rank-exact integers (robust data-QA sibling of q137's winsorization)")
+
   val all: Seq[Q] = Seq(q83, q84, q85, q86, q87, q89, q90, q91, q112, q123, q124,
-    q125, q128, q138, q139, q140, q141)
+    q125, q128, q138, q139, q140, q141, q152)
 }
