@@ -136,5 +136,32 @@ object Multimodal {
     None,
     "multimodal decode/feature plumbing: real BMP/WAV header codecs + stub fallback")
 
-  val all: Seq[Q] = Seq(q48)
+  /** q153: the resize + frame-sample halves of the multimodal surface as
+    * a driver-checked query (q48 covers decode/features): every media row
+    * resized to a fixed serving geometry joined against its n=4 sampled
+    * frames — the (doc, frame) exploded shape a video/image pipeline
+    * materializes before batch inference. Rows-only by design (binary
+    * payload features have no SQL oracle); MultimodalSpec pins the codec
+    * semantics. Map-only end to end: both legs are mapPartitions over the
+    * same scan, the join is doc-keyed on frames already co-partitioned at
+    * frame-explosion time — no wide shuffle carries media bytes. */
+  private val q153 = Q(
+    "q153_multimodal_resize_frames",
+    (s, dir) => {
+      import s.implicits._
+      val media = mediaTable(s, dir)
+      val resized = resize(media, 224, 224).toDF()
+        .select(col("doc_id"), col("format"), col("n_bytes"),
+          col("width"), col("height"),
+          round(element_at(col("features"), 1), 6).as("f0"))
+      val frames = sampleFrames(media, 4).toDF()
+        .select(col("doc_id"), col("frame"),
+          round(element_at(col("features"), 1), 6).as("frame_f0"))
+      resized.join(frames, "doc_id")
+        .orderBy(asc_nulls_first("doc_id"), asc_nulls_first("frame"))
+    },
+    None,
+    "multimodal resize-to-geometry + evenly-spaced frame sampling, exploded (doc, frame) serving shape (builder-prompt multimodal surface)")
+
+  val all: Seq[Q] = Seq(q48, q153)
 }
