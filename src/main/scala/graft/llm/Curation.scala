@@ -488,5 +488,83 @@ object Curation {
       ORDER BY pos ASC NULLS FIRST"""),
     "curriculum order: q146-score deciles (frozen rank boundaries), best band first, in-band Knuth shuffle, two-level global positions (training-order surface)")
 
-  val all: Seq[Q] = Seq(q144, q145, q146, q147, q149, q150, q151)
+  /** q155: line-level boilerplate removal (the CCNet/RefinedWeb
+    * paragraph-dedup step, Wenzek et al. 2020 §3.1): a "line" that recurs
+    * across ≥ `minDocs` DISTINCT documents is navigation/footer/license
+    * boilerplate and is stripped from every document, preserving the
+    * remaining lines' order. The corpus here is single-line word streams,
+    * so "lines" are the non-overlapping `segLen`-word segments — the
+    * operator is the same either way: segment, count distinct docs per
+    * segment, strip recurrent segments, reassemble.
+    *
+    * Scale shape: segments extract MAP-SIDE from the split array (no
+    * per-doc window); the ONE corpus-scale shuffle carries only
+    * (xxhash64(segment), doc_id) — never segment text. The recurrent-hash
+    * set (bounded by the corpus's distinct duplicated-segment count, q149's
+    * broadcast argument) broadcasts into an inner join whose output —
+    * (doc_id, seg_id) drop lists, only for AFFECTED docs — is int-pair
+    * sized, aggregates on doc_id, and broadcasts back so reassembly is a
+    * map-side lambda over the original array. If the duplicated-segment
+    * universe outgrows broadcast at 100 TB, both broadcasts degrade to
+    * hash joins keyed on the same columns and the shuffles still carry no
+    * text. */
+  def boilerplateStrip(docs: org.apache.spark.sql.DataFrame, segLen: Int,
+      minDocs: Int): org.apache.spark.sql.DataFrame = {
+    val segged = docs.select(col("doc_id"),
+      expr("filter(split(text, ' '), x -> x <> '')").as("ws"))
+      .select(col("doc_id"), expr(
+        s"CASE WHEN size(ws) >= 1 THEN transform(sequence(0, (size(ws) - 1) div $segLen), " +
+          s"i -> concat_ws(' ', slice(ws, i * $segLen + 1, $segLen))) " +
+          "ELSE CAST(array() AS ARRAY<STRING>) END").as("segs"))
+    val exploded = segged.select(col("doc_id"),
+      posexplode(col("segs")).as(Seq("seg_id", "seg")))
+    val recurrent = exploded
+      .select(xxhash64(col("seg")).as("h"), col("doc_id"))
+      .groupBy(col("h")).agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= minDocs).select(col("h"))
+    val dropLists = exploded
+      .join(broadcast(recurrent), xxhash64(col("seg")) === col("h"))
+      .groupBy(col("doc_id")).agg(collect_set(col("seg_id")).as("drop_ids"))
+    segged.join(broadcast(dropLists), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        size(col("segs")).cast(LongType).as("n_segs"),
+        coalesce(size(col("drop_ids")), lit(0)).cast(LongType).as("n_dropped"),
+        expr("concat_ws(' ', filter(segs, (x, i) -> drop_ids IS NULL " +
+          "OR NOT array_contains(drop_ids, i)))").as("clean_text"))
+      .orderBy(asc_nulls_first("doc_id"))
+  }
+
+  private val q155 = Q(
+    "q155_boilerplate_strip",
+    (s, dir) => boilerplateStrip(T(s, dir, "documents"), 4, 2),
+    Some("""WITH d AS (SELECT doc_id,
+               list_filter(string_split(text, ' '), x -> x <> '') AS ws
+             FROM documents),
+      seg AS (SELECT doc_id, ws,
+                     unnest(generate_series(0, (len(ws) - 1) // 4)) AS seg_id
+              FROM d WHERE len(ws) >= 1),
+      s2 AS (SELECT doc_id, seg_id,
+                    array_to_string(ws[seg_id * 4 + 1 : seg_id * 4 + 4], ' ') AS seg
+             FROM seg),
+      boiler AS (SELECT seg FROM s2 GROUP BY seg
+                 HAVING COUNT(DISTINCT doc_id) >= 2),
+      marked AS (SELECT s2.doc_id, s2.seg_id, s2.seg,
+                        s2.seg IN (SELECT seg FROM boiler) AS dropped
+                 FROM s2),
+      agged AS (SELECT doc_id,
+                       CAST(COUNT(*) AS BIGINT) AS n_segs,
+                       CAST(SUM(CASE WHEN dropped THEN 1 ELSE 0 END) AS BIGINT)
+                         AS n_dropped,
+                       COALESCE(string_agg(CASE WHEN dropped THEN NULL ELSE seg END,
+                                           ' ' ORDER BY seg_id), '') AS clean_text
+                FROM marked GROUP BY doc_id)
+      SELECT d.doc_id,
+             COALESCE(a.n_segs, 0) AS n_segs,
+             COALESCE(a.n_dropped, 0) AS n_dropped,
+             COALESCE(a.clean_text, '') AS clean_text
+      FROM d LEFT JOIN agged a USING (doc_id)
+      ORDER BY doc_id ASC NULLS FIRST"""),
+    "CCNet-style recurrent-line (segment) boilerplate strip with order-preserving reassembly; the one corpus shuffle carries (hash, doc_id) only")
+
+  val all: Seq[Q] = Seq(q144, q145, q146, q147, q149, q150, q151, q155)
 }

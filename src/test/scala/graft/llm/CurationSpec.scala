@@ -121,4 +121,25 @@ class CurationSpec extends AnyFunSuite {
     assert(forAnchor0.map(_._1).toSet === Set(1L, 2L), "same-label dup must be excluded")
     assert(forAnchor0.toMap.apply(1L) === 0.8 && forAnchor0.toMap.apply(2L) === 0.6)
   }
+
+  test("boilerplateStrip drops exactly the cross-doc segments, preserving order") {
+    import spark.implicits._
+    // segLen=2 segments: doc 1 = ["nav bar","real text","more real"],
+    // doc 2 = ["nav bar","other words"], doc 3 = ["unique only"].
+    // "nav bar" recurs in 2 distinct docs → stripped everywhere; the
+    // trailing odd word forms its own (shorter) segment and survives.
+    val docs = Seq(
+      (1L, "nav bar real text more real"),
+      (2L, "nav bar other words"),
+      (3L, "unique only"),
+      (4L, "nav bar nav bar")) // all segments boilerplate → empty doc
+      .toDF("doc_id", "text")
+    val out = Curation.boilerplateStrip(docs, segLen = 2, minDocs = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out.toSeq === Seq(
+      (1L, 3L, 1L, "real text more real"),
+      (2L, 2L, 1L, "other words"),
+      (3L, 1L, 0L, "unique only"),
+      (4L, 2L, 2L, "")))
+  }
 }
