@@ -225,5 +225,82 @@ object Graph {
         ORDER BY doc_id ASC NULLS FIRST"""),
     "WITH RECURSIVE reachability (Spark 4 recursive CTE), identical SQL in both engines; agrees with q82's iterative components")
 
-  val all: Seq[Q] = Seq(q82, q119, q130)
+  /** PageRank with damping 0.85 over a DIRECTED edge list, every number in
+    * exact integer micro-units so Spark and a SQL replay agree bit-for-bit:
+    * pr₀ = 10⁶ for every node, and
+    *
+    *   prₖ₊₁(v) = 150 000 + (85 · Σ_{u→v} (prₖ(u) div outdeg(u))) div 100.
+    *
+    * Caller passes both directions for an undirected graph, which also
+    * guarantees no dangling nodes (every node has outdeg ≥ 1, so mass
+    * only leaks through the two floor divisions — the same floors the
+    * oracle takes).
+    *
+    * Scale shape (the classic Pregel/GraphX pattern, declaratively): the
+    * degree-annotated edge list is materialized ONCE (localCheckpoint —
+    * durable `checkpoint()` on a real cluster) and each of the fixed
+    * `iters` rounds is two narrow shuffles — join rank onto edges by src,
+    * re-aggregate by dst — both carrying only (long, long) pairs; the
+    * rank frame is checkpointed per round so Catalyst re-plans a
+    * constant-size tree (q82's lineage argument). Hub in-degree skew is
+    * a SUM aggregation (map-side partials), not a collect_list. */
+  def pageRank(edges: DataFrame, iters: Int): DataFrame = {
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val e = edges.join(deg, Seq("src")).localCheckpoint(true)
+    var pr = deg.select(col("src").as("node"), lit(1000000L).as("pr"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      pr = e.join(pr, e("src") === pr("node"))
+        .select(col("dst"), expr("pr div deg").as("contrib"))
+        .groupBy(col("dst")).agg(sum(col("contrib")).as("s"))
+        .select(col("dst").as("node"),
+          (lit(150000L) + expr("(85 * s) div 100")).as("pr"))
+        .localCheckpoint(true)
+    }
+    pr
+  }
+
+  /** q156: PageRank over the bipartite customer↔part purchase graph
+    * (distinct (o_custkey, l_partkey) pairs, both directions) — the
+    * importance ranking a curation pipeline runs on its source/link graph
+    * (domain authority à la Common Crawl's harmonic-centrality ranking).
+    * Three exact-integer iterations; the oracle replays them as three
+    * chained CTEs. Top-100 with (rank, node) tie-break, all BIGINT. */
+  private val q156 = Q(
+    "q156_pagerank",
+    (s, dir) => {
+      val e0 = T(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+        .join(T(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select((col("o_custkey") * 2).as("src"), (col("l_partkey") * 2 + 1).as("dst"))
+        .distinct()
+      val und = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+      pageRank(und, 3)
+        .select(when(col("node") % 2 === 0, "customer").otherwise("part").as("node_type"),
+          expr("node div 2").as("id"), col("pr"))
+        .orderBy(desc("pr"), asc_nulls_first("node_type"), asc_nulls_first("id"))
+        .limit(100)
+    },
+    Some("""WITH e0 AS (SELECT DISTINCT 2 * o_custkey AS src, 2 * l_partkey + 1 AS dst
+               FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+      deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM e GROUP BY src),
+      p0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS pr FROM deg),
+      c1 AS (SELECT e.dst, SUM(p0.pr // d.deg) AS s
+             FROM e JOIN deg d USING (src) JOIN p0 ON p0.node = e.src GROUP BY e.dst),
+      p1 AS (SELECT dst AS node, 150000 + (85 * s) // 100 AS pr FROM c1),
+      c2 AS (SELECT e.dst, SUM(p1.pr // d.deg) AS s
+             FROM e JOIN deg d USING (src) JOIN p1 ON p1.node = e.src GROUP BY e.dst),
+      p2 AS (SELECT dst AS node, 150000 + (85 * s) // 100 AS pr FROM c2),
+      c3 AS (SELECT e.dst, SUM(p2.pr // d.deg) AS s
+             FROM e JOIN deg d USING (src) JOIN p2 ON p2.node = e.src GROUP BY e.dst),
+      p3 AS (SELECT dst AS node, 150000 + (85 * s) // 100 AS pr FROM c3)
+      SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'part' END AS node_type,
+             CAST(node // 2 AS BIGINT) AS id, CAST(pr AS BIGINT) AS pr
+      FROM p3
+      ORDER BY pr DESC, node_type ASC NULLS FIRST, id ASC NULLS FIRST
+      LIMIT 100"""),
+    "integer-exact PageRank (3 damped iterations) on the purchase graph; per-round two narrow long-pair shuffles, oracle replays via chained CTEs")
+
+  val all: Seq[Q] = Seq(q82, q119, q130, q156)
 }

@@ -65,4 +65,19 @@ class GraphSpec extends AnyFunSuite {
     assert(rows.nonEmpty)
     rows.foreach { case (id, comp) => assert(comp === (id / 10) * 10) }
   }
+
+  test("pageRank: regular graphs are a fixed point; path graph matches hand integers") {
+    import spark.implicits._
+    // 3-ring (2-regular): every node keeps pr = 10^6 exactly at any depth
+    val ring = Seq((0L, 1L), (1L, 2L), (2L, 0L))
+    val ringE = (ring ++ ring.map(_.swap)).toDF("src", "dst")
+    Graph.pageRank(ringE, 3).collect().foreach(r => assert(r.getLong(1) === 1000000L))
+    // path a-b-c, two hand-computed iterations:
+    //   it1: ends 150000+85*500000//100 = 575000, mid 150000+85*2000000//100 = 1850000
+    //   it2: ends 150000+(85*925000)//100 = 936250, mid 150000+(85*1150000)//100 = 1127500
+    val path = Seq((0L, 1L), (1L, 0L), (1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val it2 = Graph.pageRank(path, 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(it2 === Map(0L -> 936250L, 1L -> 1127500L, 2L -> 936250L))
+  }
 }
