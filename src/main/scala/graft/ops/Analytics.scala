@@ -830,6 +830,64 @@ object Analytics {
       GROUP BY d.source ORDER BY source ASC NULLS FIRST"""),
     "per-source median/MAD length outliers at 3*MAD, rank-exact integers (robust data-QA sibling of q137's winsorization)")
 
+  /** q157: weighted systematic (probability-proportional-to-size)
+    * sampling — the deterministic way to MATERIALIZE a sampling rate the
+    * mixture stages (q150 temperature rates, q134 token budgets) decide:
+    * lay every document's weight end-to-end on a number line (cumulative
+    * starts in doc_id order), then take k equally-spaced midpoint probes
+    * pᵢ = ((2i+1)·W) div (2k); the document whose [cs, cs+wt) interval
+    * contains pᵢ is sample i. Unlike Bernoulli/Poisson sampling the
+    * output size is EXACTLY k, every ≥W/k-weight document is guaranteed
+    * in (stratified-by-position, low-discrepancy), and the result is
+    * reproducible on any cluster — all integer arithmetic.
+    *
+    * Scale shape: the corpus-wide cumulative sum uses q112's two-level
+    * trick — per-bucket totals (one narrow groupBy) prefix-summed in a
+    * bucket-count-sized broadcast window, plus a per-bucket running sum
+    * whose window is PARTITIONED by bucket — no single-partition window
+    * ever exists. The k probes are a one-row-derived broadcast; interval
+    * containment is evaluated map-side against each doc row (a
+    * BroadcastNestedLoopJoin of k rows), so the whole operator adds one
+    * narrow shuffle over (bucket, long) pairs to the scan. */
+  def weightedSystematicSample(docs: org.apache.spark.sql.DataFrame,
+      k: Int): org.apache.spark.sql.DataFrame = {
+    val base = docs.select(col("doc_id"), col("n_chars").cast(LongType).as("wt"))
+      .withColumn("bucket", expr("doc_id div 64"))
+    val offs = base.groupBy(col("bucket")).agg(sum(col("wt")).as("bw"))
+      .withColumn("off",
+        coalesce(sum(col("bw")).over(
+          Window.orderBy(asc("bucket"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val cum = base.join(broadcast(offs.select(col("bucket"), col("off"))), Seq("bucket"))
+      .withColumn("cs", col("off") + coalesce(
+        sum(col("wt")).over(
+          Window.partitionBy(col("bucket")).orderBy(asc("doc_id"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val picks = offs.agg(sum(col("bw")).as("tot"))
+      .select(explode(expr(s"sequence(0, ${k - 1})")).as("i"), col("tot"))
+      .select(col("i").cast(LongType).as("sample_i"),
+        expr(s"((2 * i + 1) * tot) div ${2 * k}").as("p"))
+    cum.join(broadcast(picks), col("p") >= col("cs") && col("p") < col("cs") + col("wt"))
+      .select(col("sample_i"), col("doc_id"), col("wt"))
+      .orderBy(asc_nulls_first("sample_i"))
+  }
+
+  private val q157 = Q(
+    "q157_weighted_systematic_sample",
+    (s, dir) => weightedSystematicSample(T(s, dir, "documents"), 37),
+    Some("""WITH w AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS wt FROM documents),
+      c AS (SELECT doc_id, wt,
+              COALESCE(SUM(wt) OVER (ORDER BY doc_id ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cs
+            FROM w),
+      t AS (SELECT CAST(SUM(wt) AS BIGINT) AS tot FROM w),
+      picks AS (SELECT unnest(generate_series(0, 36)) AS i),
+      p AS (SELECT i, ((2 * i + 1) * tot) // 74 AS p FROM picks, t)
+      SELECT CAST(p.i AS BIGINT) AS sample_i, c.doc_id, c.wt
+      FROM p JOIN c ON p.p >= c.cs AND p.p < c.cs + c.wt
+      ORDER BY sample_i ASC NULLS FIRST"""),
+    "exact-k PPS systematic sample: two-level integer cumsum + k broadcast midpoint probes (deterministic mixture materialization)")
+
   val all: Seq[Q] = Seq(q83, q84, q85, q86, q87, q89, q90, q91, q112, q123, q124,
-    q125, q128, q138, q139, q140, q141, q152)
+    q125, q128, q138, q139, q140, q141, q152, q157)
 }
