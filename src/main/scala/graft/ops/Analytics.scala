@@ -888,6 +888,108 @@ object Analytics {
       ORDER BY sample_i ASC NULLS FIRST"""),
     "exact-k PPS systematic sample: two-level integer cumsum + k broadcast midpoint probes (deterministic mixture materialization)")
 
+  /** q158: SCD2 history BUILD from a change log — the write-side twin of
+    * q139's point-in-time read: given per-entity state observations
+    * (user_id, ts, event_type), collapse consecutive identical states and
+    * emit versioned validity intervals [valid_from, valid_to) with an
+    * is_current flag — the job that maintains the dimension q139 joins
+    * against, fed in production by q128's CDC feed.
+    *
+    * Scale shape: ONE shuffle on the entity key feeds every window pass —
+    * lag (change detection), row_number (version), and lead (interval
+    * close) all share PARTITION BY user_id ORDER BY ts, event_id, so
+    * Catalyst plans a single exchange + sort and runs the three window
+    * functions over it; per-key state is one row. No entity's history
+    * ever concentrates in one partition beyond its own rows (per-user
+    * cardinality-bounded, the q123 skew argument). Total order is pinned
+    * by the (ts, event_id) tie-break. */
+  private val q158 = Q(
+    "q158_scd2_build",
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(asc("ts"), asc("event_id"))
+      val changes = T(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("prev", lag(col("event_type"), 1).over(w))
+        .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+      val w2 = Window.partitionBy(col("user_id")).orderBy(asc("ts"), asc("event_id"))
+      changes
+        .withColumn("version", row_number().over(w2).cast(LongType))
+        .withColumn("valid_to_ts", lead(col("ts"), 1).over(w2))
+        .select(col("user_id"), col("version"), col("event_type").as("state"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("valid_from"),
+          coalesce(date_format(col("valid_to_ts"), "yyyy-MM-dd HH:mm:ss"),
+            lit("9999-12-31 00:00:00")).as("valid_to"),
+          col("valid_to_ts").isNull.as("is_current"))
+        .filter(col("user_id") % 10 === 0)
+        .orderBy(asc_nulls_first("user_id"), asc_nulls_first("version"))
+    },
+    Some("""WITH c AS (SELECT user_id, ts, event_id, event_type,
+               lag(event_type) OVER (PARTITION BY user_id
+                 ORDER BY ts ASC, event_id ASC) AS prev
+             FROM events),
+      ch AS (SELECT user_id, ts, event_id, event_type FROM c
+             WHERE prev IS NULL OR prev <> event_type),
+      v AS (SELECT user_id, ts, event_type,
+              ROW_NUMBER() OVER (PARTITION BY user_id
+                ORDER BY ts ASC, event_id ASC) AS version,
+              lead(ts) OVER (PARTITION BY user_id
+                ORDER BY ts ASC, event_id ASC) AS valid_to_ts
+            FROM ch)
+      SELECT user_id, CAST(version AS BIGINT) AS version, event_type AS state,
+             strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+             COALESCE(strftime(valid_to_ts, '%Y-%m-%d %H:%M:%S'),
+                      '9999-12-31 00:00:00') AS valid_to,
+             valid_to_ts IS NULL AS is_current
+      FROM v WHERE user_id % 10 = 0
+      ORDER BY user_id ASC NULLS FIRST, version ASC NULLS FIRST"""),
+    "SCD2 dimension build from a change log: collapse no-change rows, versioned [from,to) intervals, one entity-keyed exchange for all three windows")
+
+  /** q159: recency-weighted (exponentially decayed) engagement score —
+    * the freshness weighting every ranking/feed/data-valuation pipeline
+    * applies, kept EXACT: instead of float `exp(-λ·age)`, the decay is a
+    * power-of-two halving per age bucket (one halving per 7 days here),
+    * so the weight is a bit-shift divide — `cents div (1 << bucket)` —
+    * and Spark and the oracle agree bit-for-bit (the q150 no-`pow` rule;
+    * IEEE `value*100` is exact-rounded so the floor to cents matches
+    * too). Ages are integer µs differences floored to days — no calendar
+    * functions, no timezone surface.
+    *
+    * Scale shape: the reference timestamp is a one-row broadcast; decay
+    * is map-side arithmetic on the scan; the only shuffle is the
+    * map-combinable per-user sum (partial aggregation pushes the data
+    * down to one row per user per task before the exchange). */
+  private val q159 = Q(
+    "q159_decayed_engagement",
+    (s, dir) => {
+      val ev = T(s, dir, "events")
+        .select(col("user_id"), unix_micros(col("ts")).as("us"), col("value"))
+      val ref = ev.agg(max(col("us")).as("ref_us"))
+      ev.crossJoin(broadcast(ref))
+        .withColumn("cents", floor(col("value") * 100).cast(LongType))
+        .withColumn("bucket", expr("((ref_us - us) div 86400000000L) div 7"))
+        .withColumn("decayed", expr("cents div shiftleft(1L, cast(bucket AS int))"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("cents")).as("raw_cents"),
+          sum(col("decayed")).as("decayed_cents"))
+        .withColumn("retention_bp", expr("(10000 * decayed_cents) div raw_cents"))
+        .orderBy(asc_nulls_first("user_id"))
+    },
+    Some("""WITH e AS (SELECT user_id, epoch_us(ts) AS us, value FROM events),
+      r AS (SELECT MAX(us) AS ref_us FROM e),
+      d AS (SELECT user_id,
+              CAST(FLOOR(value * 100) AS BIGINT) AS cents,
+              ((r.ref_us - us) // 86400000000) // 7 AS bucket
+            FROM e, r)
+      SELECT user_id, COUNT(*) AS n_events,
+             CAST(SUM(cents) AS BIGINT) AS raw_cents,
+             CAST(SUM(cents // (CAST(1 AS BIGINT) << bucket)) AS BIGINT)
+               AS decayed_cents,
+             CAST((10000 * SUM(cents // (CAST(1 AS BIGINT) << bucket)))
+               // SUM(cents) AS BIGINT) AS retention_bp
+      FROM d GROUP BY user_id ORDER BY user_id ASC NULLS FIRST"""),
+    "exponential recency decay as exact bit-shift halvings per age bucket; map-side decay + one map-combinable per-user sum")
+
   val all: Seq[Q] = Seq(q83, q84, q85, q86, q87, q89, q90, q91, q112, q123, q124,
-    q125, q128, q138, q139, q140, q141, q152, q157)
+    q125, q128, q138, q139, q140, q141, q152, q157, q158, q159)
 }
