@@ -528,6 +528,58 @@ object Ingest {
       ORDER BY event_type ASC NULLS FIRST, dekad ASC NULLS FIRST"""),
     "algebraic rollup: dekad aggregates composed from the daily aggregate table = direct fact-level aggregation (the oracle computes the latter)")
 
+  /** q161: rendezvous (highest-random-weight) shard assignment + reshard
+    * movement audit — the consistent-placement scheme that makes GROWING
+    * a sharded corpus cheap: each key goes to the shard with the highest
+    * keyed hash, so adding shard N+1 moves ONLY the keys whose new
+    * maximum is the new shard (expected 1/(N+1) of data), versus mod-N
+    * placement which relocates ~N/(N+1) of everything. The audit assigns
+    * every doc under 16 and 17 shards and reports per-shard movement —
+    * the plan a 100 TB reshard is costed from.
+    *
+    * All integer: h(key, s) = ((key·2654435761 mod (2³¹−1)) + s) ·
+    * 2654435761 mod (2³¹−1) (products stay < 2⁶³), argmax via the
+    * lexicographic max of (h, s) STRUCTS so ties break identically in
+    * both engines. Scale shape: both assignments are pure map-side
+    * expressions over the scan (a transform over a 17-element sequence —
+    * no explode, no join); the only shuffle is the final
+    * shard-cardinality-sized groupBy. */
+  private val q161 = Q(
+    "q161_rendezvous_reshard",
+    (s, dir) => {
+      def shard(n: Int) =
+        s"array_max(transform(sequence(0, ${n - 1}), s -> named_struct(" +
+          "'h', ((m1 + s) * 2654435911L) % 2147483647L, 's', s))).s"
+      T(s, dir, "documents")
+        .select(col("doc_id"),
+          expr("(doc_id * 2654435761L) % 2147483647L").as("m1"))
+        .select(col("doc_id"),
+          expr(shard(16)).cast(LongType).as("shard16"),
+          expr(shard(17)).cast(LongType).as("shard17"))
+        .groupBy(col("shard16"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("shard16") =!= col("shard17"), 1L).otherwise(0L)).as("n_moved"),
+          sum(when(col("shard17") === 16L && col("shard16") =!= col("shard17"), 1L)
+            .otherwise(0L)).as("n_moved_to_new"))
+        .orderBy(asc_nulls_first("shard16"))
+    },
+    Some("""WITH m AS (SELECT doc_id,
+               (doc_id * 2654435761) % 2147483647 AS m1 FROM documents),
+      a AS (SELECT doc_id,
+              list_max([{'h': ((m1 + s) * 2654435911) % 2147483647, 's': s}
+                        FOR s IN generate_series(0, 15)]).s AS shard16,
+              list_max([{'h': ((m1 + s) * 2654435911) % 2147483647, 's': s}
+                        FOR s IN generate_series(0, 16)]).s AS shard17
+            FROM m)
+      SELECT CAST(shard16 AS BIGINT) AS shard16,
+             COUNT(*) AS n_docs,
+             CAST(SUM(CASE WHEN shard16 <> shard17 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_moved,
+             CAST(SUM(CASE WHEN shard17 = 16 AND shard16 <> shard17
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_moved_to_new
+      FROM a GROUP BY shard16 ORDER BY shard16 ASC NULLS FIRST"""),
+    "rendezvous-hash sharding: adding a shard moves only keys whose argmax is the new shard (n_moved == n_moved_to_new row-for-row); map-side struct-argmax, no explode")
+
   val all: Seq[Q] = Seq(q51, q88, q108, q115, q121, q122, q126, q127, q131, q136,
-    q143)
+    q143, q161)
 }
