@@ -9,7 +9,7 @@ object SparkEntry {
   private def modules: Seq[Q] =
     ops.Relational.all ++ ops.TextOps.all ++ ops.Spatial.all ++
       llm.Dedup.all ++ llm.Ivf.all ++ llm.Sketches.all ++ llm.Bpe.all ++
-      llm.Multimodal.all ++ llm.Pipeline.all ++ llm.Curation.all ++
+      llm.Multimodal.all ++ llm.Pipeline.all ++ llm.Curation.all ++ llm.Mmr.all ++
       streaming.Streams.all ++
       sources.Gpkg.all ++ sources.GeoTiff.all ++ ops.Ingest.all ++ ops.Skew.all ++
       ops.ZOrder.all ++ ops.Graph.all ++ ops.Analytics.all ++ ops.Bucketed.all
