@@ -139,5 +139,49 @@ object Sketches {
       ORDER BY exact_n DESC NULLS LAST, token ASC NULLS FIRST"""),
     "count-min sketch + exact verify equals the true heavy-hitter set (one-sided-error guarantee under the hash gate)")
 
-  val all: Seq[Q] = Seq(q77, q100)
+  /** Daily per-event-type HLL sketches over events — the PRE-AGGREGATED
+    * distinct-counting table a warehouse maintains incrementally (one
+    * sketch row per (day, type) partition; new days append, nothing is
+    * recomputed), here built in one pass. */
+  def dailyUserSketches(s: org.apache.spark.sql.SparkSession,
+      events: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    events.groupBy(col("event_type"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(expr("hll_sketch_agg(user_id, 12)").as("sk"),
+        count(lit(1)).as("n_events"))
+
+  /** q162: mergeable distinct-count sketches (Apache DataSketches HLL,
+    * Spark's native hll_* functions) — the pattern that makes COUNT
+    * DISTINCT incremental at 100 TB: per-partition sketches are built
+    * once (algebraic, map-side combinable), any rollup is a SKETCH UNION
+    * (never a rescan), and an estimate is read out at the end. Here:
+    * daily (type, day) sketches → per-type month rollup via
+    * hll_union_agg, alongside the exact distinct and the single-pass
+    * estimate. Rows-only by design — sketch estimates are
+    * engine-specific (q67/q77's declared rule) — while SketchesSpec pins
+    * the LOSSLESSNESS law: union-of-partials == direct-sketch estimate
+    * EXACTLY (same binary sketch state), and the estimate sits within
+    * HLL's published error at lgK=12. The exact_users column rides along
+    * so the output itself exposes the estimate error. */
+  private val q162 = Q(
+    "q162_hll_sketch_rollup",
+    (s, dir) => {
+      val ev = T(s, dir, "events")
+      val merged = dailyUserSketches(s, ev)
+        .groupBy(col("event_type"))
+        .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("merged_estimate"),
+          sum(col("n_events")).as("n_events"),
+          count(lit(1)).as("n_days"))
+      val direct = ev.groupBy(col("event_type"))
+        .agg(expr("hll_sketch_estimate(hll_sketch_agg(user_id, 12))").as("direct_estimate"),
+          countDistinct(col("user_id")).as("exact_users"))
+      merged.join(direct, Seq("event_type"))
+        .select(col("event_type"), col("n_days"), col("n_events"),
+          col("merged_estimate"), col("direct_estimate"), col("exact_users"))
+        .orderBy(asc_nulls_first("event_type"))
+    },
+    None,
+    "incremental distinct counting: daily HLL sketch table rolled up by sketch union; merged == direct (lossless merge law, spec-pinned), exact alongside")
+
+  val all: Seq[Q] = Seq(q77, q100, q162)
 }

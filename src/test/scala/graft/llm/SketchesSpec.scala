@@ -39,4 +39,18 @@ class SketchesSpec extends AnyFunSuite {
     // estimate is one-sided per the CMS guarantee
     assert(hh.forall(r => r.getLong(2) >= r.getLong(1)))
   }
+
+  test("HLL rollup: union of daily sketches == direct sketch, near-exact at small n") {
+    val out = graft.SparkEntry.queries("q162_hll_sketch_rollup")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (merged, direct, exact) = (r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(merged === direct,
+        s"${r.getString(0)}: sketch union must be lossless ($merged vs $direct)")
+      // lgK=12 → σ ≈ 1.04/√4096 ≈ 1.6%; allow 3σ plus integer slack
+      assert(math.abs(merged - exact) <= math.max(2L, (exact * 0.05).toLong),
+        s"${r.getString(0)}: estimate $merged too far from exact $exact")
+    }
+  }
 }
