@@ -712,5 +712,93 @@ object Dedup {
     None,
     "capstone dedup: MinHash-LSH pairs -> connected components -> canonical doc per cluster (keep flags)")
 
-  val all: Seq[Q] = Seq(q24, q25, q26, q27, q30, q92, q93, q94, q101, q135)
+  /** q163: sorted-neighborhood dedup (Hernández & Stolfo 1995) — the
+    * third candidate-generation family next to LSH banding (q25) and
+    * SimHash (q26): sort the corpus by a blocking key (text prefix),
+    * compare each record only to its w−1 successors in the sort order,
+    * verify candidates with exact shingle Jaccard. Near-clones that
+    * share a prefix are adjacent after the sort, so a window of 4 finds
+    * them with ZERO pairwise blow-up — the candidate count is exactly
+    * (w−1)·n regardless of cluster sizes, which is the property LSH
+    * can't give when a banding key gets hot.
+    *
+    * Scale shape: the global sort ORDER materializes as positions via
+    * the q112 two-level pattern keyed on the sort key's own 2-char
+    * prefix (bucket order == sort order, offsets broadcast, row_number
+    * windows per bucket); neighbor pairing is an equi-join on the
+    * position's band index (each row joins its own and the next band —
+    * bands of w−1 rows, so fan-out ≤ 2 and every window pair lands in
+    * exactly one band pairing). Shuffled payloads carry xxhash64 shingle
+    * arrays, never text (q116's fingerprint rule); the oracle verifies
+    * the identical set cardinalities over raw strings. */
+  private val q163 = Q(
+    "q163_sorted_neighborhood",
+    (s, dir) => {
+      val w = 4
+      val corpus = Pipeline.plantedCorpus(s, dir)
+        .select(col("doc_id"), col("text"), substring(col("text"), 1, 24).as("skey"),
+          expr("array_sort(array_distinct(transform(" +
+            "sequence(1, greatest(0, size(filter(split(text, ' '), x -> x <> '')) - 2)), " +
+            "i -> xxhash64(concat_ws(' ', " +
+            "element_at(filter(split(text, ' '), x -> x <> ''), i), " +
+            "element_at(filter(split(text, ' '), x -> x <> ''), i + 1), " +
+            "element_at(filter(split(text, ' '), x -> x <> ''), i + 2))))))").as("sh"))
+        .withColumn("bucket", substring(col("skey"), 1, 2))
+      val offs = corpus.groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
+        .withColumn("off",
+          coalesce(sum(col("cnt")).over(
+            org.apache.spark.sql.expressions.Window.orderBy(asc("bucket"))
+              .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
+            lit(0L)))
+      val pw = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("bucket")).orderBy(asc("skey"), asc("doc_id"))
+      val pos = corpus.join(broadcast(offs.select(col("bucket"), col("off"))), Seq("bucket"))
+        .withColumn("pos", col("off") + row_number().over(pw) - 1)
+        .select(col("doc_id"), col("pos"), col("sh"))
+      val lhs = pos.select(col("doc_id").as("id_a"), col("pos").as("pos_a"),
+        col("sh").as("sh_a"), expr(s"pos div ${w - 1}").as("band"))
+      val rhs = pos.select(col("doc_id").as("id_b"), col("pos").as("pos_b"),
+        col("sh").as("sh_b"), expr(s"pos div ${w - 1}").as("band0"))
+        .select(col("id_b"), col("pos_b"), col("sh_b"),
+          explode(array(col("band0"), col("band0") - 1)).as("band"))
+      lhs.join(rhs, Seq("band"))
+        .filter(col("pos_b") > col("pos_a") && col("pos_b") - col("pos_a") <= w - 1)
+        .select(least(col("id_a"), col("id_b")).as("doc_a"),
+          greatest(col("id_a"), col("id_b")).as("doc_b"),
+          expr("size(array_intersect(sh_a, sh_b))").as("inter"),
+          (expr("size(sh_a)") + expr("size(sh_b)")).as("tot"))
+        .filter(col("tot") - col("inter") > 0)
+        .select(col("doc_a"), col("doc_b"),
+          expr("(10000 * inter) div (tot - inter)").cast("long").as("jacc_bp"))
+        .filter(col("jacc_bp") >= 5000)
+        .orderBy(asc_nulls_first("doc_a"), asc_nulls_first("doc_b"))
+    },
+    Some("""WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 300000, text || ' appended near dup suffix'
+        FROM documents WHERE doc_id % 25 = 0
+        UNION ALL
+        SELECT doc_id + 400000, text FROM documents WHERE doc_id % 40 = 0),
+      t AS (SELECT doc_id, substr(text, 1, 24) AS skey,
+                   list_filter(string_split(text, ' '), x -> x <> '') AS ws
+            FROM corpus),
+      sh AS (SELECT doc_id, skey,
+                    list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                                   FOR i IN generate_series(1, len(ws) - 2)]) AS sh
+             FROM t),
+      p AS (SELECT doc_id, sh,
+                   ROW_NUMBER() OVER (ORDER BY skey ASC, doc_id ASC) - 1 AS pos
+            FROM sh),
+      pairs AS (SELECT a.doc_id AS ida, b.doc_id AS idb,
+                       len(list_intersect(a.sh, b.sh)) AS inter,
+                       len(a.sh) + len(b.sh) AS tot
+                FROM p a JOIN p b ON b.pos - a.pos BETWEEN 1 AND 3)
+      SELECT least(ida, idb) AS doc_a, greatest(ida, idb) AS doc_b,
+             CAST((10000 * inter) // (tot - inter) AS BIGINT) AS jacc_bp
+      FROM pairs WHERE tot - inter > 0 AND (10000 * inter) // (tot - inter) >= 5000
+      ORDER BY doc_a ASC NULLS FIRST, doc_b ASC NULLS FIRST"""),
+    "sorted-neighborhood candidate generation (blocking-sort-window ER family; bounded (w-1)*n candidates) + exact shingle-Jaccard verify under the oracle")
+
+  val all: Seq[Q] = Seq(q24, q25, q26, q27, q30, q92, q93, q94, q101, q135, q163)
 }
