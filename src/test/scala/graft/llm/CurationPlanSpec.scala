@@ -59,4 +59,24 @@ class CurationPlanSpec extends AnyFunSuite {
     assert(plan.exists(_.contains("hashpartitioning(bucket")),
       "expected a bucket-keyed exchange feeding the per-bucket row_number")
   }
+
+  test("q155: drop lists join broadcast and no exchange carries segment text") {
+    val plan = planOf("q155_boilerplate_strip")
+    assert(plan.exists(_.contains("BroadcastHashJoin")),
+      "recurrent set and drop lists must join broadcast")
+    assert(!plan.exists(l => l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin")),
+      "no shuffle join may appear in the boilerplate plan")
+    // the FINAL presentation sort (rangepartitioning) carries the result
+    // rows incl. clean_text — that's the output contract; the gate is on
+    // the aggregation/join path: no HASH shuffle may carry text/segments
+    val exchangeBlocks = plan.zipWithIndex.collect {
+      case (l, i) if l.matches("""\(\d+\) Exchange.*""") => plan.drop(i).takeWhile(_.trim.nonEmpty)
+    }
+    val hashBlocks = exchangeBlocks.filter(_.exists(_.contains("hashpartitioning")))
+    assert(hashBlocks.nonEmpty)
+    for (block <- hashBlocks)
+      assert(!block.exists(l => l.contains("text#") || l.contains("seg#") ||
+        l.contains("segs#")),
+        s"hash exchange carries text/segments:\n${block.mkString("\n")}")
+  }
 }

@@ -257,4 +257,21 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(windows.exists(w => w.contains("salt")),
       s"first window must partition by (source, salt): $windows")
   }
+
+  test("q158 SCD2 build: one entity-keyed exchange feeds all three window functions") {
+    // lag (change detect) + row_number (version) + lead (interval close)
+    // share PARTITION BY user_id ORDER BY ts, event_id — a regression
+    // that splits the window specs re-shuffles the change log per pass
+    val p = planOf("q158_scd2_build")
+    val userExchanges = p.linesIterator
+      .filter(l => l.contains("hashpartitioning(user_id")).size
+    assert(userExchanges == 1,
+      s"expected exactly one user_id exchange, got $userExchanges:\n${p.take(800)}")
+  }
+
+  test("q161 rendezvous sharding is map-side: no explode, no join, one small agg") {
+    val p = planOf("q161_rendezvous_reshard")
+    assert(!p.contains("Generate"), "shard argmax must not explode the 17-way sequence")
+    assert(!p.contains("Join"), "assignment must be a pure projection")
+  }
 }
