@@ -12,7 +12,8 @@ object SparkEntry {
       llm.Multimodal.all ++ llm.Pipeline.all ++ llm.Curation.all ++ llm.Mmr.all ++
       streaming.Streams.all ++
       sources.Gpkg.all ++ sources.GeoTiff.all ++ ops.Ingest.all ++ ops.Skew.all ++
-      ops.ZOrder.all ++ ops.Graph.all ++ ops.Analytics.all ++ ops.Bucketed.all
+      ops.ZOrder.all ++ ops.Graph.all ++ ops.Analytics.all ++ ops.Bucketed.all ++
+      ops.ZoneMap.all ++ ops.Inverted.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's flagship mangrove report pipeline (SURVEY.md §3.2). */
