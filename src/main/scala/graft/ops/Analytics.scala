@@ -990,6 +990,50 @@ object Analytics {
       FROM d GROUP BY user_id ORDER BY user_id ASC NULLS FIRST"""),
     "exponential recency decay as exact bit-shift halvings per age bucket; map-side decay + one map-combinable per-user sum")
 
+  /** q166: grouped 2-D skyline (Pareto frontier) — per event type, the
+    * events no later event of that type matched-or-beat on value: the
+    * dominance query behind "keep the frontier" selections (freshest ×
+    * highest-quality sample retention, best-price-since monitors). The
+    * sort-based algorithm: reduce to one row per (type, ts) with a
+    * distributed groupBy, then a running max over descending time —
+    * a row is on the frontier iff it strictly beats every later row's
+    * best. The window PARTITIONs BY event_type, so the pass is fully
+    * parallel (no global sort), and it runs on the GROUPED frame —
+    * |distinct (type, ts)| rows, the reduced domain, not raw events.
+    *
+    * The oracle is deliberately a DIFFERENT algorithm: the declarative
+    * NOT EXISTS dominance definition, so the hash match checks the
+    * sort+cummax rewrite against first principles rather than replaying
+    * it. Value is scored in exact cents (DECIMAL×100 → BIGINT, the
+    * [[graft.Q]] convention), timestamps as epoch micros. */
+  private val q166 = Q(
+    "q166_skyline",
+    (s, dir) => {
+      val g = T(s, dir, "events")
+        .select(col("event_type"), unix_micros(col("ts")).as("ts_us"),
+          (col("value").cast(DecimalType(18, 2)) * 100).cast(LongType).as("cents"))
+        .groupBy(col("event_type"), col("ts_us"))
+        .agg(max(col("cents")).as("cents"))
+      val later = Window.partitionBy(col("event_type")).orderBy(desc("ts_us"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      g.withColumn("best_later", max(col("cents")).over(later))
+        .filter(col("best_later").isNull || col("cents") > col("best_later"))
+        .select(col("event_type"), col("ts_us"), col("cents"))
+        .orderBy(asc_nulls_first("event_type"), asc_nulls_first("ts_us"))
+    },
+    Some("""WITH e AS (SELECT event_type, epoch_us(ts) AS ts_us,
+               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+             FROM events),
+      g AS (SELECT event_type, ts_us, MAX(cents) AS cents
+            FROM e GROUP BY event_type, ts_us)
+      SELECT event_type, ts_us, cents
+      FROM g a
+      WHERE NOT EXISTS (SELECT 1 FROM g b
+              WHERE b.event_type = a.event_type
+                AND b.ts_us > a.ts_us AND b.cents >= a.cents)
+      ORDER BY event_type ASC NULLS FIRST, ts_us ASC NULLS FIRST"""),
+    "grouped 2-D skyline via partitioned sort + running max over the reduced domain; oracle is the declarative NOT-EXISTS dominance definition (different algorithm)")
+
   val all: Seq[Q] = Seq(q83, q84, q85, q86, q87, q89, q90, q91, q112, q123, q124,
-    q125, q128, q138, q139, q140, q141, q152, q157, q158, q159)
+    q125, q128, q138, q139, q140, q141, q152, q157, q158, q159, q166)
 }

@@ -274,4 +274,23 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("Generate"), "shard argmax must not explode the 17-way sequence")
     assert(!p.contains("Join"), "assignment must be a pure projection")
   }
+
+  test("q165 inverted-index lookup prunes to the query terms' buckets") {
+    val p = planOf("q165_inverted_index")
+    val scanLine = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(scanLine.contains("bucket"),
+      s"postings scan has no bucket partition filter: $scanLine")
+    // the token residual must also reach the parquet reader (row-group
+    // pruning inside the kept buckets — files are token-sorted)
+    assert(p.contains("PushedFilters: [In(token"),
+      "token IN filter not pushed to the postings scan")
+  }
+
+  test("q166 skyline window is partitioned by event_type (no global sort)") {
+    val p = planOf("q166_skyline")
+    val windows = p.linesIterator.filter(_.contains("windowspecdefinition")).toList
+    assert(windows.nonEmpty)
+    assert(windows.forall(_.contains("event_type")),
+      s"skyline window lost its partitioning: $windows")
+  }
 }
