@@ -1034,6 +1034,91 @@ object Analytics {
       ORDER BY event_type ASC NULLS FIRST, ts_us ASC NULLS FIRST"""),
     "grouped 2-D skyline via partitioned sort + running max over the reduced domain; oracle is the declarative NOT-EXISTS dominance definition (different algorithm)")
 
+  /** q167: null-aware anti join — NOT IN vs NOT EXISTS under SQL
+    * three-valued logic, side by side on the same probe/sub pair. The
+    * probe carries planted NULL keys (every 100th customer); `k NOT IN
+    * (sub)` is NULL (filtered) for those rows while `NOT EXISTS` keeps
+    * them, so the two counts differ by exactly the planted-null count —
+    * the classic silent-row-loss trap in dedup/exclusion pipelines. The
+    * subquery side is guarded `IS NOT NULL` (one NULL there makes NOT IN
+    * universally false and the whole result empty — documented, not
+    * exercised: the driver data has no null o_custkey).
+    *
+    * Scale shape: Spark plans the NOT IN branch as a BROADCAST null-aware
+    * anti join (the only execution strategy for it — plan-gated in
+    * PlanShapeSpec); the sub side is a distinct key set, naturally
+    * bounded. The NOT EXISTS branch is an ordinary left_anti that can
+    * shuffle when the key set outgrows broadcast. */
+  private val q167 = Q(
+    "q167_null_aware_anti",
+    (s, dir) => {
+      val probe = T(s, dir, "customer").select(
+        when(col("c_custkey") % 100 === 0, lit(null)).otherwise(col("c_custkey")).as("k"),
+        col("c_mktsegment").as("segment"))
+      val sub = T(s, dir, "orders")
+        .filter(col("o_orderstatus") === "F" && col("o_custkey").isNotNull)
+        .select(col("o_custkey").as("ck")).distinct()
+      probe.createOrReplaceTempView("naaj_probe")
+      sub.createOrReplaceTempView("naaj_sub")
+      val notIn = s.sql(
+          "SELECT segment FROM naaj_probe WHERE k NOT IN (SELECT ck FROM naaj_sub)")
+        .groupBy(col("segment")).agg(count(lit(1)).as("n_not_in"))
+      val notExists = probe.join(sub, col("k") === col("ck"), "left_anti")
+        .groupBy(col("segment")).agg(count(lit(1)).as("n_not_exists"))
+      probe.groupBy(col("segment")).agg(count(lit(1)).as("n_customers"))
+        .join(notIn, Seq("segment")).join(notExists, Seq("segment"))
+        .orderBy(asc_nulls_first("segment"))
+    },
+    Some("""WITH probe AS (
+        SELECT CASE WHEN c_custkey % 100 = 0 THEN NULL ELSE c_custkey END AS k,
+               c_mktsegment AS segment
+        FROM customer),
+      sub AS (SELECT DISTINCT o_custkey AS ck FROM orders
+              WHERE o_orderstatus = 'F' AND o_custkey IS NOT NULL)
+      SELECT segment, COUNT(*) AS n_customers,
+             CAST(COUNT(*) FILTER (WHERE k NOT IN (SELECT ck FROM sub)) AS BIGINT)
+               AS n_not_in,
+             CAST(COUNT(*) FILTER (WHERE NOT EXISTS
+               (SELECT 1 FROM sub WHERE sub.ck = probe.k)) AS BIGINT)
+               AS n_not_exists
+      FROM probe GROUP BY segment
+      ORDER BY segment ASC NULLS FIRST"""),
+    "NOT IN (null-aware anti join, planned broadcast) vs NOT EXISTS (left_anti) on a null-planted probe: the counts differ by exactly the NULL keys (three-valued-logic trap)")
+
+  /** q169: DAU + cumulative distinct users per day — the growth metric
+    * every event pipeline reports. Cumulative COUNT(DISTINCT) has no
+    * distributed window form, so it is rewritten as first-seen events:
+    * min(day) per user (one user-keyed aggregate), new-user counts per
+    * day, then a running sum over the DAY spine — the window runs on
+    * |distinct days| rows (bounded domain: time, not data, sized — same
+    * argument as q166's frontier pass). The oracle computes both metrics
+    * declaratively (correlated COUNT(DISTINCT) per day), a genuinely
+    * different algorithm, so the hash match checks the first-seen rewrite
+    * itself. */
+  private val q169 = Q(
+    "q169_cumulative_distinct",
+    (s, dir) => {
+      val e = T(s, dir, "events")
+        .select(date_format(col("ts"), "yyyy-MM-dd").as("day"), col("user_id"))
+      val dau = e.distinct().groupBy(col("day")).agg(count(lit(1)).as("dau"))
+      val firsts = e.groupBy(col("user_id")).agg(min(col("day")).as("day"))
+        .groupBy(col("day")).agg(count(lit(1)).as("n_new"))
+      val spine = Window.orderBy(asc("day"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      dau.join(firsts, Seq("day"), "left")
+        .withColumn("cum_users", sum(coalesce(col("n_new"), lit(0L))).over(spine))
+        .select(col("day"), col("dau"), col("cum_users"))
+        .orderBy(asc_nulls_first("day"))
+    },
+    Some("""WITH d AS (SELECT DISTINCT strftime(ts, '%Y-%m-%d') AS day FROM events)
+      SELECT day,
+             CAST((SELECT COUNT(DISTINCT user_id) FROM events e
+                   WHERE strftime(e.ts, '%Y-%m-%d') = d.day) AS BIGINT) AS dau,
+             CAST((SELECT COUNT(DISTINCT user_id) FROM events e
+                   WHERE strftime(e.ts, '%Y-%m-%d') <= d.day) AS BIGINT) AS cum_users
+      FROM d ORDER BY day ASC NULLS FIRST"""),
+    "DAU + cumulative distinct users via the first-seen rewrite (no cumulative DISTINCT window exists); oracle recomputes both correlated-declaratively")
+
   val all: Seq[Q] = Seq(q83, q84, q85, q86, q87, q89, q90, q91, q112, q123, q124,
-    q125, q128, q138, q139, q140, q141, q152, q157, q158, q159, q166)
+    q125, q128, q138, q139, q140, q141, q152, q157, q158, q159, q166, q167, q169)
 }

@@ -818,5 +818,98 @@ object Streams {
     None,
     "streaming ingest near-dup dedup: per-batch classify vs the self-maintained signature index (prefix arrival semantics, idempotent batches)")
 
-  val all: Seq[Q] = Seq(q50, q52, q65, q73, q80, q109, q114, q117, q142, q148, q154)
+  /** Stream-stream LEFT OUTER interval join — q65's missing-side
+    * completion: trades with NO qualifying quote in the 24 h lookback
+    * must still emit (with nulls), which an inner join silently drops.
+    * Spark emits the null-padded row only when the watermark passes the
+    * trade's eviction bound, so a bounded replay needs the watermark
+    * pushed past ALL real rows at end-of-stream: two sentinel files
+    * (one trade + one surviving quote each, user_id −1 so they join
+    * nothing) are appended as extra micro-batches — two, because the
+    * watermark is computed from the PREVIOUS batch's max event time.
+    * This is the replay-determinism variant of production's continuous
+    * arrival (same pattern as q80's sentinel).
+    *
+    * Scale shape: identical to q65 — state bounded by watermark + the
+    * time-range condition, per-batch partial aggregation in foreachBatch
+    * (the raw pair stream is never driver-resident), decimal partials
+    * merged exactly. The unmatched trade contributes one null row →
+    * n=0/s=NULL partials, so the merged output preserves LEFT JOIN
+    * aggregate semantics (count 0, sum NULL) without special-casing. */
+  def streamLeftOuterJoin(s: SparkSession, dir: String): DataFrame = withStatePartitions(s, 8) {
+    val src0 = s"$dir/events.parquet"
+    val schema = s.read.parquet(src0).schema
+    val stage = java.nio.file.Paths.get(graft.Scratch.fresh("loj_stage"))
+    java.nio.file.Files.createSymbolicLink(
+      stage.resolve("events.parquet"), java.nio.file.Paths.get(src0))
+    def src = s.readStream.schema(schema).parquet(stage.toString)
+      .withColumn("tss", date_trunc("second", expr("timestamp_micros(ts div 1000)")))
+    val trades = src.filter(pmod(col("event_id"), lit(5)) === 0)
+      .select(col("event_id").as("trade_id"), col("user_id"), col("tss").as("t_ts"))
+      .withWatermark("t_ts", "25 hours")
+    val quotes = src.filter(pmod(col("event_id"), lit(5)) =!= 0 && col("value") >= 8.0)
+      .select(col("event_id").as("quote_id"), col("user_id").as("q_user"),
+        col("tss").as("q_ts"), col("value").as("qval"))
+      .withWatermark("q_ts", "25 hours")
+    val joined = trades.join(quotes,
+      col("user_id") === col("q_user") &&
+        col("q_ts") >= col("t_ts") - expr("interval 24 hours") &&
+        col("q_ts") <= col("t_ts"),
+      "leftOuter")
+      .select(col("trade_id"), col("qval"))
+    val partialsDir = graft.Scratch.fresh("loj_partials")
+    val q = joined.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.groupBy(col("trade_id"))
+          .agg(count(col("qval")).as("n"),
+            sum(col("qval").cast(DecimalType(18, 2))).as("s"))
+          .write.mode("append").parquet(partialsDir)
+        ()
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      val maxTs = s.read.parquet(src0).agg(max(col("ts"))).head().getLong(0)
+      for (i <- 1 to 2) {
+        val farNs = maxTs + (4000L + i) * 3600L * 1000000000L
+        // two rows: event_id −5 lands in the trade branch (pmod 0), −1 in
+        // the quote branch (pmod 4, value passes the ≥8 filter); user −1
+        // matches nothing on either side
+        val sentinel = s.range(2).select(schema.fields.map { f =>
+          f.name match {
+            case "event_id" => when(col("id") === 0, lit(-5L)).otherwise(lit(-1L)).as("event_id")
+            case "ts" => lit(farNs).as("ts")
+            case "user_id" => lit(-1L).as("user_id")
+            case "value" => lit(9.99).as("value")
+            case other => lit(null).cast(f.dataType).as(other)
+          }
+        }: _*)
+        sentinel.write.mode("append").parquet(stage.toString)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    s.read.parquet(partialsDir)
+      .filter(col("trade_id") >= 0)
+      .groupBy(col("trade_id"))
+      .agg(sum(col("n")).cast(LongType).as("n_quotes"),
+        sum(col("s")).cast(DoubleType).as("sum_qval"))
+      .orderBy(asc_nulls_first("trade_id"))
+  }
+
+  private val q168 = Q(
+    "q168_stream_left_outer_join",
+    (s, dir) => streamLeftOuterJoin(s, dir),
+    Some("""WITH e AS (SELECT event_id, user_id, date_trunc('second', ts) AS tss, value FROM events),
+      t AS (SELECT event_id AS trade_id, user_id, tss FROM e WHERE event_id % 5 = 0),
+      q AS (SELECT event_id, user_id, tss, value FROM e
+            WHERE event_id % 5 <> 0 AND value >= 8.0)
+      SELECT t.trade_id, CAST(COUNT(q.event_id) AS BIGINT) AS n_quotes,
+             CAST(SUM(CAST(q.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_qval
+      FROM t LEFT JOIN q ON t.user_id = q.user_id
+           AND q.tss >= t.tss - INTERVAL 24 HOUR AND q.tss <= t.tss
+      GROUP BY t.trade_id ORDER BY trade_id ASC NULLS FIRST"""),
+    "stream-stream LEFT OUTER interval join: unmatched trades emit null-padded on watermark passage (sentinel-flushed at end-of-stream); oracle is the batch LEFT JOIN")
+
+  val all: Seq[Q] = Seq(q50, q52, q65, q73, q80, q109, q114, q117, q142, q148, q154,
+    q168)
 }

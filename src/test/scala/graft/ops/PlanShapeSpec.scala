@@ -286,6 +286,17 @@ class PlanShapeSpec extends AnyFunSuite {
       "token IN filter not pushed to the postings scan")
   }
 
+  test("q167 NOT IN plans as a broadcast NULL-AWARE anti join") {
+    // AQE hides the join nodes from executedPlan.collect, so assert on
+    // the plan text: the NAAJ prints a trailing `true` (its
+    // isNullAwareAntiJoin arg); the NOT EXISTS branch must stay plain.
+    val anti = planOf("q167_null_aware_anti")
+      .linesIterator.filter(_.contains("LeftAnti")).toList
+    assert(anti.size == 2, s"expected two anti joins, got: $anti")
+    assert(anti.count(_.trim.endsWith("true")) == 1,
+      s"expected exactly one NULL-AWARE anti join (the NOT IN branch): $anti")
+  }
+
   test("q166 skyline window is partitioned by event_type (no global sort)") {
     val p = planOf("q166_skyline")
     val windows = p.linesIterator.filter(_.contains("windowspecdefinition")).toList
