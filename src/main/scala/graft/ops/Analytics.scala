@@ -1119,6 +1119,97 @@ object Analytics {
       FROM d ORDER BY day ASC NULLS FIRST"""),
     "DAU + cumulative distinct users via the first-seen rewrite (no cumulative DISTINCT window exists); oracle recomputes both correlated-declaratively")
 
+  /** q171: CUSUM change-point detection on the monthly revenue series —
+    * the classic drift alarm (Page 1954): s_m = max(0, s_{m−1} + x_m − k)
+    * with reference k = mean monthly cents (integer div) and alarm when
+    * s_m exceeds h = k/2. The recurrence looks inherently sequential, but
+    * the engine computes it CLOSED-FORM: s_m = Y_m − min(0, min_{j≤m} Y_j)
+    * with Y = cumsum(x − k) — two windows over the month spine, no
+    * iteration. All arithmetic in exact integer cents, so both engines
+    * agree bit-for-bit.
+    *
+    * Scale shape: the monthly reduction is a distributed partial/final
+    * aggregate; the window pass runs on |months| rows — bounded domain
+    * (time-sized, not data-sized, same argument as q166/q169). The
+    * oracle replays the RECURRENCE itself through a recursive CTE — a
+    * genuinely different algorithm, so the hash match proves the
+    * prefix-min identity, not just the arithmetic. */
+  private val q171 = Q(
+    "q171_cusum_changepoint",
+    (s, dir) => {
+      val m = T(s, dir, "orders")
+        .select(date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+          (dec("o_totalprice") * 100).cast(LongType).as("cents"))
+        .groupBy(col("month")).agg(sum(col("cents")).as("x"))
+      val k = m.agg(expr("sum(x) div count(1)").as("k"))
+      val w = Window.orderBy(asc("month"))
+      m.crossJoin(broadcast(k))
+        .withColumn("y", sum(col("x") - col("k")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("runmin", min(col("y")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("cusum", col("y") - least(col("runmin"), lit(0L)))
+        .select(col("month"), col("x").as("x_cents"), col("cusum").as("cusum_cents"),
+          (col("cusum") > expr("k div 2")).cast(LongType).as("alarm"))
+        .orderBy(asc_nulls_first("month"))
+    },
+    Some("""WITH RECURSIVE m AS (
+        SELECT strftime(o_orderdate, '%Y-%m') AS month,
+               CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS x
+        FROM orders GROUP BY 1),
+      kk AS (SELECT CAST(SUM(x) // COUNT(*) AS BIGINT) AS k FROM m),
+      o AS (SELECT month, x, ROW_NUMBER() OVER (ORDER BY month ASC) AS i FROM m),
+      r AS (SELECT CAST(0 AS BIGINT) AS i, CAST(0 AS BIGINT) AS s
+            UNION ALL
+            SELECT o.i, GREATEST(CAST(0 AS BIGINT), r.s + o.x - (SELECT k FROM kk))
+            FROM r JOIN o ON o.i = r.i + 1)
+      SELECT o.month, o.x AS x_cents, r.s AS cusum_cents,
+             CAST(r.s > (SELECT k FROM kk) // 2 AS BIGINT) AS alarm
+      FROM r JOIN o ON o.i = r.i
+      ORDER BY month ASC NULLS FIRST"""),
+    "CUSUM drift alarm in exact integer cents: engine uses the closed-form prefix-min identity (two windows, no iteration); oracle replays the recurrence via recursive CTE")
+
+  /** q172: OR-predicate join decomposed into a union of equi-joins — the
+    * rewrite that keeps entity-resolution joins (match on primary key OR
+    * a recovered/alternate key) off the nested-loop path. A naive
+    * `a JOIN b ON k1 = x OR k2 = x` has no single equi-key, so Spark
+    * plans a broadcast nested loop — O(|a|·|b|) comparisons. The engine
+    * runs one hash join PER disjunct and set-unions the pair results
+    * (distinct on the pair key dedups rows matching both arms), which is
+    * the textbook OR-expansion; the plan gate asserts no nested loop
+    * survives. NULL alternate keys drop out of the equi-join naturally —
+    * matching the OR's three-valued semantics (NULL = no match).
+    *
+    * Scale shape: each disjunct is an independent broadcast/shuffle hash
+    * join; the distinct runs on (orderkey, custkey) pairs, bounded by
+    * the join output, not the input product. */
+  private val q172 = Q(
+    "q172_or_join_rewrite",
+    (s, dir) => {
+      val o = T(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
+        when(col("o_orderkey") % 7 === 0, col("o_orderkey") % 1500).as("alt_key"))
+      val c = T(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment"))
+      val byPrimary = o.join(c, col("o_custkey") === col("c_custkey"))
+      val byAlt = o.join(c, col("alt_key") === col("c_custkey"))
+      byPrimary.select(col("o_orderkey"), col("c_custkey"), col("c_mktsegment"))
+        .unionByName(byAlt.select(col("o_orderkey"), col("c_custkey"), col("c_mktsegment")))
+        .distinct()
+        .groupBy(col("c_mktsegment").as("segment"))
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct(col("o_orderkey")).as("n_orders"))
+        .orderBy(asc_nulls_first("segment"))
+    },
+    Some("""WITH o AS (SELECT o_orderkey, o_custkey,
+               CASE WHEN o_orderkey % 7 = 0 THEN o_orderkey % 1500 END AS alt_key
+             FROM orders),
+      pairs AS (SELECT DISTINCT o.o_orderkey, c.c_custkey, c.c_mktsegment
+                FROM o JOIN customer c
+                  ON o.o_custkey = c.c_custkey OR o.alt_key = c.c_custkey)
+      SELECT c_mktsegment AS segment, COUNT(*) AS n_pairs,
+             CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_orders
+      FROM pairs GROUP BY 1
+      ORDER BY segment ASC NULLS FIRST"""),
+    "OR-predicate join as a union of equi-joins + pair distinct (no nested loop, plan-gated); oracle runs the literal OR join")
+
   val all: Seq[Q] = Seq(q83, q84, q85, q86, q87, q89, q90, q91, q112, q123, q124,
-    q125, q128, q138, q139, q140, q141, q152, q157, q158, q159, q166, q167, q169)
+    q125, q128, q138, q139, q140, q141, q152, q157, q158, q159, q166, q167, q169,
+    q171, q172)
 }

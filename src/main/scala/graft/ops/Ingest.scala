@@ -580,6 +580,83 @@ object Ingest {
       FROM a GROUP BY shard16 ORDER BY shard16 ASC NULLS FIRST"""),
     "rendezvous-hash sharding: adding a shard moves only keys whose argmax is the new shard (n_moved == n_moved_to_new row-for-row); map-side struct-argmax, no explode")
 
+  /** Write-audit-publish: the atomic-promote protocol that closes the
+    * table-maintenance lifecycle (q73 ingest → q115 compact → q108 merge
+    * → q121 retain → q138 audit → THIS publish). A refresh stages to a
+    * version directory, the audit (q138's checks: no null FK, no dup PK)
+    * runs against the STAGED files, and only a passing audit flips the
+    * `current` pointer — one atomic filesystem move, so readers resolve
+    * either the old version or the new, never a half-written table. A
+    * failing audit leaves the staged files for debugging and the pointer
+    * untouched (WapSpec pins both outcomes and the pointer flip on a
+    * subsequent clean publish).
+    *
+    * Scale shape: the audit is one aggregation over the staged data the
+    * writer just produced (usually still cached/co-located); the publish
+    * itself is metadata-only — at 100 TB the pointer flip costs the same
+    * as at 1 GB. This is the manifest-commit idea every lakehouse format
+    * implements; expressed directly it is testable without a format
+    * dependency. */
+  object Wap {
+    def audit(staged: DataFrame): Boolean = {
+      val r = staged.agg(
+        sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("null_fk"),
+        (count(lit(1)) - countDistinct(col("o_orderkey"))).as("dup_pk")).head()
+      (if (r.isNullAt(0)) 0L else r.getLong(0)) == 0L && r.getLong(1) == 0L
+    }
+
+    /** Stage df as `version`, audit the staged files, flip the pointer
+      * only on pass. Returns whether the publish happened. */
+    def publish(s: SparkSession, root: String, version: String, df: DataFrame): Boolean = {
+      val stagePath = s"$root/$version"
+      df.write.mode(SaveMode.Overwrite).parquet(stagePath)
+      val ok = audit(s.read.parquet(stagePath))
+      if (ok) {
+        val tmp = java.nio.file.Paths.get(root, s"_ptr_$version.tmp")
+        java.nio.file.Files.write(tmp, version.getBytes("UTF-8"))
+        java.nio.file.Files.move(tmp, java.nio.file.Paths.get(root, "current"),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        ()
+      }
+      ok
+    }
+
+    def resolve(root: String): String =
+      new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(root, "current")), "UTF-8")
+  }
+
+  /** q173: the protocol replayed end-to-end — v1 (clean open orders)
+    * publishes; a v2 refresh with planted corruption (null FK every 97th
+    * key, duplicated PK every 100th) FAILS its audit and must not become
+    * visible. The read path resolves the pointer, so the result reflects
+    * v1 exactly — which is what the oracle computes from the source
+    * table, proving the dirty refresh never leaked. */
+  private val q173 = Q(
+    "q173_write_audit_publish",
+    (s, dir) => {
+      val root = graft.Scratch.fresh(s"wap_${dir.replaceAll("[^A-Za-z0-9]", "_")}")
+      val clean = T(s, dir, "orders").filter(col("o_orderstatus") === "O")
+      require(Wap.publish(s, root, "v1", clean), "clean v1 must publish")
+      val dirty = T(s, dir, "orders")
+        .filter(col("o_orderstatus").isin("O", "F"))
+        .withColumn("o_custkey",
+          when(col("o_orderkey") % 97 === 0, lit(null)).otherwise(col("o_custkey")))
+      val dirtyFull = dirty.unionByName(dirty.filter(col("o_orderkey") % 100 === 0))
+      require(!Wap.publish(s, root, "v2", dirtyFull), "dirty v2 must be rejected")
+      s.read.parquet(s"$root/${Wap.resolve(root)}")
+        .groupBy(col("o_orderpriority").as("priority"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_price"))
+        .orderBy(asc_nulls_first("priority"))
+    },
+    Some("""SELECT o_orderpriority AS priority, COUNT(*) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      FROM orders WHERE o_orderstatus = 'O'
+      GROUP BY 1 ORDER BY priority ASC NULLS FIRST"""),
+    "write-audit-publish atomic promote: staged v2 with planted corruption fails audit and never becomes visible; oracle equals the v1 contents (pointer untouched)")
+
   val all: Seq[Q] = Seq(q51, q88, q108, q115, q121, q122, q126, q127, q131, q136,
-    q143, q161)
+    q143, q161, q173)
 }

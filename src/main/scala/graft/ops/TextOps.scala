@@ -731,7 +731,65 @@ object TextOps {
       ORDER BY dup_bp DESC NULLS LAST, doc_id ASC NULLS FIRST"""),
     "exact duplicated-substring windows (40-char/stride-10) per doc; bounded-window Lee et al. substring dedup")
 
+  /** q170: overlapping-span coalescing — merge each document's redaction/
+    * boilerplate character spans (q96's output shape) into disjoint
+    * islands before stripping, the pass that prevents double-deletion
+    * when PII, boilerplate, and dedup spans overlap. Spans are derived
+    * deterministically in-query (3 per doc, overlapping by
+    * construction); islands via the sort + running-max-end sweep:
+    * a span opens a new island iff it starts strictly after every
+    * earlier-starting span's max end (touching spans merge, half-open
+    * [start, end)). Island coverage is contiguous by construction, so
+    * covered chars = Σ (max end − min start) per island — all integer.
+    *
+    * Scale shape: spans explode map-side; ONE doc-keyed exchange feeds
+    * the ordering window, the island window, and both aggregations
+    * (hash(doc_id) satisfies every downstream distribution). The oracle
+    * counts islands DECLARATIVELY (a span starts an island iff no
+    * earlier-starting span reaches it — pairwise-witnessable because the
+    * running max is a max) and covered chars by distinct-position
+    * expansion, both algorithm-independent. */
+  private val q170 = Q(
+    "q170_span_coalesce",
+    (s, dir) => {
+      val spans = T(s, dir, "documents").select(col("doc_id"))
+        .select(col("doc_id"), explode(sequence(lit(0), lit(2))).as("j"))
+        .select(col("doc_id"),
+          ((col("doc_id") * 7 + col("j") * 13) % 80).as("st"),
+          ((col("doc_id") * 7 + col("j") * 13) % 80 + 5 + (col("doc_id") + col("j")) % 11).as("en"))
+      val order = Window.partitionBy(col("doc_id")).orderBy(asc("st"))
+      val prevMax = max(col("en")).over(order.rowsBetween(Window.unboundedPreceding, -1))
+      val flagged = spans
+        .withColumn("new_island",
+          when(prevMax.isNull || col("st") > prevMax, 1L).otherwise(0L))
+        .withColumn("island",
+          sum(col("new_island")).over(order.rowsBetween(Window.unboundedPreceding, 0)))
+      flagged.groupBy(col("doc_id"), col("island"))
+        .agg((max(col("en")) - min(col("st"))).as("len"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_islands"), sum(col("len")).as("covered_chars"))
+        .orderBy(asc_nulls_first("doc_id"))
+    },
+    Some("""WITH s AS (
+        SELECT doc_id,
+               (doc_id*7 + j*13) % 80 AS st,
+               (doc_id*7 + j*13) % 80 + 5 + (doc_id + j) % 11 AS en
+        FROM documents, (SELECT unnest(generate_series(0, 2)) AS j)),
+      isl AS (SELECT doc_id, COUNT(*) AS n_islands
+              FROM s a
+              WHERE NOT EXISTS (SELECT 1 FROM s b
+                WHERE b.doc_id = a.doc_id AND b.st < a.st AND b.en >= a.st)
+              GROUP BY doc_id),
+      cov AS (SELECT doc_id, COUNT(DISTINCT pos) AS covered
+              FROM (SELECT doc_id, unnest(generate_series(st, en - 1)) AS pos FROM s)
+              GROUP BY doc_id)
+      SELECT i.doc_id, CAST(i.n_islands AS BIGINT) AS n_islands,
+             CAST(c.covered AS BIGINT) AS covered_chars
+      FROM isl i JOIN cov c ON c.doc_id = i.doc_id
+      ORDER BY i.doc_id ASC NULLS FIRST"""),
+    "overlapping-span coalescing (sort + running-max-end sweep, one doc-keyed exchange); oracle counts islands declaratively and coverage by position expansion")
+
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q28, q95, q96, q99, q103, q104, q106, q110, q111,
-      q116, q133, q134, q137)
+      q116, q133, q134, q137, q170)
 }

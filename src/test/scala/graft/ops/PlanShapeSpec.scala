@@ -297,6 +297,20 @@ class PlanShapeSpec extends AnyFunSuite {
       s"expected exactly one NULL-AWARE anti join (the NOT IN branch): $anti")
   }
 
+  test("q172 OR-join rewrite plans hash joins only — no nested loop, no cartesian") {
+    val p = planOf("q172_or_join_rewrite")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "OR-expansion regressed to a nested-loop plan")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"))
+  }
+
+  test("q170 span coalescing: one doc-keyed exchange feeds windows and both aggregations") {
+    val p = planOf("q170_span_coalesce")
+    val docExchanges = p.linesIterator.count(_.contains("hashpartitioning(doc_id"))
+    assert(docExchanges == 1,
+      s"expected exactly one doc_id exchange, got $docExchanges")
+  }
+
   test("q166 skyline window is partitioned by event_type (no global sort)") {
     val p = planOf("q166_skyline")
     val windows = p.linesIterator.filter(_.contains("windowspecdefinition")).toList
