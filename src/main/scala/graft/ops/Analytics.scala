@@ -1209,7 +1209,112 @@ object Analytics {
       ORDER BY segment ASC NULLS FIRST"""),
     "OR-predicate join as a union of equi-joins + pair distinct (no nested loop, plan-gated); oracle runs the literal OR join")
 
+  /** q175: weighted median — the revenue-weighted median quantity per
+    * return flag (the "what order size carries half the money" statistic;
+    * plain median ignores that a 50-unit line weighs more than a 1-unit
+    * line). Definition: the smallest x whose cumulative weight (peers
+    * included) reaches half the total — all integer-cent arithmetic. The
+    * engine pre-reduces to one row per (group, x) with a distributed
+    * aggregate, then one group-keyed window pass with RANGE framing
+    * (peers must count together or ties break the definition); the
+    * oracle states the definition correlated-declaratively over the same
+    * reduced frame — no window, different algorithm. */
+  private val q175 = Q(
+    "q175_weighted_median",
+    (s, dir) => {
+      val t = T(s, dir, "lineitem")
+        .select(col("l_returnflag").as("flag"),
+          col("l_quantity").cast(LongType).as("qty"),
+          (dec("l_extendedprice") * 100).cast(LongType).as("cents"))
+        .groupBy(col("flag"), col("qty")).agg(sum(col("cents")).as("w"))
+      val byQty = Window.partitionBy(col("flag")).orderBy(asc("qty"))
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+      val total = Window.partitionBy(col("flag"))
+      t.withColumn("cw", sum(col("w")).over(byQty))
+        .withColumn("tw", sum(col("w")).over(total))
+        .filter(col("cw") * 2 >= col("tw"))
+        .groupBy(col("flag")).agg(min(col("qty")).as("w_median_qty"))
+        .orderBy(asc_nulls_first("flag"))
+    },
+    Some("""WITH t AS (
+        SELECT l_returnflag AS flag, CAST(l_quantity AS BIGINT) AS qty,
+               CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS w
+        FROM lineitem GROUP BY 1, 2)
+      SELECT flag, MIN(qty) AS w_median_qty
+      FROM t a
+      WHERE 2 * (SELECT SUM(w) FROM t b WHERE b.flag = a.flag AND b.qty <= a.qty)
+            >= (SELECT SUM(w) FROM t b WHERE b.flag = a.flag)
+      GROUP BY flag
+      ORDER BY flag ASC NULLS FIRST"""),
+    "revenue-weighted median quantity: distributed (group, x) reduction + one RANGE-framed window pass; oracle states the half-weight definition correlated-declaratively")
+
+  /** q176: market-basket co-occurrence — part pairs appearing together
+    * in ≥ 2 orders, the support-counting kernel of frequent-itemset
+    * mining (and of co-citation / co-click analytics). The self-join is
+    * keyed on the basket id, so both sides shuffle ONCE on l_orderkey
+    * and pairs generate inside each co-partition; the `<` ordering halves
+    * the pair space and canonicalizes (a,b). Per-basket fan-out is
+    * quadratic in basket size — bounded here (TPC-H baskets ≤ 7 lines);
+    * at 100 TB cap items per basket first (row_number ≤ K per order, the
+    * q133 pattern) so a pathological basket cannot explode a partition. */
+  private val q176 = Q(
+    "q176_cooccurrence",
+    (s, dir) => {
+      val l = T(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+      val pairs = l.join(l.select(col("ok"), col("pk").as("pk2")), Seq("ok"))
+        .filter(col("pk") < col("pk2"))
+      pairs.groupBy(col("pk").as("part_a"), col("pk2").as("part_b"))
+        .agg(count(lit(1)).as("n_orders"))
+        .filter(col("n_orders") >= 2)
+        .orderBy(desc("n_orders"), asc_nulls_first("part_a"), asc_nulls_first("part_b"))
+    },
+    Some("""WITH l AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem)
+      SELECT a.pk AS part_a, b.pk AS part_b, COUNT(*) AS n_orders
+      FROM l a JOIN l b ON a.ok = b.ok AND a.pk < b.pk
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2
+      ORDER BY n_orders DESC NULLS LAST, part_a ASC NULLS FIRST, part_b ASC NULLS FIRST"""),
+    "frequent-pair support counting: basket-keyed self-join (one shuffle, canonicalized pairs), min-support filter; per-basket fan-out bounded")
+
+  /** q177: first-order transition matrix over the event stream — for
+    * each user, the NEXT event type via lead() on one user-keyed window,
+    * then (from, to) counts and per-from rates in basis points (integer
+    * div — no float). This is the Markov-chain summary behind funnel
+    * diagnostics and session modeling. Event timestamps are globally
+    * distinct in the driver data, so `lead` ordered by (ts, id) is
+    * deterministic. The oracle finds the successor DECLARATIVELY (the
+    * event with the minimal later timestamp per user) — no window. */
+  private val q177 = Q(
+    "q177_transition_matrix",
+    (s, dir) => {
+      val e = T(s, dir, "events")
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          col("event_type"))
+      val byUser = Window.partitionBy(col("user_id")).orderBy(asc("ts_us"))
+      val trans = e.withColumn("to_type", lead(col("event_type"), 1).over(byUser))
+        .filter(col("to_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("n"))
+      trans.withColumn("rate_bp",
+          expr("(10000 * n) div sum(n) over (partition by from_type)"))
+        .select(col("from_type"), col("to_type"), col("n"), col("rate_bp"))
+        .orderBy(asc_nulls_first("from_type"), asc_nulls_first("to_type"))
+    },
+    Some("""WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_type FROM events),
+      nxt AS (SELECT a.event_type AS from_type, b.event_type AS to_type
+              FROM e a JOIN e b
+                ON b.user_id = a.user_id
+               AND b.ts_us = (SELECT MIN(c.ts_us) FROM e c
+                              WHERE c.user_id = a.user_id AND c.ts_us > a.ts_us)),
+      t AS (SELECT from_type, to_type, COUNT(*) AS n FROM nxt GROUP BY 1, 2)
+      SELECT from_type, to_type, n,
+             CAST((10000 * n) // (SELECT SUM(n) FROM t t2 WHERE t2.from_type = t.from_type) AS BIGINT)
+               AS rate_bp
+      FROM t
+      ORDER BY from_type ASC NULLS FIRST, to_type ASC NULLS FIRST"""),
+    "Markov transition matrix: lead() on one user-keyed window, per-from rates in integer bp; oracle finds successors declaratively (min later timestamp)")
+
   val all: Seq[Q] = Seq(q83, q84, q85, q86, q87, q89, q90, q91, q112, q123, q124,
     q125, q128, q138, q139, q140, q141, q152, q157, q158, q159, q166, q167, q169,
-    q171, q172)
+    q171, q172, q175, q176, q177)
 }

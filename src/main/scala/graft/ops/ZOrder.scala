@@ -92,5 +92,82 @@ object ZOrder {
       FROM z GROUP BY 1 ORDER BY z_bucket ASC NULLS FIRST"""),
     "Morton/Z-order code kernel (layout clustering), DuckDB-oracle-checked bit cascade")
 
-  val all: Seq[Q] = Seq(q81)
+  /** Morton code of one (x, y) grid point, driver-side — the planning
+    * arithmetic q174 uses to turn a bbox into a code range. Mirrors
+    * [[mortonCode]] bit-for-bit on the [0,1024)² integer grid. */
+  def mortonOf(px: Long, py: Long): Long = {
+    def p1(v0: Long): Long = {
+      var x = (v0 * 64) & 0xFFFFL // quantize: ·65536/1024
+      x = (x | (x << 8)) & 0x00FF00FFL
+      x = (x | (x << 4)) & 0x0F0F0F0FL
+      x = (x | (x << 2)) & 0x33333333L
+      x = (x | (x << 1)) & 0x55555555L
+      x
+    }
+    p1(px) | (p1(py) << 1)
+  }
+
+  private val zBuilt =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Events Z-order-clustered into 16 range-disjoint files on the Morton
+    * code of the derived (px, py) grid point; the code column is KEPT
+    * (materialized sort key) so parquet footers — and q174's explicit
+    * manifest — carry tight per-file min/max over it. */
+  def ensureZLayout(s: org.apache.spark.sql.SparkSession, sfDir: String): String =
+    zBuilt.computeIfAbsent(sfDir.replaceAll("[^A-Za-z0-9]", "_"), t => {
+      val path = graft.Scratch.dir(s"zlayout_$t")
+      T(s, sfDir, "events")
+        .select(col("event_id"), col("user_id"), col("value"),
+          (col("event_id") % 1024).cast("double").as("px"),
+          ((col("event_id") * 7) % 1024).cast("double").as("py"))
+        .withColumn("z", mortonCode(col("px"), 0.0, 1024.0, col("py"), 0.0, 1024.0))
+        .repartitionByRange(16, col("z")).sortWithinPartitions(col("z"))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
+      path
+    })
+
+  /** q174: bbox query through the Z-order layout — q81's write side
+    * composed with q164's read side. The query tile px∈[256,320) ×
+    * py∈[512,576) is an ALIGNED 64×64 quadtree cell, so its Morton codes
+    * form one contiguous interval [code(lo), code(hi)] (the classic
+    * Z-curve property; an unaligned bbox decomposes into several such
+    * intervals). The per-file min/max manifest over the kept code column
+    * prunes to the files overlapping that interval — ZOrderSpec asserts
+    * the prune fires — and the EXACT px/py predicate still runs on the
+    * kept rows, so alignment looseness can never change the answer. The
+    * oracle aggregates the same bbox from the raw table: losslessness
+    * under the hash gate. */
+  private val q174 = Q(
+    "q174_zorder_bbox_skip",
+    (s, dir) => {
+      val path = ensureZLayout(s, dir)
+      val zLo = mortonOf(256L, 512L)
+      val zHi = mortonOf(319L, 575L)
+      val zones = s.read.parquet(path)
+        .groupBy(col("_metadata.file_path").as("file"))
+        .agg(min(col("z")).as("lo"), max(col("z")).as("hi"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      val kept = zones.filter { case (_, lo, hi) => hi >= zLo && lo <= zHi }.map(_._1)
+      s.read.parquet(kept.toIndexedSeq: _*)
+        .filter(col("px") >= 256 && col("px") < 320 &&
+          col("py") >= 512 && col("py") < 576)
+        .agg(count(lit(1)).as("n_points"),
+          sum((col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
+            .cast("long")).as("sum_cents"),
+          countDistinct(col("user_id")).as("n_users"))
+        .select(col("n_points"), col("sum_cents"), col("n_users"))
+    },
+    Some("""SELECT COUNT(*) AS n_points,
+             CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+               AS sum_cents,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+      FROM (SELECT user_id, value,
+              CAST(event_id % 1024 AS BIGINT) AS px,
+              CAST((event_id * 7) % 1024 AS BIGINT) AS py
+            FROM events)
+      WHERE px >= 256 AND px < 320 AND py >= 512 AND py < 576"""),
+    "bbox through the Z-order layout: aligned tile = one contiguous Morton interval, per-file code manifest prunes the scan, exact predicate on kept rows; oracle over the raw table")
+
+  val all: Seq[Q] = Seq(q81, q174)
 }

@@ -43,4 +43,22 @@ class ZOrderSpec extends AnyFunSuite {
     // z-order partitions cover locality-contiguous curve segments
     assert(aC < aH / 3, s"clustered bbox area $aC not << hashed $aH")
   }
+
+  test("q174 bbox prune fires: the aligned tile reads a strict minority of files") {
+    val dir = "/root/testdata/sf0.001"
+    val path = ZOrder.ensureZLayout(spark, dir)
+    val zones = spark.read.parquet(path)
+      .groupBy(col("_metadata.file_path")).agg(min(col("z")).as("lo"), max(col("z")).as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    val (zLo, zHi) = (ZOrder.mortonOf(256L, 512L), ZOrder.mortonOf(319L, 575L))
+    val kept = zones.count { case (lo, hi) => hi >= zLo && lo <= zHi }
+    assert(kept > 0 && kept < zones.length / 2,
+      s"prune did not fire: kept $kept of ${zones.length} files")
+    // driver-side morton mirrors the column arithmetic exactly
+    import spark.implicits._
+    val colCode = Seq((256.0, 512.0)).toDF("x", "y")
+      .select(ZOrder.mortonCode(col("x"), 0, 1024, col("y"), 0, 1024))
+      .collect().head.getLong(0)
+    assert(colCode == zLo, s"driver morton $zLo != column morton $colCode")
+  }
 }
