@@ -4,6 +4,7 @@ import graft.{Q, T}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{ArrayType, DoubleType}
+import org.apache.spark.sql.expressions.Window
 
 /** Near-duplicate detection for training-data pipelines (builder-prompt
   * dedup surface): MinHash+LSH, SimHash, n-gram Jaccard, embedding LSH.
@@ -34,15 +35,25 @@ object Dedup {
 
   /** Distinct word 3-shingles of column `c` (whole value when shorter
     * than 3 tokens) — exact verification of candidate pairs + the q94
-    * n-gram-Jaccard kernel. */
+    * n-gram-Jaccard kernel.
+    *
+    * The outer 1-element `transform` exists to BIND the split result
+    * once per row: higher-order functions evaluate interpreted (no
+    * codegen subexpression elimination), so writing `split(c)` inside
+    * the shingle lambda re-tokenizes the document for every element_at —
+    * O(words²) per doc vs O(words) bound. Measured NEUTRAL on the
+    * driver corpus (~150-word docs: q94 warm ≈ 0.5 s either way) — the
+    * binding is kept for the asymptotics, since real corpora carry
+    * multi-thousand-word documents where the quadratic term dominates. */
   private[llm] def shingles(c: String): Column = expr(
-    s"""case when size(split($c, ' ')) >= 3 then
-         array_distinct(transform(sequence(0, size(split($c, ' ')) - 3),
-           i -> concat_ws(' ',
-             element_at(split($c, ' '), i + 1),
-             element_at(split($c, ' '), i + 2),
-             element_at(split($c, ' '), i + 3))))
-       else array($c) end""")
+    s"""element_at(transform(array(split($c, ' ')), ws ->
+         case when size(ws) >= 3 then
+           array_distinct(transform(sequence(0, size(ws) - 3),
+             i -> concat_ws(' ',
+               element_at(ws, i + 1),
+               element_at(ws, i + 2),
+               element_at(ws, i + 3))))
+         else array($c) end), 1)""")
 
   private val shingleExpr = shingles("text")
 
@@ -800,5 +811,80 @@ object Dedup {
       ORDER BY doc_a ASC NULLS FIRST, doc_b ASC NULLS FIRST"""),
     "sorted-neighborhood candidate generation (blocking-sort-window ER family; bounded (w-1)*n candidates) + exact shingle-Jaccard verify under the oracle")
 
-  val all: Seq[Q] = Seq(q24, q25, q26, q27, q30, q92, q93, q94, q101, q135, q163)
+  /** q179: prefix-filtering set-similarity join (the PPJoin/AllPairs
+    * family — Bayardo et al. 2007, Xiao et al. 2008) — the FOURTH
+    * candidate-generation scheme beside MinHash-LSH (q24), SimHash (q26)
+    * and sorted-neighborhood (q163), and unlike those it is EXACT: if
+    * J(A,B) ≥ t, the two docs' prefixes provably share a shingle, so
+    * the candidate set is a lossless superset and the verified output is
+    * the complete answer (no recall knob). Shingle sets are ordered
+    * rarest-first by (document frequency, shingle); each doc keeps only
+    * its first |d| − ⌈t·|d|⌉ + 1 shingles (t = 0.6), and candidates come
+    * from ONE equi-join on prefix shingles — the rarest-first order is
+    * what keeps stopword-grade shingles out of prefixes, bounding the
+    * join fan-out.
+    *
+    * Scale shape: every shuffle (df count, prefix selection, candidate
+    * join, intersection count) carries (doc_id, xxhash64(shingle)) — 16
+    * bytes — never shingle text (q163's convention). The per-doc prefix
+    * window partitions by doc_id; exact verification joins only the
+    * candidate pair set. The oracle answers all-pairs declaratively from
+    * raw text — completeness of the filter is therefore under the hash
+    * gate, not just the similarity arithmetic. */
+  private val q179 = Q(
+    "q179_prefix_filter_join",
+    (s, dir) => {
+      // materialize the (doc_id, shingle-hash) frame ONCE — four
+      // consumers (df counts, doc sizes, prefix selection, both sides of
+      // the verification join) would otherwise each re-run the shingle
+      // explode over the text scan (measured 11 s → 6 s warm at sf0.1)
+      val sh = T(s, dir, "documents")
+        .select(col("doc_id"), explode(shingles("text")).as("sg"))
+        .select(col("doc_id"), xxhash64(col("sg")).as("sgh"))
+        .localCheckpoint()
+      val df = sh.groupBy(col("sgh")).agg(count(lit(1)).as("df"))
+      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("doc_id")).orderBy(asc("df"), asc("sgh"))
+      val prefix = sh.join(df, Seq("sgh")).join(sizes, Seq("doc_id"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= col("n") - expr("(6 * n + 9) div 10") + 1)
+        .select(col("doc_id"), col("sgh"))
+      val cands = prefix.as("a")
+        .join(prefix.as("b"),
+          col("a.sgh") === col("b.sgh") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      val inter = cands
+        .join(sh.select(col("doc_id").as("doc_a"), col("sgh")), Seq("doc_a"))
+        .join(sh.select(col("doc_id").as("doc_b"), col("sgh")), Seq("doc_b", "sgh"))
+        .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
+      inter
+        .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
+        .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
+        .withColumn("un", col("na") + col("nb") - col("inter"))
+        .filter(col("inter") * 10 >= col("un") * 6)
+        .select(col("doc_a"), col("doc_b"), col("inter"), col("un"),
+          expr("(10000 * inter) div un").as("jac_bp"))
+        .orderBy(asc_nulls_first("doc_a"), asc_nulls_first("doc_b"))
+    },
+    Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      sh AS (SELECT DISTINCT doc_id, sg FROM (
+        SELECT doc_id,
+               unnest([array_to_string(ws[i:i+2], ' ')
+                       FOR i IN generate_series(1, len(ws) - 2)]) AS sg
+        FROM w)),
+      sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+      inter AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
+                FROM sh a JOIN sh b ON a.sg = b.sg AND a.doc_id < b.doc_id
+                GROUP BY 1, 2)
+      SELECT da AS doc_a, db AS doc_b, CAST(i AS BIGINT) AS inter,
+             CAST(sa.n + sb.n - i AS BIGINT) AS un,
+             CAST((10000 * i) // (sa.n + sb.n - i) AS BIGINT) AS jac_bp
+      FROM inter JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
+      WHERE 10 * i >= 6 * (sa.n + sb.n - i)
+      ORDER BY doc_a ASC NULLS FIRST, doc_b ASC NULLS FIRST"""),
+    "prefix-filtering set-similarity join (PPJoin family): EXACT candidate generation (lossless-superset theorem), rarest-first prefixes bound the join; oracle answers all-pairs declaratively")
+
+  val all: Seq[Q] = Seq(q24, q25, q26, q27, q30, q92, q93, q94, q101, q135, q163,
+    q179)
 }

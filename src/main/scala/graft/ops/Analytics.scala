@@ -1314,7 +1314,154 @@ object Analytics {
       ORDER BY from_type ASC NULLS FIRST, to_type ASC NULLS FIRST"""),
     "Markov transition matrix: lead() on one user-keyed window, per-from rates in integer bp; oracle finds successors declaratively (min later timestamp)")
 
+  /** q178: OLS trend line over the monthly revenue series — the
+    * least-squares slope every dashboard's "trend" arrow computes, done
+    * in EXACT integer arithmetic: with x = month index and y = monthly
+    * cents, slope = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²). Numerator and
+    * denominator are emitted exactly; the quotient is quantized to
+    * micro-cents/month SIGN-SAFELY — `(10⁶·|num|) div den` then
+    * re-signed — because Spark `div` truncates toward zero while DuckDB
+    * `//` floors, and they only agree on non-negative operands (the
+    * repo-wide convention). The 10⁶·num product exceeds int64, so it
+    * runs in DECIMAL(38,0) ↔ HUGEINT.
+    *
+    * Scale shape: the monthly reduction is distributed; the five OLS
+    * sums are ONE map-combinable aggregate over the |months| spine. */
+  private val q178 = Q(
+    "q178_trend_ols",
+    (s, dir) => {
+      val m = T(s, dir, "orders")
+        .select(date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+          (dec("o_totalprice") * 100).cast(LongType).as("cents"))
+        .groupBy(col("month")).agg(sum(col("cents")).as("y"))
+      val w = Window.orderBy(asc("month"))
+      m.withColumn("x", row_number().over(w).cast(LongType))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sx2"))
+        .select(col("n"),
+          (col("n") * col("sxy") - col("sx") * col("sy")).as("slope_num"),
+          (col("n") * col("sx2") - col("sx") * col("sx")).as("slope_den"))
+        .withColumn("slope_microcents",
+          expr("""CASE WHEN slope_num < 0 THEN -1 ELSE 1 END *
+                  CAST(floor((CAST(1000000 AS DECIMAL(38,0)) * abs(slope_num)) / slope_den) AS BIGINT)"""))
+    },
+    Some("""WITH m AS (
+        SELECT strftime(o_orderdate, '%Y-%m') AS month,
+               CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS y
+        FROM orders GROUP BY 1),
+      o AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY month ASC) AS BIGINT) AS x, y FROM m),
+      agg AS (SELECT COUNT(*) AS n, CAST(SUM(x) AS BIGINT) AS sx,
+                     CAST(SUM(y) AS BIGINT) AS sy, CAST(SUM(x*y) AS BIGINT) AS sxy,
+                     CAST(SUM(x*x) AS BIGINT) AS sx2 FROM o)
+      SELECT n, CAST(n*sxy - sx*sy AS BIGINT) AS slope_num,
+             CAST(n*sx2 - sx*sx AS BIGINT) AS slope_den,
+             CAST(CASE WHEN n*sxy - sx*sy < 0 THEN -1 ELSE 1 END *
+                  ((1000000 * abs(n*sxy - sx*sy)) // (n*sx2 - sx*sx)) AS BIGINT)
+               AS slope_microcents
+      FROM agg"""),
+    "integer-exact OLS revenue trend: one map-combinable aggregate over the month spine; sign-safe micro-cents quantization (div/floor parity), DECIMAL(38,0)↔HUGEINT product")
+
+  /** q180: Benford first-digit audit — the fraud/data-quality screen:
+    * does the leading digit of order totals follow log10(1+1/d)? The
+    * expected rates are the nine textbook constants inlined in BASIS
+    * POINTS (no runtime logarithm — cross-engine float log is not
+    * bit-stable), observed rates are integer-div bp, deviation is an
+    * absolute bp gap. One scan, one 9-group aggregate: at 100 TB the
+    * audit costs a single map-combinable pass. */
+  private val q180 = Q(
+    "q180_benford_audit",
+    (s, dir) => {
+      val expBp = "CASE digit WHEN 1 THEN 3010 WHEN 2 THEN 1761 WHEN 3 THEN 1249" +
+        " WHEN 4 THEN 969 WHEN 5 THEN 792 WHEN 6 THEN 669 WHEN 7 THEN 580" +
+        " WHEN 8 THEN 512 ELSE 458 END"
+      val d = T(s, dir, "orders")
+        .select(substring((dec("o_totalprice") * 100).cast(LongType).cast("string"), 1, 1)
+          .cast(LongType).as("digit"))
+        .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+      d.withColumn("total", sum(col("n")).over(Window.partitionBy()))
+        .select(col("digit"), col("n"),
+          expr("(10000 * n) div total").as("obs_bp"),
+          expr(s"CAST(($expBp) AS BIGINT)").as("exp_bp"))
+        .withColumn("dev_bp", abs(col("obs_bp") - col("exp_bp")))
+        .orderBy(asc_nulls_first("digit"))
+    },
+    Some("""WITH d AS (
+        SELECT CAST(substr(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+        FROM orders),
+      g AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY 1),
+      t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM g)
+      SELECT digit, n, CAST((10000 * n) // total AS BIGINT) AS obs_bp,
+             CAST(CASE digit WHEN 1 THEN 3010 WHEN 2 THEN 1761 WHEN 3 THEN 1249
+                  WHEN 4 THEN 969 WHEN 5 THEN 792 WHEN 6 THEN 669 WHEN 7 THEN 580
+                  WHEN 8 THEN 512 ELSE 458 END AS BIGINT) AS exp_bp,
+             CAST(abs((10000 * n) // total - CASE digit WHEN 1 THEN 3010 WHEN 2 THEN 1761
+                  WHEN 3 THEN 1249 WHEN 4 THEN 969 WHEN 5 THEN 792 WHEN 6 THEN 669
+                  WHEN 7 THEN 580 WHEN 8 THEN 512 ELSE 458 END) AS BIGINT) AS dev_bp
+      FROM g, t
+      ORDER BY digit ASC NULLS FIRST"""),
+    "Benford first-digit audit: inlined bp constants (no runtime log), integer-div observed rates, one map-combinable 9-group pass")
+
+  /** q181: RFM segmentation — recency / frequency / monetary quintiles
+    * per customer, the standard marketing / lifecycle-scoring cut. Each
+    * dimension is bucketed 1..5 by RANK (ties broken by customer key, so
+    * the bucketing is total and deterministic): bucket = 1 +
+    * (5·(rank−1)) div n. Three global sorts over the CUSTOMER aggregate
+    * (dimension-sized, not fact-sized — the fact scan reduces first);
+    * the oracle derives each rank declaratively (count of customers
+    * strictly smaller in the same order) — no window. Output: the
+    * customer count and total cents per 3-digit RFM code. */
+  private val q181 = Q(
+    "q181_rfm",
+    (s, dir) => {
+      val maxDay = T(s, dir, "orders").agg(max(col("o_orderdate")).as("mx"))
+      val cust = T(s, dir, "orders")
+        .select(col("o_custkey").as("ck"), col("o_orderdate"),
+          (dec("o_totalprice") * 100).cast(LongType).as("cents"))
+        .groupBy(col("ck"))
+        .agg(max(col("o_orderdate")).as("last_order"),
+          count(lit(1)).as("freq"), sum(col("cents")).as("money"))
+        .crossJoin(broadcast(maxDay))
+        .select(col("ck"), datediff(col("mx"), col("last_order")).cast(LongType).as("rec"),
+          col("freq"), col("money"))
+      val n = Window.partitionBy()
+      val ranked = cust
+        .withColumn("n_all", count(lit(1)).over(n))
+        .withColumn("rk_rec", rank().over(Window.orderBy(asc("rec"), asc("ck"))))
+        .withColumn("rk_freq", rank().over(Window.orderBy(desc("freq"), asc("ck"))))
+        .withColumn("rk_money", rank().over(Window.orderBy(desc("money"), asc("ck"))))
+        .select(col("ck"), col("money"),
+          expr("1 + (5 * (rk_rec - 1)) div n_all").as("r"),
+          expr("1 + (5 * (rk_freq - 1)) div n_all").as("f"),
+          expr("1 + (5 * (rk_money - 1)) div n_all").as("m"))
+      ranked.groupBy((col("r") * 100 + col("f") * 10 + col("m")).as("rfm_code"))
+        .agg(count(lit(1)).as("n_customers"), sum(col("money")).as("sum_cents"))
+        .orderBy(asc_nulls_first("rfm_code"))
+    },
+    Some("""WITH mx AS (SELECT MAX(o_orderdate) AS mx FROM orders),
+      cust AS (SELECT o_custkey AS ck,
+                 date_diff('day', MAX(o_orderdate), (SELECT mx FROM mx)) AS rec,
+                 COUNT(*) AS freq,
+                 CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS money
+               FROM orders GROUP BY 1),
+      nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_all FROM cust),
+      rk AS (SELECT a.ck, a.money,
+               1 + (5 * CAST((SELECT COUNT(*) FROM cust b
+                     WHERE b.rec < a.rec OR (b.rec = a.rec AND b.ck < a.ck)) AS BIGINT))
+                   // (SELECT n_all FROM nn) AS r,
+               1 + (5 * CAST((SELECT COUNT(*) FROM cust b
+                     WHERE b.freq > a.freq OR (b.freq = a.freq AND b.ck < a.ck)) AS BIGINT))
+                   // (SELECT n_all FROM nn) AS f,
+               1 + (5 * CAST((SELECT COUNT(*) FROM cust b
+                     WHERE b.money > a.money OR (b.money = a.money AND b.ck < a.ck)) AS BIGINT))
+                   // (SELECT n_all FROM nn) AS m
+             FROM cust a)
+      SELECT CAST(r * 100 + f * 10 + m AS BIGINT) AS rfm_code,
+             COUNT(*) AS n_customers, CAST(SUM(money) AS BIGINT) AS sum_cents
+      FROM rk GROUP BY 1
+      ORDER BY rfm_code ASC NULLS FIRST"""),
+    "RFM quintile segmentation: rank-based total bucketing on the customer aggregate (three dimension-sized sorts); oracle derives ranks declaratively (strict-smaller counts)")
+
   val all: Seq[Q] = Seq(q83, q84, q85, q86, q87, q89, q90, q91, q112, q123, q124,
     q125, q128, q138, q139, q140, q141, q152, q157, q158, q159, q166, q167, q169,
-    q171, q172, q175, q176, q177)
+    q171, q172, q175, q176, q177, q178, q180, q181)
 }
