@@ -1461,7 +1461,155 @@ object Analytics {
       ORDER BY rfm_code ASC NULLS FIRST"""),
     "RFM quintile segmentation: rank-based total bucketing on the customer aggregate (three dimension-sized sorts); oracle derives ranks declaratively (strict-smaller counts)")
 
+  /** q182: chi-square contingency audit — the categorical-association
+    * sibling of q140's TVD drift: are order priority and order status
+    * independent? Per cell, the χ² contribution (obs·N − rt·ct)² /
+    * (rt·ct·N) quantized ×10⁴ — all integer and all INT64: the naive
+    * 10⁴·d² product would overflow, so the quotient is assembled as
+    * 10⁴·(d² div den) + (10⁴·(d² mod den)) div den, whose every
+    * intermediate fits a long (d² ≤ 6e15, remainder < den ≤ 4e11).
+    * Every operand is non-negative, so div/floor agree. One
+    * |cells|-sized aggregate plus three windows over the 15-row
+    * contingency table — marginals never rescan the fact table. */
+  private val q182 = Q(
+    "q182_chi_square",
+    (s, dir) => {
+      val cells = T(s, dir, "orders")
+        .groupBy(col("o_orderpriority").as("priority"), col("o_orderstatus").as("status"))
+        .agg(count(lit(1)).as("obs"))
+      val byP = Window.partitionBy(col("priority"))
+      val byS = Window.partitionBy(col("status"))
+      val all0 = Window.partitionBy()
+      cells
+        .withColumn("rt", sum(col("obs")).over(byP))
+        .withColumn("ct", sum(col("obs")).over(byS))
+        .withColumn("n", sum(col("obs")).over(all0))
+        .withColumn("d2", expr("(obs*n - rt*ct) * (obs*n - rt*ct)"))
+        .withColumn("den", expr("rt * ct * n"))
+        .withColumn("chi_e4",
+          expr("10000 * (d2 div den) + (10000 * (d2 % den)) div den"))
+        .select(col("priority"), col("status"), col("obs"),
+          expr("(1000 * rt * ct) div n").as("exp_milli"), col("chi_e4"))
+        .orderBy(asc_nulls_first("priority"), asc_nulls_first("status"))
+    },
+    Some("""WITH cells AS (
+        SELECT o_orderpriority AS priority, o_orderstatus AS status, COUNT(*) AS obs
+        FROM orders GROUP BY 1, 2),
+      m AS (SELECT priority, status, obs,
+              SUM(obs) OVER (PARTITION BY priority) AS rt,
+              SUM(obs) OVER (PARTITION BY status) AS ct,
+              SUM(obs) OVER () AS n
+            FROM cells)
+      SELECT priority, status, obs,
+             CAST((1000 * rt * ct) // n AS BIGINT) AS exp_milli,
+             CAST(10000 * (d2 // den) + (10000 * (d2 % den)) // den AS BIGINT) AS chi_e4
+      FROM (SELECT priority, status, obs, rt, ct, n,
+              CAST((obs*n - rt*ct) * (obs*n - rt*ct) AS BIGINT) AS d2,
+              CAST(rt * ct * n AS BIGINT) AS den
+            FROM m)
+      ORDER BY priority ASC NULLS FIRST, status ASC NULLS FIRST"""),
+    "chi-square contingency in exact int64 (quotient+remainder assembly avoids the 10^4·d^2 overflow): marginals via windows over the cell table, fact scanned once")
+
+  /** q183: multi-distinct without Expand — distinct users AND distinct
+    * active days per event type. Spark plans multiple COUNT(DISTINCT x)
+    * in one aggregate via an Expand node that REPLICATES every input row
+    * once per distinct column — a 2× scan amplification at 100 TB. The
+    * engine computes each distinct with its own two-level aggregate
+    * (partial distinct on (key, value) collapses duplicates map-side)
+    * and joins the two |key|-sized results — no Expand (plan-gated). */
+  private val q183 = Q(
+    "q183_multi_distinct",
+    (s, dir) => {
+      val e = T(s, dir, "events")
+        .select(col("event_type"), col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      val users = e.select(col("event_type"), col("user_id")).distinct()
+        .groupBy(col("event_type")).agg(count(lit(1)).as("n_users"))
+      val days = e.select(col("event_type"), col("day")).distinct()
+        .groupBy(col("event_type")).agg(count(lit(1)).as("n_days"))
+      val totals = e.groupBy(col("event_type")).agg(count(lit(1)).as("n_events"))
+      totals.join(users, Seq("event_type")).join(days, Seq("event_type"))
+        .orderBy(asc_nulls_first("event_type"))
+    },
+    Some("""SELECT event_type, COUNT(*) AS n_events,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+             CAST(COUNT(DISTINCT strftime(ts, '%Y-%m-%d')) AS BIGINT) AS n_days
+      FROM events GROUP BY 1
+      ORDER BY event_type ASC NULLS FIRST"""),
+    "multi-distinct via per-column two-level aggregates joined on the key — no Expand row replication (plan-gated); oracle uses the literal COUNT(DISTINCT)s")
+
+  /** q184: time-weighted average (TWAP) — each observation weighted by
+    * how long it was current (µs to the next same-user event): the
+    * correct mean for irregularly sampled telemetry/prices, where the
+    * plain average over-weights bursts. Exact int64 throughout:
+    * Σ(cents·dt) stays under 3e17 on this data, and the ×1000
+    * quantization — which WOULD overflow — is assembled quotient+
+    * remainder (1000·(Σ div W) + (1000·(Σ mod W)) div W, q182's trick);
+    * one user-keyed window provides the successor. The oracle finds
+    * successors declaratively (min later timestamp — q177's pattern,
+    * timestamps are globally distinct) and replays the same integer
+    * quotient. */
+  private val q184 = Q(
+    "q184_twap",
+    (s, dir) => {
+      val e = T(s, dir, "events")
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          (col("value").cast(DecimalType(18, 2)) * 100).cast(LongType).as("cents"))
+      val byUser = Window.partitionBy(col("user_id")).orderBy(asc("ts_us"))
+      e.withColumn("dt", lead(col("ts_us"), 1).over(byUser) - col("ts_us"))
+        .filter(col("dt").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_intervals"),
+          sum(col("dt")).as("sum_dt"),
+          sum(col("cents") * col("dt")).as("sum_cdt"))
+        .select(col("user_id"), col("n_intervals"),
+          expr("1000 * (sum_cdt div sum_dt) + (1000 * (sum_cdt % sum_dt)) div sum_dt")
+            .as("twap_millicents"))
+        .orderBy(asc_nulls_first("user_id"))
+    },
+    Some("""WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us,
+               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+             FROM events),
+      iv AS (SELECT a.user_id, a.cents,
+               (SELECT MIN(b.ts_us) FROM e b
+                WHERE b.user_id = a.user_id AND b.ts_us > a.ts_us) - a.ts_us AS dt
+             FROM e a),
+      g AS (SELECT user_id, COUNT(*) AS n_intervals,
+              CAST(SUM(dt) AS BIGINT) AS sum_dt,
+              CAST(SUM(cents * dt) AS BIGINT) AS sum_cdt
+            FROM iv WHERE dt IS NOT NULL GROUP BY 1)
+      SELECT user_id, n_intervals,
+             CAST(1000 * (sum_cdt // sum_dt) + (1000 * (sum_cdt % sum_dt)) // sum_dt
+               AS BIGINT) AS twap_millicents
+      FROM g ORDER BY user_id ASC NULLS FIRST"""),
+    "time-weighted average over irregular samples: one user-keyed lead() window, exact int64 quotient+remainder quantization; oracle finds intervals declaratively")
+
+  /** q185: ordered string aggregation — the digest/fingerprint column
+    * (sorted part list per order) that feeds diffing, caching keys, and
+    * human-readable rollups. Determinism is the whole point: the list
+    * sorts NUMERICALLY before joining (sorting the stringified keys
+    * would order 10 before 2 — the classic silent bug), so both engines
+    * must produce byte-identical strings. collect_list is unordered in a
+    * distributed engine — the in-aggregate sort_array is what restores
+    * a total order. */
+  private val q185 = Q(
+    "q185_string_agg_digest",
+    (s, dir) => {
+      T(s, dir, "lineitem")
+        .groupBy(col("l_orderkey").as("orderkey"))
+        .agg(count(lit(1)).as("n_lines"),
+          concat_ws(",",
+            expr("transform(sort_array(collect_list(l_partkey)), x -> CAST(x AS STRING))"))
+            .as("parts_csv"))
+        .orderBy(asc_nulls_first("orderkey"))
+    },
+    Some("""SELECT l_orderkey AS orderkey, COUNT(*) AS n_lines,
+             string_agg(CAST(l_partkey AS VARCHAR), ',' ORDER BY l_partkey ASC) AS parts_csv
+      FROM lineitem GROUP BY 1
+      ORDER BY orderkey ASC NULLS FIRST"""),
+    "ordered string_agg digest: numeric in-aggregate sort then stringify (stringify-first would misorder); byte-identical across engines under the hash gate")
+
   val all: Seq[Q] = Seq(q83, q84, q85, q86, q87, q89, q90, q91, q112, q123, q124,
     q125, q128, q138, q139, q140, q141, q152, q157, q158, q159, q166, q167, q169,
-    q171, q172, q175, q176, q177, q178, q180, q181)
+    q171, q172, q175, q176, q177, q178, q180, q181, q182, q183, q184, q185)
 }

@@ -311,6 +311,12 @@ class PlanShapeSpec extends AnyFunSuite {
       s"expected exactly one doc_id exchange, got $docExchanges")
   }
 
+  test("q183 multi-distinct plans without an Expand node") {
+    val p = planOf("q183_multi_distinct")
+    assert(!p.contains("Expand"),
+      "multi-distinct regressed to the row-replicating Expand plan")
+  }
+
   test("q166 skyline window is partitioned by event_type (no global sort)") {
     val p = planOf("q166_skyline")
     val windows = p.linesIterator.filter(_.contains("windowspecdefinition")).toList
