@@ -746,14 +746,18 @@ object Dedup {
     "q163_sorted_neighborhood",
     (s, dir) => {
       val w = 4
+      // the 1-element transform binds the filtered word array ONCE per
+      // row (HOFs run interpreted — an inline filter(split(...)) would
+      // re-tokenize per shingle element, O(words²) per doc; same fix as
+      // shingles())
       val corpus = Pipeline.plantedCorpus(s, dir)
         .select(col("doc_id"), col("text"), substring(col("text"), 1, 24).as("skey"),
-          expr("array_sort(array_distinct(transform(" +
-            "sequence(1, greatest(0, size(filter(split(text, ' '), x -> x <> '')) - 2)), " +
+          expr("element_at(transform(array(filter(split(text, ' '), x -> x <> '')), " +
+            "ws -> array_sort(array_distinct(transform(" +
+            "sequence(1, greatest(0, size(ws) - 2)), " +
             "i -> xxhash64(concat_ws(' ', " +
-            "element_at(filter(split(text, ' '), x -> x <> ''), i), " +
-            "element_at(filter(split(text, ' '), x -> x <> ''), i + 1), " +
-            "element_at(filter(split(text, ' '), x -> x <> ''), i + 2))))))").as("sh"))
+            "element_at(ws, i), element_at(ws, i + 1), element_at(ws, i + 2))))))), 1)")
+            .as("sh"))
         .withColumn("bucket", substring(col("skey"), 1, 2))
       val offs = corpus.groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
         .withColumn("off",
@@ -763,9 +767,13 @@ object Dedup {
             lit(0L)))
       val pw = org.apache.spark.sql.expressions.Window
         .partitionBy(col("bucket")).orderBy(asc("skey"), asc("doc_id"))
+      // materialized once: lhs AND rhs consume it, and the shingle
+      // arrays are the expensive column (re-deriving them twice doubled
+      // the query)
       val pos = corpus.join(broadcast(offs.select(col("bucket"), col("off"))), Seq("bucket"))
         .withColumn("pos", col("off") + row_number().over(pw) - 1)
         .select(col("doc_id"), col("pos"), col("sh"))
+        .localCheckpoint()
       val lhs = pos.select(col("doc_id").as("id_a"), col("pos").as("pos_a"),
         col("sh").as("sh_a"), expr(s"pos div ${w - 1}").as("band"))
       val rhs = pos.select(col("doc_id").as("id_b"), col("pos").as("pos_b"),
