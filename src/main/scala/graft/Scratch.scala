@@ -19,7 +19,12 @@ object Scratch {
   }
 
   private def rm(f: java.io.File): Unit = {
-    Option(f.listFiles()).foreach(_.foreach(rm))
+    // never recurse THROUGH a symlink: listFiles follows links, so an
+    // operator layout that symlink-reuses another dir's files (q187's
+    // untouched partitions) would have its TARGET emptied by a reset of
+    // the link's parent — delete the link itself only
+    if (!java.nio.file.Files.isSymbolicLink(f.toPath))
+      Option(f.listFiles()).foreach(_.foreach(rm))
     f.delete(); ()
   }
 

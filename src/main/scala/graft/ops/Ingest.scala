@@ -657,6 +657,114 @@ object Ingest {
       GROUP BY 1 ORDER BY priority ASC NULLS FIRST"""),
     "write-audit-publish atomic promote: staged v2 with planted corruption fails audit and never becomes visible; oracle equals the v1 contents (pointer untouched)")
 
+  /** q186: partition-spec EVOLUTION — the lakehouse migration q122
+    * (column evolution) doesn't cover: history written under a coarse
+    * spec (year partitions), recent data under a finer one (month
+    * partitions), and ONE reader spans both with pruning on each side.
+    * Every table that lives long enough meets this (specs change as
+    * volume grows); the alternative — rewriting history to the new
+    * spec — is exactly the 100 TB cost this pattern avoids. The range
+    * read prunes year dirs on the old layout and month dirs on the new
+    * (plan-gated), applies the residual predicate on both, and unions a
+    * normalized projection. */
+  private lazy val evolvedRoots =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def ensureEvolvedLayout(s: SparkSession, sfDir: String): String =
+    evolvedRoots.computeIfAbsent(sfDir.replaceAll("[^A-Za-z0-9]", "_"), t => {
+      val root = graft.Scratch.dir(s"evolved_$t")
+      val o = T(s, sfDir, "orders")
+        .select(col("o_orderkey"), col("o_orderdate"), col("o_totalprice"),
+          year(col("o_orderdate")).as("o_year"),
+          date_format(col("o_orderdate"), "yyyy-MM").as("o_month"))
+      o.filter(col("o_year") < 1998).drop("o_month")
+        .write.mode(SaveMode.Overwrite).partitionBy("o_year").parquet(s"$root/v1")
+      o.filter(col("o_year") >= 1998).drop("o_year")
+        .write.mode(SaveMode.Overwrite).partitionBy("o_month").parquet(s"$root/v2")
+      root
+    })
+
+  private val q186 = Q(
+    "q186_partition_evolution",
+    (s, dir) => {
+      val root = ensureEvolvedLayout(s, dir)
+      def monthly(df: DataFrame): DataFrame = df
+        .filter(col("o_orderdate") >= to_timestamp(lit("1997-06-01")) &&
+          col("o_orderdate") < to_timestamp(lit("1998-07-01")))
+        .select(date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+          (col("o_totalprice").cast(DecimalType(18, 2)) * 100).cast(LongType).as("cents"))
+      val hist = monthly(s.read.parquet(s"$root/v1").filter(col("o_year") === 1997))
+      val recent = monthly(s.read.parquet(s"$root/v2")
+        .filter(col("o_month") >= "1998-01" && col("o_month") <= "1998-06"))
+      hist.unionByName(recent)
+        .groupBy(col("month"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("sum_cents"))
+        .orderBy(asc_nulls_first("month"))
+    },
+    Some("""SELECT strftime(o_orderdate, '%Y-%m') AS month, COUNT(*) AS n_orders,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+               AS sum_cents
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1997-06-01'
+        AND o_orderdate < TIMESTAMP '1998-07-01'
+      GROUP BY 1 ORDER BY month ASC NULLS FIRST"""),
+    "partition-spec evolution: year-partitioned history + month-partitioned recent read as one pruned union (no history rewrite); oracle over the unpartitioned source")
+
+  /** q187: takedown / right-to-erasure — the governance delete a
+    * training corpus must support: remove an entire source (license
+    * revoked) plus a scattered doc list (individual takedowns), touching
+    * ONLY the partitions that contain removals. The erased table is a
+    * new root where the revoked source's partition is simply absent
+    * (metadata-only delete), partitions with scattered removals are
+    * rewritten through an anti-join, and UNTOUCHED partitions are
+    * SYMLINKED to the original files — zero bytes copied, the manifest-
+    * reuse move every table format makes (TakedownSpec asserts the
+    * symlink identity and the before/after counts). The oracle computes
+    * the post-erasure aggregate from the source predicate, so a doc
+    * surviving erasure (or over-deleted) breaks the hash. */
+  def takedownErase(s: SparkSession, dir: String): DataFrame = {
+    val t = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val v1 = graft.Scratch.dir(s"corpus_src_$t")
+    val v1Marker = java.nio.file.Paths.get(v1, "_SUCCESS")
+    if (!java.nio.file.Files.exists(v1Marker)) {
+      T(s, dir, "documents").write.mode(SaveMode.Overwrite)
+        .partitionBy("source").parquet(v1)
+    }
+    val v2 = graft.Scratch.fresh(s"corpus_erased_$t")
+    val removals = T(s, dir, "documents")
+      .filter(col("source") === "src3" || col("doc_id") % 97 === 0)
+    val touched = removals.select(col("source")).distinct()
+      .collect().map(_.getString(0)).toSet
+    val allSources = T(s, dir, "documents").select(col("source")).distinct()
+      .collect().map(_.getString(0))
+    for (src <- allSources) {
+      val srcDir = java.nio.file.Paths.get(v2, s"source=$src")
+      if (!touched.contains(src)) {
+        java.nio.file.Files.createSymbolicLink(
+          srcDir, java.nio.file.Paths.get(v1, s"source=$src"))
+        ()
+      } else if (src != "src3") {
+        s.read.parquet(s"$v1/source=$src")
+          .filter(col("doc_id") % 97 =!= 0)
+          .write.mode(SaveMode.Overwrite).parquet(srcDir.toString)
+      } // src3: absent — metadata-only partition drop
+    }
+    s.read.option("basePath", v2).parquet(v2)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy(asc_nulls_first("source"))
+  }
+
+  private val q187 = Q(
+    "q187_takedown_erasure",
+    (s, dir) => takedownErase(s, dir),
+    Some("""SELECT source, COUNT(*) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      FROM documents
+      WHERE NOT (source = 'src3' OR doc_id % 97 = 0)
+      GROUP BY 1 ORDER BY source ASC NULLS FIRST"""),
+    "takedown/right-to-erasure: revoked source = metadata partition drop, scattered removals rewrite only their partitions, untouched partitions symlink-reused (zero copy); oracle computes the post-erasure truth")
+
   val all: Seq[Q] = Seq(q51, q88, q108, q115, q121, q122, q126, q127, q131, q136,
-    q143, q161, q173)
+    q143, q161, q173, q186, q187)
 }

@@ -311,6 +311,15 @@ class PlanShapeSpec extends AnyFunSuite {
       s"expected exactly one doc_id exchange, got $docExchanges")
   }
 
+  test("q186 evolved layouts prune partitions on BOTH specs") {
+    val p = planOf("q186_partition_evolution")
+    val filters = p.linesIterator.filter(_.contains("PartitionFilters")).toList
+    assert(filters.exists(_.contains("o_year")),
+      s"year-spec scan not pruned: $filters")
+    assert(filters.exists(_.contains("o_month")),
+      s"month-spec scan not pruned: $filters")
+  }
+
   test("q183 multi-distinct plans without an Expand node") {
     val p = planOf("q183_multi_distinct")
     assert(!p.contains("Expand"),
