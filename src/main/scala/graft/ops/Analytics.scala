@@ -1609,7 +1609,53 @@ object Analytics {
       ORDER BY orderkey ASC NULLS FIRST"""),
     "ordered string_agg digest: numeric in-aggregate sort then stringify (stringify-first would misorder); byte-identical across engines under the hash gate")
 
+  /** q189: equi-DEPTH histogram — the CBO statistic q09/q59's equi-width
+    * bins can't give (equal-population buckets expose selectivity where
+    * the data actually lives; every serious optimizer stores these).
+    * Exact rank bucketing, bucket = (8·pos) div n over the global
+    * (value, tiebreak) order — computed DISTRIBUTED via the q112 pattern:
+    * range-bucket on the value's high bits (bucket order == value order),
+    * per-bucket row_number windows, offsets broadcast. No single-
+    * partition sort at any scale. The oracle replays the straight global
+    * ROW_NUMBER, proving the two-level formulation agrees row-for-row. */
+  private val q189 = Q(
+    "q189_equidepth_histogram",
+    (s, dir) => {
+      val base = T(s, dir, "lineitem")
+        .select((dec("l_extendedprice") * 100).cast(LongType).as("cents"),
+          col("l_orderkey").as("ok"), col("l_linenumber").as("ln"))
+        .withColumn("vb", expr("cents div 262144"))
+      val offsets = base.groupBy(col("vb")).agg(count(lit(1)).as("cnt"))
+        .withColumn("off",
+          coalesce(sum(col("cnt")).over(
+            Window.orderBy(asc("vb")).rowsBetween(Window.unboundedPreceding, -1)),
+            lit(0L)))
+      val total = base.count()
+      val w = Window.partitionBy(col("vb"))
+        .orderBy(asc("cents"), asc("ok"), asc("ln"))
+      base.join(broadcast(offsets.select(col("vb"), col("off"))), Seq("vb"))
+        .withColumn("pos", col("off") + row_number().over(w) - 1)
+        .withColumn("b8", expr(s"(8 * pos) div $total"))
+        .groupBy(col("b8"))
+        .agg(count(lit(1)).as("n_rows"), min(col("cents")).as("min_cents"),
+          max(col("cents")).as("max_cents"))
+        .orderBy(asc_nulls_first("b8"))
+    },
+    Some("""WITH t AS (
+        SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+               l_orderkey AS ok, l_linenumber AS ln
+        FROM lineitem),
+      p AS (SELECT cents,
+              ROW_NUMBER() OVER (ORDER BY cents ASC, ok ASC, ln ASC) - 1 AS pos,
+              (SELECT COUNT(*) FROM t) AS n
+            FROM t)
+      SELECT CAST((8 * pos) // n AS BIGINT) AS b8, COUNT(*) AS n_rows,
+             MIN(cents) AS min_cents, MAX(cents) AS max_cents
+      FROM p GROUP BY 1
+      ORDER BY b8 ASC NULLS FIRST"""),
+    "equi-depth histogram via exact distributed rank bucketing (q112's two-level pattern — no global sort); oracle replays the straight global row_number")
+
   val all: Seq[Q] = Seq(q83, q84, q85, q86, q87, q89, q90, q91, q112, q123, q124,
     q125, q128, q138, q139, q140, q141, q152, q157, q158, q159, q166, q167, q169,
-    q171, q172, q175, q176, q177, q178, q180, q181, q182, q183, q184, q185)
+    q171, q172, q175, q176, q177, q178, q180, q181, q182, q183, q184, q185, q189)
 }

@@ -765,6 +765,113 @@ object Ingest {
       GROUP BY 1 ORDER BY source ASC NULLS FIRST"""),
     "takedown/right-to-erasure: revoked source = metadata partition drop, scattered removals rewrite only their partitions, untouched partitions symlink-reused (zero copy); oracle computes the post-erasure truth")
 
+  /** q188: VACUUM / snapshot expiry — the GC leg q173's protocol
+    * implies: once a newer version is current, superseded version
+    * directories are unreferenced and reclaimable. Two clean publishes
+    * (v1 then v2) leave v1 orphaned; vacuum deletes every version the
+    * pointer does not reference and the read path — which only ever
+    * resolves the pointer — is provably unaffected (the oracle computes
+    * v2's contents from the source; VacuumSpec pins v1's removal and v2's
+    * survival). Deletion refuses to cross symlinks (same guard as
+    * Scratch.rm) so a layout that link-reuses files (q187) can never be
+    * hollowed out by GC of a sibling. */
+  def vacuum(root: String, keep: String): Seq[String] = {
+    def deleteTree(f: java.io.File): Unit = {
+      if (!java.nio.file.Files.isSymbolicLink(f.toPath))
+        Option(f.listFiles()).foreach(_.foreach(deleteTree))
+      f.delete(); ()
+    }
+    val removed = Option(new java.io.File(root).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("v") && f.getName != keep)
+    removed.foreach(deleteTree)
+    removed.map(_.getName).toSeq.sorted
+  }
+
+  private val q188 = Q(
+    "q188_vacuum",
+    (s, dir) => {
+      val root = graft.Scratch.fresh(s"vac_${dir.replaceAll("[^A-Za-z0-9]", "_")}")
+      require(Wap.publish(s, root, "v1",
+        T(s, dir, "orders").filter(col("o_orderstatus") === "O")), "v1 publish")
+      require(Wap.publish(s, root, "v2",
+        T(s, dir, "orders").filter(col("o_orderstatus") === "F")), "v2 publish")
+      val current = Wap.resolve(root)
+      vacuum(root, keep = current)
+      s.read.parquet(s"$root/$current")
+        .groupBy(col("o_orderpriority").as("priority"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_price"))
+        .orderBy(asc_nulls_first("priority"))
+    },
+    Some("""SELECT o_orderpriority AS priority, COUNT(*) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      FROM orders WHERE o_orderstatus = 'F'
+      GROUP BY 1 ORDER BY priority ASC NULLS FIRST"""),
+    "VACUUM / snapshot expiry: superseded version dirs GC'd, pointer-resolved reads provably unaffected (oracle = current contents); symlink-safe deletion")
+
+  /** q190: encoding/compression advisor — the storage-layout pass an
+    * ingest service runs before committing a parquet schema: per column,
+    * row count, exact NDV, average encoded width (milli-chars, integer),
+    * and the dictionary-win ratio ndv/n in bp; the advice thresholds are
+    * the standard dictionary-encoding heuristic (cardinality ≪ rows).
+    * One scan, one aggregate, stack()-unpivoted like q126. */
+  private val q190 = Q(
+    "q190_encoding_advisor",
+    (s, dir) => {
+      val l = T(s, dir, "lineitem")
+        .withColumn("qty_s", col("l_quantity").cast(LongType).cast("string"))
+        .withColumn("cents_s",
+          (col("l_extendedprice").cast(DecimalType(18, 2)) * 100)
+            .cast(LongType).cast("string"))
+      val stats = l.agg(
+        count(lit(1)).as("n"),
+        countDistinct(col("l_returnflag")).as("ndv1"),
+        sum(length(col("l_returnflag")).cast(LongType)).as("len1"),
+        countDistinct(col("qty_s")).as("ndv2"),
+        sum(length(col("qty_s")).cast(LongType)).as("len2"),
+        countDistinct(col("cents_s")).as("ndv3"),
+        sum(length(col("cents_s")).cast(LongType)).as("len3"))
+      stats.select(expr(
+        """stack(3,
+           'l_returnflag', n, ndv1, len1,
+           'l_quantity', n, ndv2, len2,
+           'l_extendedprice', n, ndv3, len3)
+           AS (col_name, n, ndv, chars)"""))
+        .select(col("col_name"), col("n"), col("ndv"),
+          expr("(1000 * chars) div n").as("avg_len_milli"),
+          expr("(10000 * ndv) div n").as("dict_bp"))
+        .withColumn("advice", expr(
+          """CASE WHEN (10000 * ndv) div n < 100 THEN 'dictionary'
+                  WHEN (10000 * ndv) div n < 5000 THEN 'consider'
+                  ELSE 'plain' END"""))
+        .orderBy(asc_nulls_first("col_name"))
+    },
+    Some("""WITH t AS (
+        SELECT l_returnflag,
+               CAST(CAST(l_quantity AS BIGINT) AS VARCHAR) AS qty_s,
+               CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS VARCHAR) AS cents_s
+        FROM lineitem),
+      s AS (
+        SELECT COUNT(*) AS n,
+               COUNT(DISTINCT l_returnflag) AS ndv1, SUM(length(l_returnflag)) AS len1,
+               COUNT(DISTINCT qty_s) AS ndv2, SUM(length(qty_s)) AS len2,
+               COUNT(DISTINCT cents_s) AS ndv3, SUM(length(cents_s)) AS len3
+        FROM t),
+      u AS (SELECT 'l_returnflag' AS col_name, n, CAST(ndv1 AS BIGINT) AS ndv,
+                   CAST(len1 AS BIGINT) AS chars FROM s
+            UNION ALL
+            SELECT 'l_quantity', n, CAST(ndv2 AS BIGINT), CAST(len2 AS BIGINT) FROM s
+            UNION ALL
+            SELECT 'l_extendedprice', n, CAST(ndv3 AS BIGINT), CAST(len3 AS BIGINT) FROM s)
+      SELECT col_name, n, ndv,
+             CAST((1000 * chars) // n AS BIGINT) AS avg_len_milli,
+             CAST((10000 * ndv) // n AS BIGINT) AS dict_bp,
+             CASE WHEN (10000 * ndv) // n < 100 THEN 'dictionary'
+                  WHEN (10000 * ndv) // n < 5000 THEN 'consider'
+                  ELSE 'plain' END AS advice
+      FROM u ORDER BY col_name ASC NULLS FIRST"""),
+    "encoding advisor: per-column NDV / avg width / dictionary-win bp with threshold advice — the storage pass before committing a layout; single scan, stack unpivot")
+
   val all: Seq[Q] = Seq(q51, q88, q108, q115, q121, q122, q126, q127, q131, q136,
-    q143, q161, q173, q186, q187)
+    q143, q161, q173, q186, q187, q188, q190)
 }
