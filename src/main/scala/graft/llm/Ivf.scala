@@ -329,5 +329,60 @@ object Ivf {
       FROM a WHERE rn = 1 GROUP BY cid ORDER BY cid ASC NULLS FIRST"""),
     "k-means assignment (argmin over broadcast centroids) + inertia, integer-exact squared L2 (Lloyd's other half vs q105)")
 
-  val all: Seq[Q] = Seq(q31, q105, q107, q113, q120)
+  /** q192: product quantization (Jégou et al. 2011) — the vector
+    * COMPRESSION kernel between q107's scalar quantization and q31's IVF
+    * routing: the 64-dim embedding splits into 4 subvectors of 16 dims,
+    * each assigned to its nearest of 16 per-subspace codebook centroids,
+    * so the vector stores as 4 bytes instead of 256 (the memory budget
+    * that makes billion-scale ANN feasible; IVF-PQ = q31's lists + these
+    * codes). Codebooks derive deterministically from the first 16
+    * vectors (assignment only — the training loop is q120's Lloyd step);
+    * all distances in q120's floor(×10⁶) integer quantization, argmin
+    * via the packed d2·16+cid min. Emits per-subspace code histograms
+    * plus total quantization error — the compression-quality report.
+    *
+    * Scale shape: codebooks broadcast (4·16 subvectors); each vector's
+    * 4 assignments are map-side; the only shuffle is the final
+    * |codes|-sized histogram aggregate. */
+  private val q192 = Q(
+    "q192_product_quant",
+    (s, dir) => {
+      val sub = T(s, dir, "embeddings")
+        .select(col("vec_id"), explode(expr(
+          """transform(sequence(0, 3), g -> struct(g AS g,
+               transform(slice(CAST(embedding AS ARRAY<DOUBLE>), g * 16 + 1, 16),
+                 x -> CAST(floor(x * 1e6) AS BIGINT)) AS q))""")).as("sv"))
+        .select(col("vec_id"), col("sv.g").cast("long").as("g"), col("sv.q").as("q"))
+      val cents = sub.filter(col("vec_id") < 16)
+        .select(col("g"), col("vec_id").as("cid"), col("q").as("cq"))
+      sub.join(broadcast(cents), Seq("g"))
+        .select(col("vec_id"), col("g"), col("cid"),
+          expr("aggregate(zip_with(q, cq, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)")
+            .as("d2"))
+        .groupBy(col("vec_id"), col("g"))
+        .agg(min(col("d2") * lit(16L) + col("cid")).as("mc"))
+        .select(col("g"), pmod(col("mc"), lit(16L)).as("code"),
+          expr("mc div 16").as("d2"))
+        .groupBy(col("g"), col("code"))
+        .agg(count(lit(1)).as("n_vecs"), sum(col("d2")).as("sum_err"))
+        .orderBy(asc_nulls_first("g"), asc_nulls_first("code"))
+    },
+    Some("""WITH q AS (SELECT vec_id,
+               [CAST(floor(x * 1e6) AS BIGINT) FOR x IN CAST(embedding AS DOUBLE[])] AS qs
+             FROM embeddings),
+      sub AS (SELECT vec_id, g, qs[g * 16 + 1 : g * 16 + 16] AS q
+              FROM q, (SELECT unnest(generate_series(0, 3)) AS g)),
+      c AS (SELECT g, vec_id AS cid, q AS cq FROM sub WHERE vec_id < 16),
+      d AS (SELECT s.vec_id, s.g, c.cid,
+              CAST(list_sum([x * x FOR x IN
+                list_transform(list_zip(s.q, c.cq), p -> p[1] - p[2])]) AS BIGINT) AS d2
+            FROM sub s JOIN c ON c.g = s.g),
+      a AS (SELECT vec_id, g, MIN(d2 * 16 + cid) AS mc FROM d GROUP BY 1, 2)
+      SELECT g, CAST(mc % 16 AS BIGINT) AS code, COUNT(*) AS n_vecs,
+             CAST(SUM(mc // 16) AS BIGINT) AS sum_err
+      FROM a GROUP BY g, mc % 16
+      ORDER BY g ASC NULLS FIRST, code ASC NULLS FIRST"""),
+    "product quantization: per-subspace codebook assignment (4x16 codes, broadcast codebooks, map-side argmin) + quantization-error report; integer-exact under the hash gate")
+
+  val all: Seq[Q] = Seq(q31, q105, q107, q113, q120, q192)
 }

@@ -169,5 +169,66 @@ object ZOrder {
       WHERE px >= 256 AND px < 320 AND py >= 512 AND py < 576"""),
     "bbox through the Z-order layout: aligned tile = one contiguous Morton interval, per-file code manifest prunes the scan, exact predicate on kept rows; oracle over the raw table")
 
-  val all: Seq[Q] = Seq(q81, q174)
+  /** q191: nearest-neighbor SPATIAL JOIN on the plane — for every
+    * purchase point, the closest click point within Chebyshev radius 64,
+    * found WITHOUT an all-pairs join: probes explode into their 3×3
+    * neighborhood of 64-px grid cells and equi-join targets on the cell
+    * key (a hash join — plan-gated no nested loop). The 3×3 × cell-size
+    * geometry makes the candidate set provably complete for the radius
+    * (any point within Chebyshev 64 shares one of the 9 cells), so the
+    * bounded-radius argmin is exact — the classic grid-file kNN shape
+    * every geospatial engine uses. Distances are integer d² (no sqrt —
+    * argmin doesn't need it); the argmin packs d²·2²⁰ + click_id into
+    * one long min (d² ≤ 8192, ids < 2²⁰ at every driver sf — the q120
+    * packing trick). The oracle runs the literal radius join all-pairs.
+    *
+    * Scale shape: fan-out is exactly 9 cells per probe; the join
+    * shuffles on cell keys whose population is density-bounded; the
+    * argmin is a map-combinable min. At 100 TB, cell size trades
+    * candidate count vs radius guarantee — the same knob as q31's
+    * nprobe. */
+  private val q191 = Q(
+    "q191_knn_grid_join",
+    (s, dir) => {
+      val pts = T(s, dir, "events").select(col("event_id"), col("event_type"),
+        (col("event_id") % 1024).as("px"), ((col("event_id") * 7) % 1024).as("py"))
+      val probes = pts.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("pid"), col("px"), col("py"),
+          expr("px div 64").as("cx0"), expr("py div 64").as("cy0"))
+        .withColumn("off", explode(expr(
+          "flatten(transform(sequence(-1, 1), dx -> transform(sequence(-1, 1), dy -> struct(dx, dy))))")))
+        .select(col("pid"), col("px"), col("py"),
+          (col("cx0") + col("off.dx")).as("cx"), (col("cy0") + col("off.dy")).as("cy"))
+      val targets = pts.filter(col("event_type") === "click")
+        .select(col("event_id").as("cid"),
+          expr("px div 64").as("cx"), expr("py div 64").as("cy"),
+          col("px").as("qx"), col("py").as("qy"))
+      probes.join(targets, Seq("cx", "cy"))
+        .filter(abs(col("px") - col("qx")) <= 64 && abs(col("py") - col("qy")) <= 64)
+        .select(col("pid"),
+          ((col("px") - col("qx")) * (col("px") - col("qx")) +
+           (col("py") - col("qy")) * (col("py") - col("qy"))).as("d2"),
+          col("cid"))
+        .groupBy(col("pid"))
+        .agg(min(col("d2") * lit(1048576L) + col("cid")).as("mc"))
+        .select(col("pid"), pmod(col("mc"), lit(1048576L)).as("click_id"),
+          expr("mc div 1048576").as("d2"))
+        .orderBy(asc_nulls_first("pid"))
+    },
+    Some("""WITH p AS (SELECT event_id, event_type,
+               CAST(event_id % 1024 AS BIGINT) AS px,
+               CAST((event_id * 7) % 1024 AS BIGINT) AS py
+             FROM events),
+      pr AS (SELECT event_id AS pid, px, py FROM p WHERE event_type = 'purchase'),
+      cl AS (SELECT event_id AS cid, px AS qx, py AS qy FROM p WHERE event_type = 'click'),
+      pairs AS (SELECT pid, cid,
+                  (px - qx) * (px - qx) + (py - qy) * (py - qy) AS d2
+                FROM pr JOIN cl ON abs(px - qx) <= 64 AND abs(py - qy) <= 64),
+      m AS (SELECT pid, MIN(d2 * 1048576 + cid) AS mc FROM pairs GROUP BY 1)
+      SELECT pid, CAST(mc % 1048576 AS BIGINT) AS click_id,
+             CAST(mc // 1048576 AS BIGINT) AS d2
+      FROM m ORDER BY pid ASC NULLS FIRST"""),
+    "grid-file nearest-neighbor join: 3x3 cell explode + hash equi-join (provably complete for the radius, no all-pairs), integer d2 packed argmin; oracle runs the literal radius join")
+
+  val all: Seq[Q] = Seq(q81, q174, q191)
 }

@@ -320,6 +320,12 @@ class PlanShapeSpec extends AnyFunSuite {
       s"month-spec scan not pruned: $filters")
   }
 
+  test("q191 kNN grid join is a hash equi-join on cells — no nested loop") {
+    val p = planOf("q191_knn_grid_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "radius join regressed to an all-pairs plan")
+  }
+
   test("q183 multi-distinct plans without an Expand node") {
     val p = planOf("q183_multi_distinct")
     assert(!p.contains("Expand"),
