@@ -384,5 +384,129 @@ object Ivf {
       ORDER BY g ASC NULLS FIRST, code ASC NULLS FIRST"""),
     "product quantization: per-subspace codebook assignment (4x16 codes, broadcast codebooks, map-side argmin) + quantization-error report; integer-exact under the hash gate")
 
-  val all: Seq[Q] = Seq(q31, q105, q107, q113, q120, q192)
+  // ---- IVF-PQ (q193): q31's routing over q192's codes -----------------
+
+  val PqGroups = 4
+  val PqSubDim = 16
+  val PqCodes = 16
+
+  /** PQ codebooks: per subspace, the first [[PqCodes]] vectors'
+    * subvectors (q192's deterministic derivation), collected driver-side
+    * — [[PqCodes]] small arrays by design, same bounded-collect contract
+    * as [[centroidArrays]]. */
+  def pqBooks(emb: DataFrame): Array[Array[Array[Double]]] = {
+    val seeds = vecsOf(emb).filter(col("vec_id") < PqCodes)
+      .orderBy("vec_id").collect().map(_.getSeq[Double](1).toArray)
+    Array.tabulate(PqGroups)(g =>
+      seeds.map(_.slice(g * PqSubDim, (g + 1) * PqSubDim)))
+  }
+
+  /** Pure per-vector encoder (spec entry point; the UDF delegates). */
+  def pqEncode(v: Seq[Double], books: Seq[Seq[Seq[Double]]]): Array[Int] =
+    Array.tabulate(books.length) { g =>
+      val sub = v.slice(g * PqSubDim, (g + 1) * PqSubDim)
+      var best = 0; var bestD = Double.MaxValue
+      var c = 0
+      while (c < books(g).length) {
+        val cent = books(g)(c)
+        var d = 0.0; var i = 0
+        while (i < PqSubDim) { val t = sub(i) - cent(i); d += t * t; i += 1 }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      best
+    }
+
+  private val pqEncodeUdf = udf((v: Seq[Double], books: Seq[Seq[Seq[Double]]]) =>
+    pqEncode(v, books))
+
+  private val pqCodesCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Array[Array[Array[Double]]])]()
+
+  /** The compressed index: (vec_id, codes[4]) partitioned by IVF
+    * list_id — 4 bytes of payload per vector where the flat index
+    * stores 256 — plus its codebooks. Built once per input (same cache
+    * contract as [[builtIndex]]); search never touches the raw
+    * vectors. */
+  def pqCodesPath(s: SparkSession, emb: DataFrame): (String, Array[Array[Array[Double]]]) = {
+    val (cents, _) = builtIndex(emb)
+    val key = emb.inputFiles.sorted.mkString(";")
+    def build(): (String, Array[Array[Array[Double]]]) = {
+      val books = pqBooks(emb)
+      val path = graft.Scratch.fresh(
+        s"ivfpq_${java.lang.Integer.toHexString(key.hashCode)}")
+      vecsOf(emb)
+        .withColumn("list_id", centroidAssignUdf(col("v"), typedLit(cents)))
+        .withColumn("codes", pqEncodeUdf(col("v"), typedLit(books)))
+        .select(col("vec_id"), col("list_id"), col("codes"))
+        .write.partitionBy("list_id").mode("overwrite").parquet(path)
+      (path, books)
+    }
+    if (key.isEmpty) build() else pqCodesCache.computeIfAbsent(key, _ => build())
+  }
+
+  /** q193: IVF-PQ search with asymmetric distance (ADC) — the
+    * billion-scale ANN shape (Jégou et al. 2011; FAISS IVFPQ): route the
+    * query to nprobe lists (q31), then score CODES, not vectors — the
+    * per-query lookup table ||q_sub − book[g][c]||² has 4×16 entries, so
+    * each candidate costs 4 table lookups instead of a 64-dim dot
+    * product, and the probe scan reads the 4-byte code column instead of
+    * the 256-byte vector. PQ here encodes raw vectors (residual encoding
+    * is the standard refinement — noted, not implemented). Rows-only by
+    * design (approximate scores have no SQL oracle); IvfPqSpec pins the
+    * seed-self-distance-zero law and recall@10 against the exact
+    * brute-force top-k.
+    *
+    * Scale shape: LUTs are 5 queries × 64 doubles, broadcast; the
+    * candidate join explodes codes to (vid, g, c) and joins the LUT on
+    * (qid, g, c) — shuffles carry ids and codes only; the probed read is
+    * partition-pruned exactly like q31. */
+  def ivfPqTopK(s: SparkSession, emb: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (cents, _) = builtIndex(emb)
+    val (codesPath, books) = pqCodesPath(s, emb)
+    val centsCol = typedLit(cents)
+    val qvecs = vecsOf(emb).filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val qside = qvecs
+      .select(col("qid"), col("qv"),
+        explode(nearestListsUdf(col("qv"), centsCol, lit(NProbe))).as("list_id"))
+    val probed = qside.select(col("list_id")).distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
+    // per-query ADC lookup table, built driver-side from the collected
+    // query vectors (5 × 4 × 16 doubles, bounded)
+    val qArr = qvecs.collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val lutRows = for {
+      (qid, qv) <- qArr.toSeq
+      g <- 0 until PqGroups
+      c <- 0 until PqCodes
+    } yield {
+      val sub = qv.slice(g * PqSubDim, (g + 1) * PqSubDim)
+      var d = 0.0; var i = 0
+      while (i < PqSubDim) { val t = sub(i) - books(g)(c)(i); d += t * t; i += 1 }
+      (qid, g, c, d)
+    }
+    val lut = s.createDataFrame(lutRows).toDF("qid", "g", "c", "lutd2")
+    val cand = s.read.parquet(codesPath)
+      .filter(col("list_id").isin(probed.map(Int.box): _*))
+      .join(broadcast(qside.select(col("qid"), col("list_id"))), Seq("list_id"))
+      .filter(col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id").as("vid"),
+        posexplode(col("codes")).as(Seq("g", "c")))
+      .join(broadcast(lut), Seq("qid", "g", "c"))
+      .groupBy(col("qid"), col("vid"))
+      .agg(round(sum(col("lutd2")), 6).as("adc_d2"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(asc("adc_d2"), asc_nulls_first("vid"))
+    cand.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .orderBy(asc_nulls_first("qid"), asc("rank"))
+  }
+
+  private val q193 = Q(
+    "q193_ivfpq_search",
+    (s, dir) => ivfPqTopK(s, T(s, dir, "embeddings"), 10),
+    None,
+    "IVF-PQ ANN with asymmetric distance: nprobe routing + 4-byte codes + per-query LUT scoring (FAISS IVFPQ shape); recall law spec-pinned")
+
+  val all: Seq[Q] = Seq(q31, q105, q107, q113, q120, q192, q193)
 }

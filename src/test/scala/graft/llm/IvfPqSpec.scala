@@ -1,0 +1,65 @@
+package graft.llm
+
+import graft.{Sessions, T}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** q193's approximation laws — the checks a rows-only ANN query needs in
+  * place of a SQL oracle. */
+class IvfPqSpec extends AnyFunSuite {
+
+  private lazy val spark = Sessions.build("local[4]", 4)
+  private val dir = "/root/testdata/sf0.001"
+
+  private def vecs(): Array[(Long, Array[Double])] =
+    T(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+
+  test("a codebook seed encodes to itself: zero quantization error per subspace") {
+    val emb = T(spark, dir, "embeddings")
+    val books = Ivf.pqBooks(emb)
+    val seeds = vecs().filter(_._1 < Ivf.PqCodes).sortBy(_._1)
+    for ((id, v) <- seeds) {
+      val codes = Ivf.pqEncode(v.toSeq, books.map(_.map(_.toSeq).toSeq).toSeq)
+      for (g <- 0 until Ivf.PqGroups) {
+        val sub = v.slice(g * Ivf.PqSubDim, (g + 1) * Ivf.PqSubDim)
+        val cent = books(g)(codes(g))
+        val err = sub.zip(cent).map { case (a, b) => (a - b) * (a - b) }.sum
+        assert(err == 0.0, s"seed $id group $g: code ${codes(g)} has error $err")
+      }
+    }
+  }
+
+  test("recall@10 of ADC search vs exact brute-force top-10") {
+    // sf0.01 (500 vectors): random top-10 recall would be ~0.02, so the
+    // floor below is a real discrimination test; at sf0.001 (50 vectors)
+    // chance alone is 0.2 and the assertion would be vacuous
+    val dir01 = "/root/testdata/sf0.01"
+    val approx = Ivf.ivfPqTopK(spark, T(spark, dir01, "embeddings"), 10)
+      .select(col("qid"), col("vid")).collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    val all = T(spark, dir01, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val queries = all.filter(_._1 < 5)
+    var hit = 0; var tot = 0
+    for ((qid, qv) <- queries) {
+      val exact = all.filter(_._1 != qid)
+        .map { case (vid, v) =>
+          (vid, qv.zip(v).map { case (a, b) => (a - b) * (a - b) }.sum)
+        }
+        .sortBy { case (vid, d) => (d, vid) }.take(10).map(_._1).toSet
+      hit += exact.intersect(approx.getOrElse(qid, Set.empty)).size
+      tot += 10
+    }
+    val recall = hit.toDouble / tot
+    info(f"recall@10 = $recall%.2f")
+    // PQ with 16 seed-derived codes per subspace + nprobe=4 routing is a
+    // coarse quantizer; measured 0.28 here vs 0.02 chance (14x). The law
+    // is "far better than chance", not "perfect" — brute-force cosine
+    // (q28) is the exact path, and production would train codebooks with
+    // q120's Lloyd step and raise nprobe.
+    assert(recall >= 0.15, f"recall@10 $recall%.2f below floor (chance is 0.02)")
+  }
+}
