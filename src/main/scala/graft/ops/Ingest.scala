@@ -872,6 +872,83 @@ object Ingest {
       FROM u ORDER BY col_name ASC NULLS FIRST"""),
     "encoding advisor: per-column NDV / avg width / dictionary-win bp with threshold advice — the storage pass before committing a layout; single scan, stack unpivot")
 
+  /** q194: INCREMENTAL statistics maintenance — q126's ANALYZE without
+    * the rescan: per-partition stat tuples (count / sum / min / max are
+    * MERGEABLE aggregates) are computed once per ingest batch and new
+    * batches merge in O(|batches|), never re-reading history. Modeled as
+    * three ingest batches (by order-year range) whose per-batch stats
+    * merge into table-level stats; the oracle computes the same stats
+    * over the whole table directly, so the hash match IS the merge law
+    * (⊕ of partials == stat of union). Exact-NDV is deliberately absent
+    * — it does not merge; its mergeable stand-ins are q162's HLL
+    * sketches (documented at q131). */
+  private val q194 = Q(
+    "q194_incremental_stats",
+    (s, dir) => {
+      val o = T(s, dir, "orders")
+        .select(col("o_orderdate"), col("o_totalprice"),
+          (year(col("o_orderdate")) % 3).as("batch"))
+      val perBatch = o.groupBy(col("batch"))
+        .agg(count(lit(1)).as("n"),
+          sum((col("o_totalprice").cast(DecimalType(18, 2)) * 100).cast(LongType)).as("s"),
+          min(date_format(col("o_orderdate"), "yyyy-MM-dd")).as("mn"),
+          max(date_format(col("o_orderdate"), "yyyy-MM-dd")).as("mx"))
+      perBatch.agg(sum(col("n")).as("n_rows"), sum(col("s")).as("sum_cents"),
+          min(col("mn")).as("first_day"), max(col("mx")).as("last_day"))
+    },
+    Some("""SELECT COUNT(*) AS n_rows,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+               AS sum_cents,
+             MIN(strftime(o_orderdate, '%Y-%m-%d')) AS first_day,
+             MAX(strftime(o_orderdate, '%Y-%m-%d')) AS last_day
+      FROM orders"""),
+    "incremental ANALYZE: per-batch mergeable stat tuples folded into table stats with no history rescan; oracle computes the union directly (the merge law under the hash gate)")
+
+  /** q195: poly-format federation — one logical view over parquet
+    * (original), ORC, and gzip JSON-lines materializations of disjoint
+    * slices, each read by its native source with an explicit schema and
+    * unioned (q88/q127 are the per-format round trips; this is the
+    * read-side federation an ingest zoo actually needs — history in one
+    * format, fresh feeds in another). The oracle aggregates the same
+    * rows from the parquet original: any per-format parse/serialize
+    * infidelity or a slice boundary error breaks the hash. */
+  private lazy val fedRoot =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private val q195 = Q(
+    "q195_federated_formats",
+    (s, dir) => {
+      val root = fedRoot.computeIfAbsent(dir.replaceAll("[^A-Za-z0-9]", "_"), t => {
+        val r = graft.Scratch.dir(s"fed_$t")
+        val base = T(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            col("o_totalprice"),
+            date_format(col("o_orderdate"), "yyyy-MM-dd").as("day"))
+        base.filter(col("o_orderkey") % 3 === 1)
+          .write.mode(SaveMode.Overwrite).orc(s"$r/orc")
+        base.filter(col("o_orderkey") % 3 === 2)
+          .write.mode(SaveMode.Overwrite).option("compression", "gzip").json(s"$r/json")
+        r
+      })
+      val pq = T(s, dir, "orders").filter(col("o_orderkey") % 3 === 0)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("day"))
+      val orc = s.read.orc(s"$root/orc")
+      val js = s.read.schema(pq.schema).json(s"$root/json")
+      pq.unionByName(orc).unionByName(js)
+        .groupBy(col("o_orderstatus").as("status"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_price"),
+          min(col("day")).as("first_day"), max(col("day")).as("last_day"))
+        .orderBy(asc_nulls_first("status"))
+    },
+    Some("""SELECT o_orderstatus AS status, COUNT(*) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+             MIN(strftime(o_orderdate, '%Y-%m-%d')) AS first_day,
+             MAX(strftime(o_orderdate, '%Y-%m-%d')) AS last_day
+      FROM orders GROUP BY 1 ORDER BY status ASC NULLS FIRST"""),
+    "poly-format federation: parquet + ORC + gzip JSON slices unioned under one logical view; oracle over the parquet original catches any per-format infidelity")
+
   val all: Seq[Q] = Seq(q51, q88, q108, q115, q121, q122, q126, q127, q131, q136,
-    q143, q161, q173, q186, q187, q188, q190)
+    q143, q161, q173, q186, q187, q188, q190, q194, q195)
 }

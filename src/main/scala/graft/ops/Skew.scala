@@ -87,5 +87,54 @@ object Skew {
       ORDER BY li.l_returnflag ASC NULLS FIRST"""),
     "salted hot-key JOIN (fact salted, build replicated), oracle-equal to the plain join (scale surface)")
 
-  val all: Seq[graft.Q] = Seq(q66, q79)
+  /** q196: skew ADVISOR — the diagnostic that tells you whether q66/q79's
+    * mitigations are even needed: the per-key count distribution of a
+    * join/agg key, summarized as exact rank statistics (p50/p99/max of
+    * key multiplicity), the p99/p50 ratio in bp, and the hot-key count
+    * (> 3× median). Computed over the COUNT-OF-COUNTS table — |distinct
+    * multiplicities| rows, a bounded domain, so the rank stats need no
+    * global sort of keys (min-over-cumulative formulation, exactly
+    * q175's half-weight trick). The oracle re-derives every statistic
+    * declaratively from the same count-of-counts. */
+  private val q196 = graft.Q(
+    "q196_skew_advisor",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val perKey = graft.T(s, dir, "lineitem")
+        .groupBy(col("l_suppkey")).agg(count(lit(1)).as("cnt"))
+      val coc = perKey.groupBy(col("cnt")).agg(count(lit(1)).as("nk"))
+      val w = Window.orderBy(asc("cnt"))
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = Window.partitionBy()
+      val ranked = coc.withColumn("cum", sum(col("nk")).over(w))
+        .withColumn("n_keys", sum(col("nk")).over(tot))
+      val p50 = ranked.filter(col("cum") * 2 >= col("n_keys"))
+        .agg(min(col("cnt"))).first().getLong(0)
+      val p99 = ranked.filter(col("cum") * 100 >= col("n_keys") * 99)
+        .agg(min(col("cnt"))).first().getLong(0)
+      perKey.agg(count(lit(1)).as("n_keys"), max(col("cnt")).as("max_cnt"),
+          sum((col("cnt") > 3 * p50).cast("long")).as("hot_keys"))
+        .select(col("n_keys"), lit(p50).as("p50"), lit(p99).as("p99"),
+          col("max_cnt"), expr(s"(10000 * ${p99}) div ${p50}").as("p99_p50_bp"),
+          col("hot_keys"))
+    },
+    Some("""WITH pk AS (SELECT l_suppkey, COUNT(*) AS cnt FROM lineitem GROUP BY 1),
+      coc AS (SELECT cnt, COUNT(*) AS nk FROM pk GROUP BY 1),
+      tot AS (SELECT CAST(SUM(nk) AS BIGINT) AS n_keys FROM coc),
+      p50 AS (SELECT MIN(cnt) AS v FROM coc a
+              WHERE 2 * (SELECT SUM(nk) FROM coc b WHERE b.cnt <= a.cnt)
+                    >= (SELECT n_keys FROM tot)),
+      p99 AS (SELECT MIN(cnt) AS v FROM coc a
+              WHERE 100 * (SELECT SUM(nk) FROM coc b WHERE b.cnt <= a.cnt)
+                    >= 99 * (SELECT n_keys FROM tot))
+      SELECT (SELECT n_keys FROM tot) AS n_keys,
+             (SELECT v FROM p50) AS p50, (SELECT v FROM p99) AS p99,
+             (SELECT MAX(cnt) FROM pk) AS max_cnt,
+             CAST((10000 * (SELECT v FROM p99)) // (SELECT v FROM p50) AS BIGINT)
+               AS p99_p50_bp,
+             CAST((SELECT COUNT(*) FROM pk WHERE cnt > 3 * (SELECT v FROM p50)) AS BIGINT)
+               AS hot_keys"""),
+    "skew advisor: exact rank stats (p50/p99/max) of key multiplicity over the count-of-counts domain (no key sort), hot-key census; the diagnostic feeding q66/q79")
+
+  val all: Seq[graft.Q] = Seq(q66, q79, q196)
 }
