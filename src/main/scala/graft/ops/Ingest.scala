@@ -949,6 +949,102 @@ object Ingest {
       FROM orders GROUP BY 1 ORDER BY status ASC NULLS FIRST"""),
     "poly-format federation: parquet + ORC + gzip JSON slices unioned under one logical view; oracle over the parquet original catches any per-format infidelity")
 
+  /** q197: dead-letter ingest — the malformed-row routing every raw feed
+    * needs (q127 round-trips CLEAN JSON; real feeds aren't): a staged
+    * JSON-lines feed with every 50th line corrupted is read PERMISSIVE
+    * with `columnNameOfCorruptRecord`, good rows flow to the table and
+    * corrupt rows to the dead-letter side with their raw payload
+    * preserved for replay. Lines are constructed with explicit concat
+    * (not to_json — engine field-order/spacing differs), so the oracle
+    * can re-derive every statistic INCLUDING the corrupt payload bytes
+    * from the source table without parsing anything.
+    *
+    * Scale shape: PERMISSIVE parse is map-side; good/bad split is one
+    * filter each over the same scan; the DLQ carries raw strings, the
+    * main path only parsed columns. */
+  private val q197 = Q(
+    "q197_dead_letter",
+    (s, dir) => {
+      val t = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val feed = graft.Scratch.dir(s"dlq_feed_$t")
+      val marker = java.nio.file.Paths.get(feed, "_SUCCESS")
+      if (!java.nio.file.Files.exists(marker)) {
+        T(s, dir, "orders")
+          .select(concat(
+            when(col("o_orderkey") % 50 === 0, lit("XX")).otherwise(lit("")),
+            lit("{\"k\":"), col("o_orderkey"),
+            lit(",\"p\":"), (col("o_totalprice").cast(DecimalType(18, 2)) * 100).cast(LongType),
+            lit(",\"s\":\""), col("o_orderstatus"), lit("\"}")).as("value"))
+          .write.mode(SaveMode.Overwrite).text(feed)
+      }
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("p", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("s", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("_bad", org.apache.spark.sql.types.StringType)))
+      val parsed = s.read.schema(schema)
+        .option("columnNameOfCorruptRecord", "_bad").json(feed)
+      // one conditional aggregate over one scan — also sidesteps Spark's
+      // restriction on queries referencing ONLY the corrupt-record column
+      parsed.agg(
+        sum(when(col("_bad").isNull, 1L).otherwise(0L)).as("n_good"),
+        sum(when(col("_bad").isNull, col("p"))).as("good_cents"),
+        sum(when(col("_bad").isNotNull, 1L).otherwise(0L)).as("n_dead"),
+        sum(when(col("_bad").isNotNull, length(col("_bad")).cast(LongType)))
+          .as("dead_chars"))
+    },
+    Some("""WITH src AS (
+        SELECT o_orderkey AS k,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS p,
+               o_orderstatus AS st
+        FROM orders)
+      SELECT CAST(COUNT(*) FILTER (WHERE k % 50 <> 0) AS BIGINT) AS n_good,
+             CAST(SUM(p) FILTER (WHERE k % 50 <> 0) AS BIGINT) AS good_cents,
+             CAST(COUNT(*) FILTER (WHERE k % 50 = 0) AS BIGINT) AS n_dead,
+             CAST(SUM(CASE WHEN k % 50 = 0 THEN
+               2 + length('{"k":' || k || ',"p":' || p || ',"s":"' || st || '"}')
+             END) AS BIGINT) AS dead_chars
+      FROM src"""),
+    "dead-letter ingest: PERMISSIVE parse with corrupt-record routing, raw payload preserved for replay; oracle re-derives good/DLQ stats (incl. payload bytes) without parsing")
+
+  /** q199: reprocessing-window incremental model (the lambda-architecture
+    * refresh a dbt-style daily model runs): history older than the
+    * cutoff is FROZEN — aggregated once and reused file-identical across
+    * runs (ReprocessSpec pins the file mtimes) — while the recent window
+    * is recomputed from raw on every run, because late-arriving facts
+    * only ever land there. The published model is frozen ∪ recomputed;
+    * the oracle aggregates the whole table directly, so the hash match
+    * proves the split-and-union refresh equals the full recompute. */
+  private val q199 = Q(
+    "q199_reprocess_window",
+    (s, dir) => reprocessModel(s, dir),
+    Some("""SELECT strftime(o_orderdate, '%Y-%m') AS month, COUNT(*) AS n_orders,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+               AS sum_cents
+      FROM orders GROUP BY 1 ORDER BY month ASC NULLS FIRST"""),
+    "reprocessing-window refresh: frozen history reused file-identical, hot window recomputed from raw; oracle = full recompute (split-union equivalence under the hash gate)")
+
+  def reprocessModel(s: SparkSession, dir: String): DataFrame = {
+    val t = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val frozen = graft.Scratch.dir(s"frozen_model_$t")
+    val cutoff = "2000-01"
+    val marker = java.nio.file.Paths.get(frozen, "_SUCCESS")
+    val monthly = T(s, dir, "orders")
+      .select(date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+        (col("o_totalprice").cast(DecimalType(18, 2)) * 100).cast(LongType).as("cents"))
+    if (!java.nio.file.Files.exists(marker)) {
+      monthly.filter(col("month") < cutoff)
+        .groupBy(col("month"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("sum_cents"))
+        .write.mode(SaveMode.Overwrite).parquet(frozen)
+    }
+    val hot = monthly.filter(col("month") >= cutoff)
+      .groupBy(col("month"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("sum_cents"))
+    s.read.parquet(frozen).unionByName(hot)
+      .orderBy(asc_nulls_first("month"))
+  }
+
   val all: Seq[Q] = Seq(q51, q88, q108, q115, q121, q122, q126, q127, q131, q136,
-    q143, q161, q173, q186, q187, q188, q190, q194, q195)
+    q143, q161, q173, q186, q187, q188, q190, q194, q195, q197, q199)
 }

@@ -910,6 +910,103 @@ object Streams {
       GROUP BY t.trade_id ORDER BY trade_id ASC NULLS FIRST"""),
     "stream-stream LEFT OUTER interval join: unmatched trades emit null-padded on watermark passage (sentinel-flushed at end-of-stream); oracle is the batch LEFT JOIN")
 
+  /** q198: stream-stream FULL OUTER interval join — the last cell of the
+    * streaming join matrix (q65 inner, q168 left): BOTH sides' unmatched
+    * rows emit null-padded when the watermark passes their eviction
+    * bound — unmatched quotes surface here, which even the left join
+    * silently drops. Same sentinel end-of-stream flush as q168 (both
+    * branches carry a sentinel row; both excluded from the partials).
+    * The result is the reconciliation summary: matched pairs, orphans
+    * per side, and value totals — exactly the audit a trade/quote (or
+    * clickstream/conversion) reconciliation job publishes. Oracle is the
+    * batch FULL JOIN aggregated the same way. */
+  def streamFullOuterJoin(s: SparkSession, dir: String): DataFrame = withStatePartitions(s, 8) {
+    val src0 = s"$dir/events.parquet"
+    val schema = s.read.parquet(src0).schema
+    val stage = java.nio.file.Paths.get(graft.Scratch.fresh("foj_stage"))
+    java.nio.file.Files.createSymbolicLink(
+      stage.resolve("events.parquet"), java.nio.file.Paths.get(src0))
+    def src = s.readStream.schema(schema).parquet(stage.toString)
+      .withColumn("tss", date_trunc("second", expr("timestamp_micros(ts div 1000)")))
+    val trades = src.filter(pmod(col("event_id"), lit(5)) === 0)
+      .select(col("event_id").as("trade_id"), col("user_id"), col("tss").as("t_ts"))
+      .withWatermark("t_ts", "25 hours")
+    val quotes = src.filter(pmod(col("event_id"), lit(5)) =!= 0 && col("value") >= 8.0)
+      .select(col("event_id").as("quote_id"), col("user_id").as("q_user"),
+        col("tss").as("q_ts"), col("value").as("qval"))
+      .withWatermark("q_ts", "25 hours")
+    val joined = trades.join(quotes,
+      col("user_id") === col("q_user") &&
+        col("q_ts") >= col("t_ts") - expr("interval 24 hours") &&
+        col("q_ts") <= col("t_ts"),
+      "fullOuter")
+      .select(col("trade_id"), col("quote_id"), col("qval"))
+    val partialsDir = graft.Scratch.fresh("foj_partials")
+    val q = joined.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch
+          .filter(coalesce(col("trade_id"), lit(0L)) >= 0 &&
+            coalesce(col("quote_id"), lit(0L)) >= 0)
+          .agg(
+            sum(when(col("trade_id").isNotNull && col("quote_id").isNotNull, 1L)
+              .otherwise(0L)).as("pairs"),
+            sum(when(col("quote_id").isNull, 1L).otherwise(0L)).as("ut"),
+            sum(when(col("trade_id").isNull, 1L).otherwise(0L)).as("uq"),
+            sum(when(col("trade_id").isNotNull,
+              col("qval").cast(DecimalType(18, 2)))).as("mv"),
+            sum(when(col("trade_id").isNull,
+              col("qval").cast(DecimalType(18, 2)))).as("ov"))
+          .write.mode("append").parquet(partialsDir)
+        ()
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      val maxTs = s.read.parquet(src0).agg(max(col("ts"))).head().getLong(0)
+      for (i <- 1 to 2) {
+        val farNs = maxTs + (4000L + i) * 3600L * 1000000000L
+        val sentinel = s.range(2).select(schema.fields.map { f =>
+          f.name match {
+            case "event_id" => when(col("id") === 0, lit(-5L)).otherwise(lit(-1L)).as("event_id")
+            case "ts" => lit(farNs).as("ts")
+            case "user_id" => lit(-1L).as("user_id")
+            case "value" => lit(9.99).as("value")
+            case other => lit(null).cast(f.dataType).as(other)
+          }
+        }: _*)
+        sentinel.write.mode("append").parquet(stage.toString)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    s.read.parquet(partialsDir)
+      .agg(sum(col("pairs")).as("n_pairs"),
+        sum(col("ut")).as("n_unmatched_trades"),
+        sum(col("uq")).as("n_unmatched_quotes"),
+        sum(col("mv")).cast(DoubleType).as("matched_value"),
+        sum(col("ov")).cast(DoubleType).as("orphan_value"))
+  }
+
+  private val q198 = Q(
+    "q198_stream_full_outer_join",
+    (s, dir) => streamFullOuterJoin(s, dir),
+    Some("""WITH e AS (SELECT event_id, user_id, date_trunc('second', ts) AS tss, value FROM events),
+      t AS (SELECT event_id AS trade_id, user_id, tss FROM e WHERE event_id % 5 = 0),
+      q AS (SELECT event_id AS quote_id, user_id, tss, value FROM e
+            WHERE event_id % 5 <> 0 AND value >= 8.0),
+      j AS (SELECT t.trade_id, q.quote_id, q.value
+            FROM t FULL JOIN q ON t.user_id = q.user_id
+                 AND q.tss >= t.tss - INTERVAL 24 HOUR AND q.tss <= t.tss)
+      SELECT CAST(COUNT(*) FILTER (WHERE trade_id IS NOT NULL AND quote_id IS NOT NULL) AS BIGINT)
+               AS n_pairs,
+             CAST(COUNT(*) FILTER (WHERE quote_id IS NULL) AS BIGINT) AS n_unmatched_trades,
+             CAST(COUNT(*) FILTER (WHERE trade_id IS NULL) AS BIGINT) AS n_unmatched_quotes,
+             CAST(SUM(CASE WHEN trade_id IS NOT NULL THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE)
+               AS matched_value,
+             CAST(SUM(CASE WHEN trade_id IS NULL THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE)
+               AS orphan_value
+      FROM j"""),
+    "stream-stream FULL OUTER interval join: both sides' orphans emit on watermark passage (sentinel-flushed); reconciliation summary matches the batch FULL JOIN")
+
   val all: Seq[Q] = Seq(q50, q52, q65, q73, q80, q109, q114, q117, q142, q148, q154,
-    q168)
+    q168, q198)
 }
