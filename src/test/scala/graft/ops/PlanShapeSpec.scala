@@ -320,6 +320,22 @@ class PlanShapeSpec extends AnyFunSuite {
       s"month-spec scan not pruned: $filters")
   }
 
+  test("q189 equi-depth histogram: the row_number window is PARTITIONED (no global sort)") {
+    val p = planOf("q189_equidepth_histogram")
+    val windows = p.linesIterator.filter(_.contains("windowspecdefinition")).toList
+    assert(windows.nonEmpty)
+    assert(windows.forall(_.contains("vb#")),
+      s"rank window lost its value-bucket partitioning: $windows")
+  }
+
+  test("q184 TWAP: one user-keyed exchange feeds the lead window and the aggregate") {
+    val p = planOf("q184_twap")
+    val userExchanges = p.linesIterator
+      .count(_.contains("hashpartitioning(user_id"))
+    assert(userExchanges == 1,
+      s"expected exactly one user_id exchange, got $userExchanges")
+  }
+
   test("q191 kNN grid join is a hash equi-join on cells — no nested loop") {
     val p = planOf("q191_knn_grid_join")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
