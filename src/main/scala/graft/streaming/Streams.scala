@@ -836,7 +836,12 @@ object Streams {
     * merged exactly. The unmatched trade contributes one null row →
     * n=0/s=NULL partials, so the merged output preserves LEFT JOIN
     * aggregate semantics (count 0, sum NULL) without special-casing. */
-  def streamLeftOuterJoin(s: SparkSession, dir: String): DataFrame = withStatePartitions(s, 8) {
+  // 4 state partitions, not the module's usual 8: the OUTER joins keep 4
+  // state stores per partition on BOTH sides and re-commit them across the
+  // two sentinel flush batches, so the fixed commit cost dominates —
+  // measured at sf0.1 (local[8], warm): q168 6.3 s → 4.6 s, q198
+  // 10.0 s → 5.0 s going 8 → 4.
+  def streamLeftOuterJoin(s: SparkSession, dir: String): DataFrame = withStatePartitions(s, 4) {
     val src0 = s"$dir/events.parquet"
     val schema = s.read.parquet(src0).schema
     val stage = java.nio.file.Paths.get(graft.Scratch.fresh("loj_stage"))
@@ -920,7 +925,7 @@ object Streams {
     * per side, and value totals — exactly the audit a trade/quote (or
     * clickstream/conversion) reconciliation job publishes. Oracle is the
     * batch FULL JOIN aggregated the same way. */
-  def streamFullOuterJoin(s: SparkSession, dir: String): DataFrame = withStatePartitions(s, 8) {
+  def streamFullOuterJoin(s: SparkSession, dir: String): DataFrame = withStatePartitions(s, 4) {
     val src0 = s"$dir/events.parquet"
     val schema = s.read.parquet(src0).schema
     val stage = java.nio.file.Paths.get(graft.Scratch.fresh("foj_stage"))
