@@ -31,18 +31,63 @@ object T {
     * raw long under `spark.sql.legacy.parquet.nanosAsLong=true` (set in
     * [[Sessions]]); convert here (ns → µs floor) so queries see a real
     * timestamp column. */
-  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    df.schema.find(f => f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType)
-      .map(_ => df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)")))
-      .getOrElse(df)
-  }
+  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    Ts.norm(spark.read.parquet(s"$sfDir/$name.parquet"))
 }
 
 /** Central session tuning shared by Verify / Bench / tests. local[N] is a
   * stand-in for a multi-executor cluster: shuffle partitions sized to cores
   * (not the 200 default), AQE on (runtime coalescing + skew-join splitting),
   * nanos parquet read enabled for the events table. */
+/** The ONE place that knows how the driver data's `ts` column is stored.
+  * Driver generations have shipped it two ways — parquet TIMESTAMP(NANOS)
+  * (readable only as a raw long under `nanosAsLong`) and TIMESTAMP(MICROS,
+  * isAdjustedToUTC=false) (reads as TIMESTAMP_NTZ, which unix_micros /
+  * window() reject) — so every consumer normalizes through here instead of
+  * hard-coding one physical type. Under the UTC session the NTZ→LTZ cast
+  * is the identity on the stored micros and matches DuckDB's naive
+  * reading (SURVEY.md §5 timestamp convention). Works on batch AND
+  * streaming frames (schema is known pre-execution for both). */
+object Ts {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions.{col, expr, unix_micros}
+  import org.apache.spark.sql.types.{LongType, StructType, TimestampNTZType, TimestampType}
+
+  /** Normalize a `ts` column of any driver generation to TIMESTAMP (LTZ). */
+  def norm(df: DataFrame): DataFrame = df.schema.find(_.name == "ts").map(_.dataType) match {
+    case Some(LongType) => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    case Some(TimestampNTZType) => df.withColumn("ts", col("ts").cast(TimestampType))
+    case _ => df
+  }
+
+  /** Epoch-micros Column over the raw `ts` field of `schema`. */
+  def microsCol(schema: StructType): Column = schema.find(_.name == "ts").map(_.dataType) match {
+    case Some(LongType) => expr("ts div 1000")
+    case Some(TimestampNTZType) => unix_micros(col("ts").cast(TimestampType))
+    case _ => unix_micros(col("ts"))
+  }
+
+  /** Max of the raw `ts` column as epoch NANOS — the unit the streaming
+    * sentinel arithmetic (watermark-flush rows far in the future) is
+    * written in, independent of the storage type. */
+  def maxNanos(s: SparkSession, path: String): Long = {
+    val df = s.read.parquet(path)
+    df.schema.find(_.name == "ts").map(_.dataType) match {
+      case Some(LongType) => df.agg(org.apache.spark.sql.functions.max(col("ts"))).head().getLong(0)
+      case _ => df.agg(org.apache.spark.sql.functions.max(
+        unix_micros(col("ts").cast(TimestampType)))).head().getLong(0) * 1000L
+    }
+  }
+
+  /** Literal epoch-nanos value rendered in the raw `ts` type of `schema`
+    * (so sentinel rows appended to a staged source parse under it). */
+  def litNanos(schema: StructType, ns: Long): Column =
+    schema.find(_.name == "ts").map(_.dataType) match {
+      case Some(LongType) => org.apache.spark.sql.functions.lit(ns)
+      case _ => expr(s"cast(timestamp_micros(${ns / 1000L}) as timestamp_ntz)")
+    }
+}
+
 object Sessions {
   def build(master: String, shufflePartitions: Int): SparkSession = {
     val s = SparkSession.builder()

@@ -752,9 +752,14 @@ object Dedup {
       // shingles())
       val corpus = Pipeline.plantedCorpus(s, dir)
         .select(col("doc_id"), col("text"), substring(col("text"), 1, 24).as("skey"),
+          // size guard: the oracle's generate_series(1, len-2) is empty for
+          // <3-token docs, while Spark's sequence(1, 0) steps DOWN to
+          // [1, 0] and element_at(ws, 0) throws — the slice truncates the
+          // index list to max(size-2, 0) entries, so short docs yield an
+          // empty shingle set on both sides (q146's guard, slice form)
           expr("element_at(transform(array(filter(split(text, ' '), x -> x <> '')), " +
             "ws -> array_sort(array_distinct(transform(" +
-            "sequence(1, greatest(0, size(ws) - 2)), " +
+            "slice(sequence(1, greatest(size(ws) - 2, 1)), 1, greatest(size(ws) - 2, 0)), " +
             "i -> xxhash64(concat_ws(' ', " +
             "element_at(ws, i), element_at(ws, i + 1), element_at(ws, i + 2))))))), 1)")
             .as("sh"))
@@ -839,6 +844,44 @@ object Dedup {
     * candidate pair set. The oracle answers all-pairs declaratively from
     * raw text — completeness of the filter is therefore under the hash
     * gate, not just the similarity arithmetic. */
+  /** PPJoin candidate generation: rarest-first prefix selection + prefix
+    * equi-join + the standard LENGTH FILTER. Both pruning rules are
+    * lossless at t = 0.6:
+    *  - prefix filter: if J(A,B) ≥ t the two prefixes (first
+    *    |d| − ⌈t·|d|⌉ + 1 shingles in global (df, hash) order) provably
+    *    share a shingle;
+    *  - length filter: J(A,B) ≥ t ⇒ |A∩B| ≥ t·|A∪B| ≥ t·max(|A|,|B|)
+    *    and |A∩B| ≤ min(|A|,|B|), so min ≥ t·max — integer-exact as
+    *    10·min ≥ 6·max.
+    * The length filter is what bounds fan-out on mixed-size clone
+    * families (truncation dups, template-heavy pages): the prefix rule
+    * alone relies on the global df order separating a cluster's
+    * shingles, but inside a near-clone cluster global dfs tie and the
+    * hash tie-break scatters prefixes across the whole position range —
+    * every pair collides and the candidate set degrades toward
+    * O(cluster²). The size predicate restores the O(cluster·window)
+    * bound (`PpjoinSpec` plants exactly this adversarial fixture).
+    * `lengthFilter = false` exists only so the spec can measure the
+    * unfiltered fan-out. */
+  private[graft] def ppjoinCandidates(sh: DataFrame, sizes: DataFrame,
+      lengthFilter: Boolean = true): DataFrame = {
+    val df = sh.groupBy(col("sgh")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(asc("df"), asc("sgh"))
+    val prefix = sh.join(df, Seq("sgh")).join(sizes, Seq("doc_id"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= col("n") - expr("(6 * n + 9) div 10") + 1)
+      .select(col("doc_id"), col("sgh"), col("n"))
+    val lenOk =
+      if (lengthFilter) col("a.n") * 6 <= col("b.n") * 10 &&
+        col("b.n") * 6 <= col("a.n") * 10
+      else lit(true)
+    prefix.as("a")
+      .join(prefix.as("b"),
+        col("a.sgh") === col("b.sgh") && col("a.doc_id") < col("b.doc_id") && lenOk)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
   private val q179 = Q(
     "q179_prefix_filter_join",
     (s, dir) => {
@@ -850,18 +893,8 @@ object Dedup {
         .select(col("doc_id"), explode(shingles("text")).as("sg"))
         .select(col("doc_id"), xxhash64(col("sg")).as("sgh"))
         .localCheckpoint()
-      val df = sh.groupBy(col("sgh")).agg(count(lit(1)).as("df"))
       val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-      val w = Window.partitionBy(col("doc_id")).orderBy(asc("df"), asc("sgh"))
-      val prefix = sh.join(df, Seq("sgh")).join(sizes, Seq("doc_id"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= col("n") - expr("(6 * n + 9) div 10") + 1)
-        .select(col("doc_id"), col("sgh"))
-      val cands = prefix.as("a")
-        .join(prefix.as("b"),
-          col("a.sgh") === col("b.sgh") && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .distinct()
+      val cands = ppjoinCandidates(sh, sizes)
       val inter = cands
         .join(sh.select(col("doc_id").as("doc_a"), col("sgh")), Seq("doc_a"))
         .join(sh.select(col("doc_id").as("doc_b"), col("sgh")), Seq("doc_b", "sgh"))
@@ -875,11 +908,13 @@ object Dedup {
           expr("(10000 * inter) div un").as("jac_bp"))
         .orderBy(asc_nulls_first("doc_a"), asc_nulls_first("doc_b"))
     },
-    Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    Some("""WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents),
       sh AS (SELECT DISTINCT doc_id, sg FROM (
         SELECT doc_id,
-               unnest([array_to_string(ws[i:i+2], ' ')
-                       FOR i IN generate_series(1, len(ws) - 2)]) AS sg
+               unnest(CASE WHEN len(ws) >= 3
+                      THEN [array_to_string(ws[i:i+2], ' ')
+                            FOR i IN generate_series(1, len(ws) - 2)]
+                      ELSE [text] END) AS sg
         FROM w)),
       sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
       inter AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i

@@ -966,7 +966,11 @@ object Analytics {
       val ref = ev.agg(max(col("us")).as("ref_us"))
       ev.crossJoin(broadcast(ref))
         .withColumn("cents", floor(col("value") * 100).cast(LongType))
-        .withColumn("bucket", expr("((ref_us - us) div 86400000000L) div 7"))
+        // clamp: Java << wraps the shift amount mod 64 (bucket 64 would
+        // divide by 1, bucket 63 by a NEGATIVE 2^63) while DuckDB does
+        // not — and cents < 2^40, so every bucket ≥ 40 decays to 0
+        // anyway; least(bucket, 62) keeps both engines exact and equal
+        .withColumn("bucket", expr("least(((ref_us - us) div 86400000000L) div 7, 62L)"))
         .withColumn("decayed", expr("cents div shiftleft(1L, cast(bucket AS int))"))
         .groupBy(col("user_id"))
         .agg(count(lit(1)).as("n_events"),
@@ -979,7 +983,7 @@ object Analytics {
       r AS (SELECT MAX(us) AS ref_us FROM e),
       d AS (SELECT user_id,
               CAST(FLOOR(value * 100) AS BIGINT) AS cents,
-              ((r.ref_us - us) // 86400000000) // 7 AS bucket
+              LEAST(((r.ref_us - us) // 86400000000) // 7, 62) AS bucket
             FROM e, r)
       SELECT user_id, COUNT(*) AS n_events,
              CAST(SUM(cents) AS BIGINT) AS raw_cents,
@@ -1289,8 +1293,9 @@ object Analytics {
     (s, dir) => {
       val e = T(s, dir, "events")
         .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
-          col("event_type"))
-      val byUser = Window.partitionBy(col("user_id")).orderBy(asc("ts_us"))
+          col("event_id"), col("event_type"))
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(asc("ts_us"), asc("event_id"))
       val trans = e.withColumn("to_type", lead(col("event_type"), 1).over(byUser))
         .filter(col("to_type").isNotNull)
         .groupBy(col("event_type").as("from_type"), col("to_type"))
@@ -1464,10 +1469,12 @@ object Analytics {
   /** q182: chi-square contingency audit — the categorical-association
     * sibling of q140's TVD drift: are order priority and order status
     * independent? Per cell, the χ² contribution (obs·N − rt·ct)² /
-    * (rt·ct·N) quantized ×10⁴ — all integer and all INT64: the naive
-    * 10⁴·d² product would overflow, so the quotient is assembled as
-    * 10⁴·(d² div den) + (10⁴·(d² mod den)) div den, whose every
-    * intermediate fits a long (d² ≤ 6e15, remainder < den ≤ 4e11).
+    * (rt·ct·N) quantized ×10⁴ — all exact integer arithmetic: d² is
+    * computed in DECIMAL(38,0) (oracle: HUGEINT), exact to 1e38, so the
+    * guarantee holds to ~3e9 rows even for fully dependent columns
+    * (int64 d² was only empirically safe); the quotient is assembled as
+    * 10⁴·(d² div den) + (10⁴·(d² mod den)) div den so no intermediate
+    * exceeds the decimal width.
     * Every operand is non-negative, so div/floor agree. One
     * |cells|-sized aggregate plus three windows over the 15-row
     * contingency table — marginals never rescan the fact table. */
@@ -1484,10 +1491,16 @@ object Analytics {
         .withColumn("rt", sum(col("obs")).over(byP))
         .withColumn("ct", sum(col("obs")).over(byS))
         .withColumn("n", sum(col("obs")).over(all0))
-        .withColumn("d2", expr("(obs*n - rt*ct) * (obs*n - rt*ct)"))
-        .withColumn("den", expr("rt * ct * n"))
+        // d² in DECIMAL(38,0): the int64 bound (d² ≤ 9.2e18 → N ≤ ~55k
+        // rows guaranteed) was only empirically safe; decimal is exact to
+        // 1e38 (N ≤ ~3e9 rows even fully dependent). The oracle uses
+        // HUGEINT — both are exact integers over the whole range, and
+        // Spark's div on decimals returns the BIGINT quotient directly.
+        .withColumn("d", expr("cast(obs*n - rt*ct AS decimal(19,0))"))
+        .withColumn("d2", expr("cast(d * d AS decimal(38,0))"))
+        .withColumn("den", expr("cast(rt * ct * n AS decimal(38,0))"))
         .withColumn("chi_e4",
-          expr("10000 * (d2 div den) + (10000 * (d2 % den)) div den"))
+          expr("10000 * (d2 div den) + cast((10000 * cast(d2 % den AS decimal(34,0))) div den AS bigint)"))
         .select(col("priority"), col("status"), col("obs"),
           expr("(1000 * rt * ct) div n").as("exp_milli"), col("chi_e4"))
         .orderBy(asc_nulls_first("priority"), asc_nulls_first("status"))
@@ -1504,8 +1517,8 @@ object Analytics {
              CAST((1000 * rt * ct) // n AS BIGINT) AS exp_milli,
              CAST(10000 * (d2 // den) + (10000 * (d2 % den)) // den AS BIGINT) AS chi_e4
       FROM (SELECT priority, status, obs, rt, ct, n,
-              CAST((obs*n - rt*ct) * (obs*n - rt*ct) AS BIGINT) AS d2,
-              CAST(rt * ct * n AS BIGINT) AS den
+              CAST(obs*n - rt*ct AS HUGEINT) * CAST(obs*n - rt*ct AS HUGEINT) AS d2,
+              CAST(rt AS HUGEINT) * ct * n AS den
             FROM m)
       ORDER BY priority ASC NULLS FIRST, status ASC NULLS FIRST"""),
     "chi-square contingency in exact int64 (quotient+remainder assembly avoids the 10^4·d^2 overflow): marginals via windows over the cell table, fact scanned once")
@@ -1553,9 +1566,10 @@ object Analytics {
     "q184_twap",
     (s, dir) => {
       val e = T(s, dir, "events")
-        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("event_id"),
           (col("value").cast(DecimalType(18, 2)) * 100).cast(LongType).as("cents"))
-      val byUser = Window.partitionBy(col("user_id")).orderBy(asc("ts_us"))
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(asc("ts_us"), asc("event_id"))
       e.withColumn("dt", lead(col("ts_us"), 1).over(byUser) - col("ts_us"))
         .filter(col("dt").isNotNull)
         .groupBy(col("user_id"))

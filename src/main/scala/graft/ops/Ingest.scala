@@ -200,7 +200,7 @@ object Ingest {
       compact(s.read.parquet(frag), 4, "ts")
         .write.mode(SaveMode.Overwrite).parquet(out)
       val compacted = s.read.parquet(out)
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        .transform(graft.Ts.norm)
       compacted
         .groupBy(hour(col("ts")).cast("long").as("hr"))
         .agg(count(lit(1)).as("n_events"),
@@ -237,10 +237,11 @@ object Ingest {
         .agg(max(col("day"))).head().getString(0)
       // partition values come from the catalog listing (directory names),
       // no data files are opened to find what expires; partition-type
-      // inference reads day= back as DATE, so re-stringify for compare
-      val expired = s.read.parquet(tbl)
-        .select(date_format(col("day"), "yyyy-MM-dd").as("day")).distinct()
-        .filter(col("day") < cutoff).collect().map(_.getString(0))
+      // inference reads day= back as DATE, so re-stringify for compare.
+      // Shared guarded Manifest kernel (one copy of collect-a-manifest).
+      val expired = Manifest
+        .partitionValues(s, tbl, date_format(col("day"), "yyyy-MM-dd"))
+        .filter(_ < cutoff)
       expired.foreach { d =>
         val p = java.nio.file.Paths.get(tbl, s"day=$d")
         if (java.nio.file.Files.exists(p)) {

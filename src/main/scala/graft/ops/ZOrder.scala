@@ -144,11 +144,8 @@ object ZOrder {
       val path = ensureZLayout(s, dir)
       val zLo = mortonOf(256L, 512L)
       val zHi = mortonOf(319L, 575L)
-      val zones = s.read.parquet(path)
-        .groupBy(col("_metadata.file_path").as("file"))
-        .agg(min(col("z")).as("lo"), max(col("z")).as("hi"))
-        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
-      val kept = zones.filter { case (_, lo, hi) => hi >= zLo && lo <= zHi }.map(_._1)
+      val zones = Manifest.zones(s, path, col("z"))
+      val kept = Manifest.prune(zones, zLo, zHi)
       s.read.parquet(kept.toIndexedSeq: _*)
         .filter(col("px") >= 256 && col("px") < 320 &&
           col("py") >= 512 && col("py") < 576)

@@ -47,26 +47,19 @@ object ZoneMap {
     })
 
   /** One zone per file: (path, min, max) of the clustering column as
-    * epoch micros (longs sidestep the session's java.time row encoding).
-    * Driver-side collect is bounded at one row per file — the same
-    * planning-time footprint as a table format's manifest read. */
+    * epoch micros (longs sidestep the session's java.time row encoding;
+    * o_orderdate is TIMESTAMP_NTZ, and under the UTC session the cast to
+    * instant-typed TIMESTAMP is identity). Delegates to the shared
+    * guarded [[Manifest]] kernel. */
   def manifest(s: SparkSession, path: String): Array[(String, Long, Long)] =
-    s.read.parquet(path)
-      .groupBy(col("_metadata.file_path").as("file"))
-      // o_orderdate is TIMESTAMP_NTZ; under the UTC session the cast to
-      // instant-typed TIMESTAMP is identity, and longs collect cleanly.
-      .agg(unix_micros(min(col("o_orderdate")).cast("timestamp")).as("lo"),
-        unix_micros(max(col("o_orderdate")).cast("timestamp")).as("hi"))
-      .collect()
-      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    Manifest.zones(s, path, unix_micros(col("o_orderdate").cast("timestamp")))
 
   /** Files whose [lo, hi] zone overlaps [from, to] — the candidate set a
     * range predicate must read; every skipped file provably holds no
     * qualifying row. */
   def prunedFiles(zones: Array[(String, Long, Long)],
       fromUs: Long, toUs: Long): Seq[String] =
-    zones.filter { case (_, lo, hi) => hi >= fromUs && lo <= toUs }
-      .map(_._1).toSeq
+    Manifest.prune(zones, fromUs, toUs)
 
   /** The pruned range scan q164 runs: manifest consult → file-list read →
     * residual filter → monthly rollup. */

@@ -51,7 +51,7 @@ object Streams {
     val stream = s.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .transform(graft.Ts.norm)
     val agg = stream
       .groupBy(window(col("ts"), "1 hour").as("w"))
       .agg(count(lit(1)).as("n_events"),
@@ -84,7 +84,7 @@ object Streams {
     val stream = s.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .transform(graft.Ts.norm)
     val agg = stream
       .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"))
       .agg(count(lit(1)).as("n_events"),
@@ -199,7 +199,7 @@ object Streams {
     val schema = s.read.parquet(s"$dir/events.parquet").schema
     def src = s.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
-      .withColumn("tss", date_trunc("second", expr("timestamp_micros(ts div 1000)")))
+      .transform(graft.Ts.norm).withColumn("tss", date_trunc("second", col("ts")))
     val trades = src.filter(pmod(col("event_id"), lit(5)) === 0)
       .select(col("event_id").as("trade_id"), col("user_id"), col("tss").as("t_ts"))
       .withWatermark("t_ts", "25 hours")
@@ -315,7 +315,7 @@ object Streams {
       stage.resolve("events.parquet"), java.nio.file.Paths.get(src))
     val stream = s.readStream.schema(schema).parquet(stage.toString)
       .select(col("user_id"),
-        expr("ts div 1000").as("ts_us"),
+        graft.Ts.microsCol(schema).as("ts_us"),
         (col("value").cast(DecimalType(18, 2)) * 100).cast("long").as("cents"))
       .as[(Long, Long, Long)]
     val sessions = stream.groupByKey(_._1)
@@ -340,12 +340,12 @@ object Streams {
     try {
       q.processAllAvailable()
       // sentinel file: one gap-breaking row per user closes the last session
-      val maxTs = s.read.parquet(src).agg(max(col("ts"))).head().getLong(0)
+      val maxTs = graft.Ts.maxNanos(s, src)
       val sentinel = s.read.parquet(src).select(col("user_id")).distinct()
         .select(schema.fields.map { f =>
           f.name match {
             case "user_id" => col("user_id")
-            case "ts" => lit(maxTs + 4000L * 1000000000L).as("ts")
+            case "ts" => graft.Ts.litNanos(schema, maxTs + 4000L * 1000000000L).as("ts")
             case "event_id" => lit(-1L).as("event_id")
             case "value" => lit(0.0).as("value")
             case other => lit(null).cast(f.dataType).as(other)
@@ -398,7 +398,7 @@ object Streams {
     val schema = s.read.parquet(s"$dir/events.parquet").schema
     val stream = s.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .transform(graft.Ts.norm)
     val agg = stream.join(broadcast(dim), col("user_id") === col("c_custkey"))
       .groupBy(col("n_name"))
       .agg(count(lit(1)).as("n_events"),
@@ -525,7 +525,7 @@ object Streams {
     val schema = s.read.parquet(stage).schema
     val stream = s.readStream.schema(schema)
       .option("maxFilesPerTrigger", "2").parquet(stage)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .transform(graft.Ts.norm)
     val q = stream.writeStream.outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         mvMergeBatch(s, mvRoot, batch, batchId)
@@ -848,7 +848,7 @@ object Streams {
     java.nio.file.Files.createSymbolicLink(
       stage.resolve("events.parquet"), java.nio.file.Paths.get(src0))
     def src = s.readStream.schema(schema).parquet(stage.toString)
-      .withColumn("tss", date_trunc("second", expr("timestamp_micros(ts div 1000)")))
+      .transform(graft.Ts.norm).withColumn("tss", date_trunc("second", col("ts")))
     val trades = src.filter(pmod(col("event_id"), lit(5)) === 0)
       .select(col("event_id").as("trade_id"), col("user_id"), col("tss").as("t_ts"))
       .withWatermark("t_ts", "25 hours")
@@ -874,7 +874,7 @@ object Streams {
       .start()
     try {
       q.processAllAvailable()
-      val maxTs = s.read.parquet(src0).agg(max(col("ts"))).head().getLong(0)
+      val maxTs = graft.Ts.maxNanos(s, src0)
       for (i <- 1 to 2) {
         val farNs = maxTs + (4000L + i) * 3600L * 1000000000L
         // two rows: event_id −5 lands in the trade branch (pmod 0), −1 in
@@ -883,7 +883,7 @@ object Streams {
         val sentinel = s.range(2).select(schema.fields.map { f =>
           f.name match {
             case "event_id" => when(col("id") === 0, lit(-5L)).otherwise(lit(-1L)).as("event_id")
-            case "ts" => lit(farNs).as("ts")
+            case "ts" => graft.Ts.litNanos(schema, farNs).as("ts")
             case "user_id" => lit(-1L).as("user_id")
             case "value" => lit(9.99).as("value")
             case other => lit(null).cast(f.dataType).as(other)
@@ -932,7 +932,7 @@ object Streams {
     java.nio.file.Files.createSymbolicLink(
       stage.resolve("events.parquet"), java.nio.file.Paths.get(src0))
     def src = s.readStream.schema(schema).parquet(stage.toString)
-      .withColumn("tss", date_trunc("second", expr("timestamp_micros(ts div 1000)")))
+      .transform(graft.Ts.norm).withColumn("tss", date_trunc("second", col("ts")))
     val trades = src.filter(pmod(col("event_id"), lit(5)) === 0)
       .select(col("event_id").as("trade_id"), col("user_id"), col("tss").as("t_ts"))
       .withWatermark("t_ts", "25 hours")
@@ -967,13 +967,13 @@ object Streams {
       .start()
     try {
       q.processAllAvailable()
-      val maxTs = s.read.parquet(src0).agg(max(col("ts"))).head().getLong(0)
+      val maxTs = graft.Ts.maxNanos(s, src0)
       for (i <- 1 to 2) {
         val farNs = maxTs + (4000L + i) * 3600L * 1000000000L
         val sentinel = s.range(2).select(schema.fields.map { f =>
           f.name match {
             case "event_id" => when(col("id") === 0, lit(-5L)).otherwise(lit(-1L)).as("event_id")
-            case "ts" => lit(farNs).as("ts")
+            case "ts" => graft.Ts.litNanos(schema, farNs).as("ts")
             case "user_id" => lit(-1L).as("user_id")
             case "value" => lit(9.99).as("value")
             case other => lit(null).cast(f.dataType).as(other)

@@ -1,0 +1,93 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev-only: build an sf1-shaped stress fixture from sf0.1 — `copies`
+  * key-shifted unions per table, following TESTDATA.md's generator
+  * conventions (same schemas, NTZ timestamps). The scale rehearsal
+  * (BENCH_sf1.json) runs graft.Bench against the output.
+  *
+  * Scaling model: MORE keys, not heavier keys — every foreign/primary key
+  * is shifted by copy×span so per-key cardinalities (orders per customer,
+  * events per user, lineitems per order) stay exactly sf0.1's, which is
+  * what makes per-query sf1/sf0.1 time ratios interpretable against each
+  * query's documented complexity. nation/region stay fixed (25/5-row
+  * broadcast dims). Document text is word-salted per copy (every token
+  * suffixed `c<k>`) so cross-copy Jaccard is 0 and dedup outputs scale
+  * linearly — ×10 verbatim text would plant 10-clone clusters and inflate
+  * every pair query quadratically by construction, hiding real
+  * regressions. Embeddings get a tiny deterministic per-copy perturbation
+  * so ANN top-k has no 10-way ties.
+  *
+  * Usage: runMain graft.tools.MakeSf [srcDir] [outDir] [copies]
+  */
+object MakeSf {
+  def main(args: Array[String]): Unit = {
+    val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val out = if (args.length > 1) args(1) else "/tmp/sf1"
+    val copies = if (args.length > 2) args(2).toInt else 10
+    val s = graft.Sessions.build(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")}]", 32)
+
+    def rd(t: String): DataFrame = s.read.parquet(s"$src/$t.parquet")
+    def span(df: DataFrame, key: String): Long =
+      df.agg(max(col(key))).head().getLong(0) + 1
+
+    def write(t: String, df: DataFrame, files: Int): Unit = {
+      df.repartition(files).write.mode(SaveMode.Overwrite)
+        .parquet(s"$out/$t.parquet")
+      println(s"[makesf] $t: ${s.read.parquet(s"$out/$t.parquet").count()} rows")
+    }
+
+    // replicate df with per-copy key shifts; extra transforms per copy
+    def replicate(df: DataFrame, shifts: Map[String, Long])(
+        perCopy: (DataFrame, Int) => DataFrame = (d, _) => d): DataFrame =
+      (0 until copies).map { k =>
+        val shifted = shifts.foldLeft(df) { case (d, (c, sp)) =>
+          d.withColumn(c, col(c) + lit(k * sp))
+        }
+        perCopy(shifted, k)
+      }.reduce(_ unionAll _)
+
+    // fixed broadcast dims
+    write("region", rd("region"), 1)
+    write("nation", rd("nation"), 1)
+
+    val cust = rd("customer"); val ck = span(cust, "c_custkey")
+    write("customer", replicate(cust, Map("c_custkey" -> ck))(), 8)
+
+    val supp = rd("supplier"); val sk = span(supp, "s_suppkey")
+    write("supplier", replicate(supp, Map("s_suppkey" -> sk))(), 4)
+
+    val part = rd("part"); val pk = span(part, "p_partkey")
+    write("part", replicate(part, Map("p_partkey" -> pk))(), 8)
+
+    val ord = rd("orders"); val ok = span(ord, "o_orderkey")
+    write("orders", replicate(ord, Map("o_orderkey" -> ok, "o_custkey" -> ck))(), 16)
+
+    val li = rd("lineitem")
+    write("lineitem", replicate(li,
+      Map("l_orderkey" -> ok, "l_partkey" -> pk, "l_suppkey" -> sk))(), 32)
+
+    val ev = rd("events")
+    val ek = span(ev, "event_id"); val uk = span(ev, "user_id")
+    write("events", replicate(ev, Map("event_id" -> ek, "user_id" -> uk))(), 32)
+
+    val docs = rd("documents"); val dk = span(docs, "doc_id")
+    write("documents", replicate(docs, Map("doc_id" -> dk)) { (d, k) =>
+      if (k == 0) d
+      else d
+        .withColumn("text", regexp_replace(col("text"), "(\\S+)", s"$$1c$k"))
+        .withColumn("n_chars", length(col("text")))
+    }, 32)
+
+    val emb = rd("embeddings"); val vk = span(emb, "vec_id")
+    write("embeddings", replicate(emb, Map("vec_id" -> vk)) { (d, k) =>
+      if (k == 0) d
+      else d.withColumn("embedding",
+        expr(s"transform(embedding, (x, i) -> CASE WHEN i = 0 THEN float(x * (1.0 + $k * 0.001)) ELSE x END)"))
+    }, 16)
+
+    s.stop()
+  }
+}

@@ -19,9 +19,11 @@ class CompactionSpec extends AnyFunSuite {
     Ingest.compact(src, 4, "ts").write.mode("overwrite").parquet(dir)
     val out = spark.read.parquet(dir)
     assert(out.count() === src.count())
+    // ts as epoch micros regardless of the driver generation's storage type
     val files = out
+      .withColumn("us", graft.Ts.microsCol(out.schema))
       .groupBy(input_file_name().as("f"))
-      .agg(min(col("ts")).as("lo"), max(col("ts")).as("hi"), count(lit(1)).as("n"))
+      .agg(min(col("us")).as("lo"), max(col("us")).as("hi"), count(lit(1)).as("n"))
       .collect()
     assert(files.length <= 4 && files.length >= 2)
     // disjoint: sorted by lo, each file's hi < next file's lo
@@ -41,8 +43,9 @@ class CompactionSpec extends AnyFunSuite {
     assert(files.nonEmpty)
     for (f <- files) {
       // tiny spec files read as one partition, so collect order = row order
-      val ts = spark.read.parquet(f.getAbsolutePath)
-        .select(col("ts")).collect().map(_.getLong(0))
+      val df = spark.read.parquet(f.getAbsolutePath)
+      val ts = df.select(graft.Ts.microsCol(df.schema).as("us"))
+        .collect().map(_.getLong(0))
       assert(ts.sameElements(ts.sorted), s"unsorted rows in ${f.getName}")
     }
   }
