@@ -390,32 +390,87 @@ object Ivf {
   val PqSubDim = 16
   val PqCodes = 16
 
-  /** PQ codebooks: per subspace, the first [[PqCodes]] vectors'
+  /** PQ codebooks: per subspace, the first `nCodes` vectors'
     * subvectors (q192's deterministic derivation), collected driver-side
-    * — [[PqCodes]] small arrays by design, same bounded-collect contract
+    * — `nCodes` small arrays by design, same bounded-collect contract
     * as [[centroidArrays]]. */
-  def pqBooks(emb: DataFrame): Array[Array[Array[Double]]] = {
-    val seeds = vecsOf(emb).filter(col("vec_id") < PqCodes)
+  def pqBooks(emb: DataFrame, nCodes: Int = PqCodes,
+      groups: Int = PqGroups): Array[Array[Array[Double]]] = {
+    val seeds = vecsOf(emb).filter(col("vec_id") < nCodes)
       .orderBy("vec_id").collect().map(_.getSeq[Double](1).toArray)
-    Array.tabulate(PqGroups)(g =>
-      seeds.map(_.slice(g * PqSubDim, (g + 1) * PqSubDim)))
+    val subDim = seeds.head.length / groups
+    Array.tabulate(groups)(g =>
+      seeds.map(_.slice(g * subDim, (g + 1) * subDim)))
   }
 
-  /** Pure per-vector encoder (spec entry point; the UDF delegates). */
-  def pqEncode(v: Seq[Double], books: Seq[Seq[Seq[Double]]]): Array[Int] =
+  private val pqAssignSubUdf =
+    udf((g: Int, sub: Seq[Double], books: Seq[Seq[Seq[Double]]]) => {
+      val bg = books(g)
+      var best = 0; var bestD = Double.MaxValue
+      var c = 0
+      while (c < bg.length) {
+        val cent = bg(c)
+        var d = 0.0; var i = 0
+        while (i < cent.length) { val t = sub(i) - cent(i); d += t * t; i += 1 }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      best
+    })
+
+  /** PQ codebooks refined by `iters` distributed Lloyd steps per subspace
+    * (the k-means PQ training of Jégou et al. 2011 §III): assign every
+    * vector's subvector to its nearest code under BROADCAST books, then
+    * recompute per-(group, code, dim) element-wise means. Each iteration
+    * is one scan whose aggregation is map-combinable down to
+    * groups·codes·subdim rows (4·16·16 = 1024 here) before the exchange —
+    * the same scale shape as [[centroidArrays]]' Lloyd step, so training
+    * cost is `iters` linear passes regardless of corpus size. Empty
+    * clusters keep their previous code vector. */
+  def pqBooksTrained(emb: DataFrame, iters: Int, nCodes: Int = PqCodes,
+      groups: Int = PqGroups): Array[Array[Array[Double]]] = {
+    var books = pqBooks(emb, nCodes, groups)
+    val subDim = books.head.head.length
+    val subs = vecsOf(emb).select(
+      explode(expr(s"transform(sequence(0, ${groups - 1}), " +
+        s"g -> struct(g AS g, slice(v, g * $subDim + 1, $subDim) AS sub))")).as("gs"))
+      .select(col("gs.g").as("g"), col("gs.sub").as("sub"))
+    for (_ <- 1 to iters) {
+      val booksCol = typedLit(books.map(_.map(_.toSeq).toSeq).toSeq)
+      val means = subs
+        .withColumn("c", pqAssignSubUdf(col("g"), col("sub"), booksCol))
+        .select(col("g"), col("c"), posexplode(col("sub")).as(Seq("dim", "x")))
+        .groupBy(col("g"), col("c"), col("dim")).agg(avg(col("x")).as("m"))
+        .collect()
+      val next = books.map(_.map(_.clone()))
+      means.foreach { r =>
+        next(r.getInt(0))(r.getInt(1))(r.getInt(2)) = r.getDouble(3)
+      }
+      books = next
+    }
+    books
+  }
+
+  /** Pure per-vector encoder (spec entry point; the UDF delegates). The
+    * books SHAPE is the parameterization: books.length groups of
+    * books(g)(c).length-dim codewords — the constants above are only the
+    * q192 default. */
+  def pqEncode(v: Seq[Double], books: Seq[Seq[Seq[Double]]]): Array[Int] = {
+    val subDim = books.head.head.length
     Array.tabulate(books.length) { g =>
-      val sub = v.slice(g * PqSubDim, (g + 1) * PqSubDim)
+      val sub = v.slice(g * subDim, (g + 1) * subDim)
       var best = 0; var bestD = Double.MaxValue
       var c = 0
       while (c < books(g).length) {
         val cent = books(g)(c)
         var d = 0.0; var i = 0
-        while (i < PqSubDim) { val t = sub(i) - cent(i); d += t * t; i += 1 }
+        while (i < subDim) { val t = sub(i) - cent(i); d += t * t; i += 1 }
         if (d < bestD) { bestD = d; best = c }
         c += 1
       }
       best
     }
+  }
 
   private val pqEncodeUdf = udf((v: Seq[Double], books: Seq[Seq[Seq[Double]]]) =>
     pqEncode(v, books))
@@ -428,11 +483,13 @@ object Ivf {
     * stores 256 — plus its codebooks. Built once per input (same cache
     * contract as [[builtIndex]]); search never touches the raw
     * vectors. */
-  def pqCodesPath(s: SparkSession, emb: DataFrame): (String, Array[Array[Array[Double]]]) = {
+  def pqCodesPath(s: SparkSession, emb: DataFrame, tag: String = "seed",
+      mkBooks: DataFrame => Array[Array[Array[Double]]] = pqBooks(_))
+      : (String, Array[Array[Array[Double]]]) = {
     val (cents, _) = builtIndex(emb)
-    val key = emb.inputFiles.sorted.mkString(";")
+    val key = emb.inputFiles.sorted.mkString(";") + "#" + tag
     def build(): (String, Array[Array[Array[Double]]]) = {
-      val books = pqBooks(emb)
+      val books = mkBooks(emb)
       val path = graft.Scratch.fresh(
         s"ivfpq_${java.lang.Integer.toHexString(key.hashCode)}")
       vecsOf(emb)
@@ -442,7 +499,8 @@ object Ivf {
         .write.partitionBy("list_id").mode("overwrite").parquet(path)
       (path, books)
     }
-    if (key.isEmpty) build() else pqCodesCache.computeIfAbsent(key, _ => build())
+    if (emb.inputFiles.isEmpty) build()
+    else pqCodesCache.computeIfAbsent(key, _ => build())
   }
 
   /** q193: IVF-PQ search with asymmetric distance (ADC) — the
@@ -461,29 +519,36 @@ object Ivf {
     * candidate join explodes codes to (vid, g, c) and joins the LUT on
     * (qid, g, c) — shuffles carry ids and codes only; the probed read is
     * partition-pruned exactly like q31. */
-  def ivfPqTopK(s: SparkSession, emb: DataFrame, k: Int): DataFrame = {
+  def ivfPqTopK(s: SparkSession, emb: DataFrame, k: Int,
+      nprobe: Int = NProbe, trainIters: Int = 0, nCodes: Int = PqCodes,
+      groups: Int = PqGroups): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val (cents, _) = builtIndex(emb)
-    val (codesPath, books) = pqCodesPath(s, emb)
+    val (codesPath, books) =
+      if (trainIters == 0 && nCodes == PqCodes && groups == PqGroups)
+        pqCodesPath(s, emb)
+      else pqCodesPath(s, emb, s"lloyd$trainIters-$nCodes-$groups",
+        pqBooksTrained(_, trainIters, nCodes, groups))
     val centsCol = typedLit(cents)
     val qvecs = vecsOf(emb).filter(col("vec_id") < 5)
       .select(col("vec_id").as("qid"), col("v").as("qv"))
     val qside = qvecs
       .select(col("qid"), col("qv"),
-        explode(nearestListsUdf(col("qv"), centsCol, lit(NProbe))).as("list_id"))
+        explode(nearestListsUdf(col("qv"), centsCol, lit(nprobe))).as("list_id"))
     val probed = qside.select(col("list_id")).distinct()
       .collect().map(_.getInt(0)).toSeq.sorted
     // per-query ADC lookup table, built driver-side from the collected
     // query vectors (5 × 4 × 16 doubles, bounded)
     val qArr = qvecs.collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val subDim = books.head.head.length
     val lutRows = for {
       (qid, qv) <- qArr.toSeq
-      g <- 0 until PqGroups
-      c <- 0 until PqCodes
+      g <- books.indices
+      c <- books(g).indices
     } yield {
-      val sub = qv.slice(g * PqSubDim, (g + 1) * PqSubDim)
+      val sub = qv.slice(g * subDim, (g + 1) * subDim)
       var d = 0.0; var i = 0
-      while (i < PqSubDim) { val t = sub(i) - books(g)(c)(i); d += t * t; i += 1 }
+      while (i < subDim) { val t = sub(i) - books(g)(c)(i); d += t * t; i += 1 }
       (qid, g, c, d)
     }
     val lut = s.createDataFrame(lutRows).toDF("qid", "g", "c", "lutd2")
@@ -504,9 +569,15 @@ object Ivf {
 
   private val q193 = Q(
     "q193_ivfpq_search",
-    (s, dir) => ivfPqTopK(s, T(s, dir, "embeddings"), 10),
+    // operating point from the r8 nprobe/m sweep (tools/IvfSweep, sf0.01):
+    // 16 groups × 256 Lloyd-trained codes at nprobe=8 → recall@10 0.66 vs
+    // 0.28 for the r7 4×16 seed books (chance 0.02). 16-byte codes are
+    // still 16× smaller than the 256-byte raw vectors; the r7 config's
+    // ceiling was PQ resolution, not routing (nprobe=16 gave only 0.32).
+    (s, dir) => ivfPqTopK(s, T(s, dir, "embeddings"), 10,
+      nprobe = 8, trainIters = 2, nCodes = 256, groups = 16),
     None,
-    "IVF-PQ ANN with asymmetric distance: nprobe routing + 4-byte codes + per-query LUT scoring (FAISS IVFPQ shape); recall law spec-pinned")
+    "IVF-PQ ANN with asymmetric distance: nprobe routing + 16-byte trained codes + per-query LUT scoring (FAISS IVFPQ shape); recall law spec-pinned")
 
   val all: Seq[Q] = Seq(q31, q105, q107, q113, q120, q192, q193)
 }

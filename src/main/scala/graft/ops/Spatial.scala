@@ -378,6 +378,60 @@ object Spatial {
     ).toDF("Metric", "Value")
   }
 
+  /** REFERENCE-FIDELITY flagship report: the exact summary_report.csv
+    * surface — metric names, value formatting, and inference strings as
+    * the reference emits them (load_report.py:405-449: %.2f area, the
+    * max-variance argmax, the three inference literals, 'N/A'
+    * fallbacks) — over any (keterangan, geom, geom_srid) frame and
+    * (keterangan, ndvi) series. `FlagshipGoldenSpec` diffs its output
+    * against the reference's own results/summary_report.csv on the real
+    * lu.gpkg. Distinct from [[reportFrom]] (the fixture-corpus report
+    * whose strings follow the driver-fixture conventions and whose
+    * composition is oracle-checked by q74): this one exists to prove
+    * byte-level parity with the reference artifact. */
+  def referenceReport(s: SparkSession, geoms: DataFrame, monthly: DataFrame,
+      teamInfo: String): DataFrame = {
+    val area = geoms
+      .withColumn("geom3857",
+        G.stTransform(col("geom"), col("geom_srid"), lit(Crs.WebMercator)))
+      .agg(sum(graft.geo.GeoExpressions.stAreaNative(col("geom3857")) / 10000.0)
+        .as("total_ha"))
+    val variance = monthly.filter(col("ndvi").isNotNull)
+      .groupBy(col("keterangan"))
+      // pandas .var() is ddof=1 sample variance = var_samp; n<=1 → null,
+      // matching the reference's `variance = None` branch
+      .agg(var_samp(col("ndvi")).as("variance"))
+      .filter(col("variance").isNotNull)
+      .orderBy(desc_nulls_last("variance"), asc_nulls_first("keterangan"))
+      .limit(1)
+    val aOpt = area.collect().headOption.filterNot(_.isNullAt(0))
+    val vOpt = variance.collect().headOption
+    val totalStr = aOpt
+      .map(r => "%.2f".formatLocal(java.util.Locale.ROOT, r.getDouble(0)))
+      .getOrElse("N/A")
+    val argmaxStr = vOpt.map(_.getString(0)).getOrElse("N/A")
+    // Python str(float) and Java Double.toString agree on the planted and
+    // observed values here; both are shortest-ish decimal reprs
+    val varStr = vOpt.map(r => r.getDouble(1).toString).getOrElse("N/A")
+    val inference = vOpt.map(_.getDouble(1)) match {
+      case None => "N/A"
+      case Some(v) if v > 0.5 =>
+        "High variance observed, suggesting significant changes over time."
+      case Some(v) if v > 0.2 =>
+        "Moderate variance observed, indicating some level of change over time."
+      case Some(_) =>
+        "Low variance observed, implying stable conditions over time."
+    }
+    import s.implicits._
+    Seq(
+      ("Total Mangrove Area (hectares)", totalStr),
+      ("Official Team Providing Public Information", teamInfo),
+      ("Area with Highest Variation", argmaxStr),
+      ("Variance of Highest Variation", varStr),
+      ("Inference on Variance", inference)
+    ).toDF("Metric", "Value")
+  }
+
   /** Zonal mean elevation per admin region (§3.3, R1 = J2 + A3). */
   def zonalElevation(s: SparkSession, sfDir: String): DataFrame =
     spatialJoin(elevation(s, sfDir).filter(col("elev").isNotNull),
@@ -836,6 +890,97 @@ object Spatial {
       FROM b GROUP BY category ORDER BY category ASC NULLS FIRST"""),
     "G4+G5/A10 centroid + total bounds via the geometry kernel, DuckDB-oracle-checked (q47 twin)")
 
+  /** q200, ORACLE-CHECKED — the q45 COMPOSITION twin: the CRS transform
+    * INSIDE the bucketed spatial-join path (q60 proves the join alone,
+    * q49/q70 the transforms and areas alone — this proves the
+    * composition under an oracle, which r7 left rows-only). Polygons are
+    * axis-aligned Web-Mercator boxes transformed 3857→4326 by the
+    * engine's geometry kernel before the join, exactly q45's
+    * transform-then-join shape; the inverse spherical Mercator is
+    * closed-form (lat = 2·atan(e^{y/R}) − π/2) and SEPARABLE per axis,
+    * so transformed quads stay axis-aligned rectangles and DuckDB
+    * replays the whole pipeline with exp/atan arithmetic. Points are
+    * integer-quantized WGS84 lon/lats from events (q53's convention);
+    * box boundaries are transcendental, the point grid centesimal, so no
+    * point sits within ulps of a boundary and the ≤1-ulp libm spread
+    * between JVM and DuckDB cannot flip containment. Ray-cast on
+    * axis-aligned boxes is left-closed containment, mirrored by the
+    * oracle's half-open range join. */
+  private val q200 = Q(
+    "q200_transform_join_oracle",
+    (s, dir) => {
+      val pts = graft.T(s, dir, "events").select(
+        col("event_id"),
+        (lit(100.0) + pmod(col("event_id"), lit(1000)).cast(DoubleType) * 0.01).as("px"),
+        (lit(-8.0) + pmod(col("event_id") * 7, lit(1000)).cast(DoubleType) * 0.008).as("py"))
+      val rects = s.range(36).select(
+        col("id").as("rect_id"),
+        G.stTransform(
+          G.stMakeBox(
+            lit(11130000.0) + (col("id") % 6).cast(DoubleType) * 150000.0,
+            lit(-900000.0) + floor(col("id") / 6).cast(DoubleType) * 150000.0,
+            lit(11130000.0) + (col("id") % 6 + 1).cast(DoubleType) * 150000.0,
+            lit(-900000.0) + (floor(col("id") / 6) + 1).cast(DoubleType) * 150000.0),
+          lit(Crs.WebMercator), lit(Crs.WGS84)).as("geom"))
+      spatialJoin(pts, broadcast(rects), "px", "py", "geom", 1.5)
+        .groupBy(col("rect_id"))
+        .agg(count(lit(1)).as("n_points"), sum(col("event_id")).as("sum_ids"))
+        .orderBy(asc_nulls_first("rect_id"))
+    },
+    Some("""WITH p AS (SELECT event_id,
+               100.0 + (event_id % 1000) * 0.01 AS px,
+               -8.0 + ((event_id * 7) % 1000) * 0.008 AS py
+             FROM events),
+      r AS (SELECT g AS rect_id,
+              degrees((11130000.0 + (g % 6) * 150000.0) / 6378137.0) AS lonmin,
+              degrees((11130000.0 + (g % 6 + 1) * 150000.0) / 6378137.0) AS lonmax,
+              degrees(2 * atan(exp((-900000.0 + (g // 6) * 150000.0) / 6378137.0)) - pi() / 2) AS latmin,
+              degrees(2 * atan(exp((-900000.0 + (g // 6 + 1) * 150000.0) / 6378137.0)) - pi() / 2) AS latmax
+            FROM generate_series(0, 35) t(g))
+      SELECT rect_id, COUNT(*) AS n_points, CAST(SUM(event_id) AS BIGINT) AS sum_ids
+      FROM r JOIN p ON px >= lonmin AND px < lonmax AND py >= latmin AND py < latmax
+      GROUP BY rect_id ORDER BY rect_id ASC NULLS FIRST"""),
+    "J3∘G2 CRS transform inside the bucketed spatial join, DuckDB-oracle-checked (q45 composition twin)")
+
+  /** q201, ORACLE-CHECKED — the q47 COMPOSITION twin: transform THEN
+    * centroid/envelope (q71 proves the centroid/bounds kernel on raw
+    * boxes; q47 composes it after a CRS transform, rows-only in r7).
+    * Same closed-form inverse-Mercator trick as q200; the shoelace
+    * area-weighted centroid of the (still axis-aligned) transformed
+    * rectangle is its midpoint to ~1e-16 relative error, so the oracle's
+    * midpoint arithmetic matches under round(8) (coords here are
+    * ~1e-1 degrees: 8 decimals leaves 5 orders of margin over both the
+    * libm ulp spread and double-sum order drift in AVG). */
+  private val q201 = Q(
+    "q201_transform_centroid_oracle",
+    (s, dir) =>
+      oracleBoxes(s, dir)
+        .withColumn("g4326",
+          G.stTransform(col("geom"), lit(Crs.WebMercator), lit(Crs.WGS84)))
+        .withColumn("c", G.stCentroid(col("g4326")))
+        .withColumn("env", G.stEnvelope(col("g4326")))
+        .groupBy(col("category"))
+        .agg(
+          round(avg(element_at(col("c"), 1)), 8).as("centroid_lon"),
+          round(avg(element_at(col("c"), 2)), 8).as("centroid_lat"),
+          round(min(col("env._1")), 8).as("lonmin"), round(min(col("env._2")), 8).as("latmin"),
+          round(max(col("env._3")), 8).as("lonmax"), round(max(col("env._4")), 8).as("latmax"))
+        .orderBy(asc_nulls_first("category")),
+    Some(s"""WITH b AS ($oracleBoxesSql),
+      t AS (SELECT category,
+              degrees(bxmin / 6378137.0) AS lonmin,
+              degrees((bxmin + w) / 6378137.0) AS lonmax,
+              degrees(2 * atan(exp(bymin / 6378137.0)) - pi() / 2) AS latmin,
+              degrees(2 * atan(exp((bymin + h) / 6378137.0)) - pi() / 2) AS latmax
+            FROM b)
+      SELECT category,
+             round(AVG((lonmin + lonmax) / 2.0), 8) AS centroid_lon,
+             round(AVG((latmin + latmax) / 2.0), 8) AS centroid_lat,
+             round(MIN(lonmin), 8) AS lonmin, round(MIN(latmin), 8) AS latmin,
+             round(MAX(lonmax), 8) AS lonmax, round(MAX(latmax), 8) AS latmax
+      FROM t GROUP BY category ORDER BY category ASC NULLS FIRST"""),
+    "G2∘G4/G5 transform-then-centroid/bounds composition, DuckDB-oracle-checked (q47 composition twin)")
+
   /** q40's twin, ORACLE-CHECKED: the full flagship composition — per-
     * category ST_Union (the REAL dissolve: each category is two adjacent
     * boxes that merge across their shared edge), area sum, monthly-NDVI
@@ -908,5 +1053,5 @@ object Spatial {
     "flagship report composition (dissolve + area + variance + argmax + pivot), DuckDB-oracle-checked q40 twin")
 
   val all: Seq[Q] = Seq(q40, q41, q42, q43, q44, q45, q46, q47, q53, q54,
-    q58, q59, q60, q68, q69, q70, q71, q74)
+    q58, q59, q60, q68, q69, q70, q71, q74, q200, q201)
 }
