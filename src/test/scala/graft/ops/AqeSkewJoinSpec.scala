@@ -54,4 +54,47 @@ class AqeSkewJoinSpec extends AnyFunSuite {
       ov.fold(spark.conf.unset(k))(v => spark.conf.set(k, v))
     }
   }
+
+  test("AQE splits a planted hot shingle in q179's candidate self-join") {
+    import spark.implicits._
+    // q179's candidate generation equi-joins prefix frames on the shingle
+    // hash — the repo's join most exposed to a hot key (a boilerplate
+    // shingle shared by a huge clone cluster lands every cluster member
+    // in ONE shuffle partition on BOTH sides). Plant exactly that: 2500
+    // single-shingle docs sharing one hash (their 1-element prefixes are
+    // all that shingle) over a cold background; the sort-merge join's hot
+    // partition must be marked skew-split in the final adaptive plan.
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.forceOptimizeSkewedJoin" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "2KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "2KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
+    val old = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val hot = spark.range(0, 2500)
+        .select(col("id").as("doc_id"), lit(777L).as("sgh"))
+      val cold = spark.range(10000, 10200)
+        .select(col("id").as("doc_id"), xxhash64(col("id")).as("sgh"))
+      val sh = hot.unionAll(cold)
+      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val cands = graft.llm.Dedup.ppjoinCandidates(sh, sizes)
+      // drive THIS dataframe's own query execution (count() would plan a
+      // separate aggregate and leave cands' adaptive plan unexecuted)
+      val qe = cands.queryExecution
+      val n = qe.toRdd.count()
+      // every hot-cluster pair is a candidate (equal sizes pass the
+      // length filter); cold docs have unique shingles → no pairs
+      assert(n === 2500L * 2499L / 2)
+      val plan = qe.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE skew split did not fire on the candidate join:\n${plan.take(2000)}")
+    } finally old.foreach { case (k, ov) =>
+      ov.fold(spark.conf.unset(k))(v => spark.conf.set(k, v))
+    }
+  }
 }
