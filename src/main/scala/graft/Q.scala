@@ -33,6 +33,27 @@ object T {
     * timestamp column. */
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
     Ts.norm(spark.read.parquet(s"$sfDir/$name.parquet"))
+
+  /** Decouple COMPUTE parallelism from SCAN parallelism. A parquet file
+    * only splits at row-group boundaries, so a small-bytes input is ONE
+    * scan task no matter how many cores exist — and a compute-dense
+    * operator downstream (per-row cosine fan-out, gram winnowing, JSON
+    * parse) then runs single-threaded. The sf1 rehearsal measured the
+    * damage on the driver's single-file layout: q147 62 s / q191 72 s /
+    * q127 31 s, all dominated by a 1-task stage (SCALE.md). This helper
+    * repartitions ONLY for few-file inputs — at 100 TB inputs arrive as
+    * thousands of files and it is a no-op, so the extra exchange is
+    * never paid where it would hurt. (The check is FILE count, not
+    * `rdd.getNumPartitions`: Spark's byte-range splitting reports ~32
+    * "partitions" for a single-row-group 123 MB file while exactly one
+    * of them carries the row group — partition count lies about work
+    * distribution, file count does not for this layout. A single
+    * multi-GB file would engage the spread too, which is the right call:
+    * that file IS a layout bug.) In-memory frames (no input files, spec
+    * fixtures) engage harmlessly. */
+  def spread(spark: SparkSession, df: DataFrame): DataFrame =
+    if (df.inputFiles.length >= math.min(8, spark.sparkContext.defaultParallelism)) df
+    else df.repartition(spark.sparkContext.defaultParallelism)
 }
 
 /** Central session tuning shared by Verify / Bench / tests. local[N] is a

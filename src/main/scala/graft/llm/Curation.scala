@@ -269,7 +269,9 @@ object Curation {
     "q147_hard_negatives",
     (s, dir) => {
       import graft.geo.GeoExpressions.vecDot
-      val e = T(s, dir, "embeddings")
+      // T.spread: the per-row cosine fan-out (x anchors) is compute-dense;
+      // a single-row-group scan would otherwise run it in ONE task (SCALE.md)
+      val e = T.spread(s, T(s, dir, "embeddings"))
         .select(col("vec_id"), col("label"),
           col("embedding").cast(ArrayType(DoubleType)).as("v"))
       val withN = e.withColumn("nrm", sqrt(vecDot(col("v"), col("v"))))
@@ -321,7 +323,7 @@ object Curation {
   private val q149 = Q(
     "q149_source_overlap",
     (s, dir) => {
-      val grouped = T(s, dir, "documents")
+      val grouped = T.spread(s, T(s, dir, "documents"))
         .select(col("source"), expr("filter(split(text, ' '), x -> x <> '')").as("ws"))
         .select(col("source"), explode(expr(
           "CASE WHEN size(ws) >= 3 THEN transform(sequence(2, size(ws) - 1), " +

@@ -332,7 +332,7 @@ object Dedup {
 
   private val q26 = Q(
     "q26_simhash_pairs",
-    (s, dir) => simhashPairs(T(s, dir, "documents")),
+    (s, dir) => simhashPairs(T.spread(s, T(s, dir, "documents"))),
     None,
     "SimHash chunk-bucketed near-dup pairs (dedup surface)")
 
@@ -526,7 +526,7 @@ object Dedup {
 
   private val q92 = Q(
     "q92_winnow_containment",
-    (s, dir) => excerptContainment(T(s, dir, "documents")),
+    (s, dir) => excerptContainment(T.spread(s, T(s, dir, "documents"))),
     None,
     "winnowing-fingerprint containment: excerpt probes recover their source docs (SWA 2003 local guarantee)")
 
@@ -602,7 +602,7 @@ object Dedup {
 
   private val q93 = Q(
     "q93_kgram_containment",
-    (s, dir) => kgramContainment(T(s, dir, "documents")),
+    (s, dir) => kgramContainment(T.spread(s, T(s, dir, "documents"))),
     Some(s"""WITH probes AS (
         SELECT doc_id + 200000 AS probe_id, substr(text, 11, 240) AS text
         FROM documents WHERE doc_id % 50 = 0),

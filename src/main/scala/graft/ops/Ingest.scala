@@ -83,7 +83,7 @@ object Ingest {
     "q88_orc_roundtrip",
     (s, dir) => {
       val tmp = orcScratch
-      T(s, dir, "lineitem")
+      T.spread(s, T(s, dir, "lineitem"))
         .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
           col("l_quantity"), col("l_extendedprice"),
           date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship_day"))
@@ -402,7 +402,9 @@ object Ingest {
         .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
           col("l_quantity"), col("l_extendedprice"),
           date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship_day"))
-      proj.write.mode(SaveMode.Overwrite).option("compression", "gzip")
+      // T.spread before the write: gzip JSON is unsplittable, so the file
+      // count written here IS the read-side parallelism (SCALE.md)
+      T.spread(s, proj).write.mode(SaveMode.Overwrite).option("compression", "gzip")
         .json(jsonScratch)
       s.read.schema(proj.schema).json(jsonScratch)
         .groupBy(col("l_returnflag"))

@@ -23,8 +23,27 @@ object Streams {
   private def withStatePartitions[A](s: SparkSession, n: Int)(body: => A): A = {
     val pKey = "spark.sql.shuffle.partitions"
     val nKey = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val cKey = "spark.sql.streaming.checkpointLocation"
     val oldP = s.conf.get(pKey)
     val oldN = s.conf.get(nKey)
+    val oldC = s.conf.getOption(cKey)
+    // Checkpoint on tmpfs when available (r8 floor audit): these one-shot
+    // replays re-derive all state from the staged source on any restart,
+    // so checkpoint durability buys nothing — but EVERY micro-batch
+    // commit fsyncs offsets/commit markers per query, a fixed disk-bound
+    // floor paid by all ~12 streaming queries. A fresh /dev/shm dir per
+    // run (no cross-rep resume; deleted below) keeps the commit protocol
+    // identical while making the fsyncs RAM-speed. Production long-lived
+    // streams put checkpoints on durable storage — that is a recovery
+    // requirement, not part of the operator's cost model.
+    val ckBase = {
+      val shm = new java.io.File("/dev/shm")
+      if (shm.isDirectory && shm.canWrite)
+        Some(java.nio.file.Files
+          .createTempDirectory(shm.toPath, "graft_ckpt_").toString)
+      else None
+    }
+    ckBase.foreach(d => s.conf.set(cKey, d))
     s.conf.set(pKey, n.toString)
     // No-data micro-batches exist to advance the watermark so APPEND-MODE
     // AGGREGATIONS can finalize their windows. None of this module's
@@ -38,7 +57,16 @@ object Streams {
     // default in-memory store's commit beats native writes.) A query that
     // DOES add an append-mode aggregation must restore the default.
     s.conf.set(nKey, "false")
-    try body finally { s.conf.set(pKey, oldP); s.conf.set(nKey, oldN) }
+    try body finally {
+      s.conf.set(pKey, oldP); s.conf.set(nKey, oldN)
+      oldC.fold(s.conf.unset(cKey))(v => s.conf.set(cKey, v))
+      ckBase.foreach { d =>
+        val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(d))
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => { java.nio.file.Files.deleteIfExists(f); () })
+        finally walk.close()
+      }
+    }
   }
 
   /** Run a tumbling-window streaming aggregation to completion over the

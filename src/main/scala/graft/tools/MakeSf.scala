@@ -33,10 +33,25 @@ object MakeSf {
     def span(df: DataFrame, key: String): Long =
       df.agg(max(col(key))).head().getLong(0) + 1
 
+    // single FILE per table (driver convention, TESTDATA.md): the file
+    // streaming sources glob for leaf files named <table>.parquet, so a
+    // directory layout would silently feed them nothing. repartition(1)
+    // keeps the generation transforms parallel map-side and funnels only
+    // the write through one task; `files` is unused but kept for callers.
     def write(t: String, df: DataFrame, files: Int): Unit = {
-      df.repartition(files).write.mode(SaveMode.Overwrite)
-        .parquet(s"$out/$t.parquet")
-      println(s"[makesf] $t: ${s.read.parquet(s"$out/$t.parquet").count()} rows")
+      val stage = s"$out/_stage_$t"
+      df.repartition(1)
+        .write.mode(SaveMode.Overwrite).parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dest = java.nio.file.Paths.get(s"$out/$t.parquet")
+      java.nio.file.Files.deleteIfExists(dest)
+      java.nio.file.Files.move(part.toPath, dest)
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(stage))
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => { java.nio.file.Files.deleteIfExists(f); () })
+      finally walk.close()
+      println(s"[makesf] $t: ${s.read.parquet(dest.toString).count()} rows")
     }
 
     // replicate df with per-copy key shifts; extra transforms per copy
