@@ -454,33 +454,39 @@ object Analytics {
     * engine had to BUILD (Spark has no jaro_winkler; `ops/StringSim`
     * adds it as a native codegen expression; DuckDB ships the same
     * textbook algorithm, giving the oracle). Shape: a BOUNDED probe set
-    * (every 100th part — the entity-lookup usage) scored against its
-    * brand block, not the all-pairs self-join: all-pairs at jw≥0.93 on
-    * this corpus is pair-quadratic with no lossless blocking key (unlike
-    * q89's lev≤2, a JW threshold admits length skew up to ratio 0.65, so
-    * length blocks either lose pairs or prune nothing — measured 8M
-    * pairs / 12 s at sf0.1). The candidate side also keys on a hash
-    * sub-group (probes exploded over all g groups) so a brand's scoring
-    * fans out over brands×g tasks instead of one. Scores round to 4
-    * decimals in BOTH engines before the threshold and ordering (q99's
-    * round-before-rank convention). */
+    * (every 100th part — the entity-lookup usage) against its brand
+    * block, DEDUPE-FIRST (q89's move): JW has no lossless blocking key
+    * (unlike lev≤2, a JW threshold admits length skew to ratio 0.65, so
+    * length blocks either lose pairs or prune nothing), but the name
+    * vocabulary is corpus-bounded, so scoring runs once per distinct
+    * (brand, name, name) cell pair on a broadcast-sized frame and two
+    * expansion joins recover the row pairs — output-bound, where the
+    * row-level probe×block join was quadratic in SF (fixed brand count).
+    * Scores round to 4 decimals in BOTH engines before the threshold
+    * and ordering (q99's round-before-rank convention). */
   private val q125 = Q(
     "q125_jaro_winkler",
     (s, dir) => {
-      val g = 8
+      // dedupe-first (r8, q89's move): JW scores compute once per distinct
+      // (brand, name_a, name_b) cell pair — the name vocabulary is
+      // corpus-bounded, so the scorer runs on a ~10^5-row broadcast-sized
+      // frame instead of the probe×block row join, whose fixed brand
+      // cardinality made it quadratic in SF (sf1 measured 23.5× at 10×
+      // rows). Expansion back to (anchor row, row) pairs is output-bound.
       val p = T(s, dir, "part").select(col("p_partkey"), col("p_brand"), col("p_name"))
-      val a = p.filter(col("p_partkey") % 100 === 0)
-        .withColumn("gj", explode(sequence(lit(0), lit(g - 1))))
-        .alias("a")
-      val b = p
-        .withColumn("gi", pmod(xxhash64(col("p_partkey")), lit(g)).cast("int"))
-        .alias("b")
-      a.join(b, col("a.p_brand") === col("b.p_brand") &&
-          col("a.gj") === col("b.gi") &&
-          col("a.p_partkey") =!= col("b.p_partkey"))
-        .select(col("a.p_partkey").as("key_a"), col("b.p_partkey").as("key_b"),
-          round(StringSim.jaroWinkler(col("a.p_name"), col("b.p_name")), 4).as("jw"))
+      val cells = p.select(col("p_brand"), col("p_name")).distinct()
+      val cellPairs = cells.select(col("p_brand"), col("p_name").as("name_a"))
+        .join(cells.select(col("p_brand"), col("p_name").as("name_b")), Seq("p_brand"))
+        .select(col("p_brand"), col("name_a"), col("name_b"),
+          round(StringSim.jaroWinkler(col("name_a"), col("name_b")), 4).as("jw"))
         .filter(col("jw") >= 0.93)
+      p.filter(col("p_partkey") % 100 === 0)
+        .select(col("p_brand"), col("p_name").as("name_a"), col("p_partkey").as("key_a"))
+        .join(broadcast(cellPairs), Seq("p_brand", "name_a"))
+        .join(p.select(col("p_brand"), col("p_name").as("name_b"),
+          col("p_partkey").as("key_b")), Seq("p_brand", "name_b"))
+        .filter(col("key_a") =!= col("key_b"))
+        .select(col("key_a"), col("key_b"), col("jw"))
         .orderBy(asc_nulls_first("key_a"), asc_nulls_first("key_b"))
     },
     Some("""SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
