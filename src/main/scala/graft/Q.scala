@@ -101,11 +101,14 @@ object Ts {
   }
 
   /** Literal epoch-nanos value rendered in the raw `ts` type of `schema`
-    * (so sentinel rows appended to a staged source parse under it). */
+    * (so sentinel rows appended to a staged source parse under it) —
+    * covers all three generations: long nanos, NTZ micros, LTZ micros. */
   def litNanos(schema: StructType, ns: Long): Column =
     schema.find(_.name == "ts").map(_.dataType) match {
       case Some(LongType) => org.apache.spark.sql.functions.lit(ns)
-      case _ => expr(s"cast(timestamp_micros(${ns / 1000L}) as timestamp_ntz)")
+      case Some(TimestampNTZType) =>
+        expr(s"cast(timestamp_micros(${ns / 1000L}) as timestamp_ntz)")
+      case _ => expr(s"timestamp_micros(${ns / 1000L})")
     }
 }
 
