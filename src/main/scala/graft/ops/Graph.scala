@@ -246,7 +246,15 @@ object Graph {
     * a SUM aggregation (map-side partials), not a collect_list. */
   def pageRank(edges: DataFrame, iters: Int): DataFrame = {
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    val e = edges.join(deg, Seq("src")).localCheckpoint(true)
+    // hash-partition the edge list on the join key BEFORE checkpointing:
+    // localCheckpoint preserves outputPartitioning, so an iteration's
+    // sort-merge rank join can reuse it and move only the (node, pr)
+    // frame instead of re-exchanging the full edge list every round (the
+    // exchange is paid once, ahead of the eager checkpoint). The
+    // per-iteration contribution re-aggregation by dst remains — the
+    // irreducible PageRank shuffle.
+    val e = edges.join(deg, Seq("src"))
+      .repartition(col("src")).localCheckpoint(true)
     var pr = deg.select(col("src").as("node"), lit(1000000L).as("pr"))
       .localCheckpoint(true)
     for (_ <- 1 to iters) {
