@@ -24,29 +24,36 @@ object Ivf {
   val NumLists = 16
   val NProbe = 4
 
-  private val centroidAssignUdf = udf((v: Seq[Double], cents: Seq[Seq[Double]]) => {
-    var best = 0; var bestD = Double.MaxValue
-    var c = 0
-    while (c < cents.length) {
-      val cent = cents(c)
-      var d = 0.0; var i = 0
-      val n = math.min(v.length, cent.length)
-      while (i < n) { val t = v(i) - cent(i); d += t * t; i += 1 }
-      if (d < bestD) { bestD = d; best = c }
-      c += 1
-    }
-    best
-  })
+  /** Assignment UDF capturing the centroids in its CLOSURE (serialized
+    * once per task), not as a `typedLit` column argument — a per-row
+    * literal column re-converts the whole nested array from Catalyst to
+    * Scala on EVERY invocation, an O(rows × |cents|) deserialization tax
+    * that dominates at larger corpora. */
+  private def centroidAssignUdf(cents: Array[Array[Double]]) =
+    udf((v: Seq[Double]) => {
+      var best = 0; var bestD = Double.MaxValue
+      var c = 0
+      while (c < cents.length) {
+        val cent = cents(c)
+        var d = 0.0; var i = 0
+        val n = math.min(v.length, cent.length)
+        while (i < n) { val t = v(i) - cent(i); d += t * t; i += 1 }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      best
+    })
 
-  private val nearestListsUdf = udf((v: Seq[Double], cents: Seq[Seq[Double]], k: Int) => {
-    cents.indices.map { c =>
-      val cent = cents(c)
-      var d = 0.0; var i = 0
-      val n = math.min(v.length, cent.length)
-      while (i < n) { val t = v(i) - cent(i); d += t * t; i += 1 }
-      (c, d)
-    }.sortBy(_._2).take(k).map(_._1).toArray
-  })
+  private def nearestListsUdf(cents: Array[Array[Double]], k: Int) =
+    udf((v: Seq[Double]) => {
+      cents.indices.map { c =>
+        val cent = cents(c)
+        var d = 0.0; var i = 0
+        val n = math.min(v.length, cent.length)
+        while (i < n) { val t = v(i) - cent(i); d += t * t; i += 1 }
+        (c, d)
+      }.sortBy(_._2).take(k).map(_._1).toArray
+    })
 
   /** Native cosine over array&lt;double&gt; columns ([[VecDot]] kernel). */
   private def cosine(a: Column, b: Column): Column = {
@@ -69,8 +76,8 @@ object Ivf {
     val seeds = vecs.filter(col("vec_id") % step === 0)
       .orderBy("vec_id").limit(NumLists)
       .select(col("v")).collect().map(_.getSeq[Double](0))
-    val seedsCol = typedLit(seeds.map(_.toArray))
-    val assigned = vecs.withColumn("list_id", centroidAssignUdf(col("v"), seedsCol))
+    val assigned = vecs.withColumn("list_id",
+      centroidAssignUdf(seeds.map(_.toArray))(col("v")))
     // one Lloyd iteration: element-wise mean per list via posexplode
     assigned.select(col("list_id"), posexplode(col("v")).as(Seq("dim", "x")))
       .groupBy(col("list_id"), col("dim")).agg(avg(col("x")).as("m"))
@@ -83,7 +90,7 @@ object Ivf {
 
   /** Assign every vector to its nearest centroid list. */
   def indexWith(emb: DataFrame, cents: Array[Array[Double]]): DataFrame =
-    vecsOf(emb).withColumn("list_id", centroidAssignUdf(col("v"), typedLit(cents)))
+    vecsOf(emb).withColumn("list_id", centroidAssignUdf(cents)(col("v")))
 
   /** Index with freshly computed centroids (spec entry point). */
   def index(emb: DataFrame): DataFrame = indexWith(emb, centroidArrays(emb))
@@ -132,10 +139,9 @@ object Ivf {
   def topK(s: SparkSession, emb: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val (cents, idxPath) = builtIndex(emb)
-    val centsCol = typedLit(cents)
     val qside = vecsOf(emb).filter(col("vec_id") < 5)
       .select(col("vec_id").as("qid"), col("v").as("qv"),
-        explode(nearestListsUdf(col("v"), centsCol, lit(NProbe))).as("list_id"))
+        explode(nearestListsUdf(cents, NProbe)(col("v"))).as("list_id"))
     val probed = qside.select(col("list_id")).distinct()
       .collect().map(_.getInt(0)).toSeq.sorted
     val cand = readIndex(s, idxPath, probed).join(broadcast(qside), Seq("list_id"))
@@ -403,8 +409,11 @@ object Ivf {
       seeds.map(_.slice(g * subDim, (g + 1) * subDim)))
   }
 
-  private val pqAssignSubUdf =
-    udf((g: Int, sub: Seq[Double], books: Seq[Seq[Seq[Double]]]) => {
+  /** Books captured in the closure, not a typedLit column — see
+    * [[centroidAssignUdf]] for why (per-row nested-literal conversion
+    * would cost O(rows × |books|) per training iteration). */
+  private def pqAssignSubUdf(books: Array[Array[Array[Double]]]) =
+    udf((g: Int, sub: Seq[Double]) => {
       val bg = books(g)
       var best = 0; var bestD = Double.MaxValue
       var c = 0
@@ -436,9 +445,8 @@ object Ivf {
         s"g -> struct(g AS g, slice(v, g * $subDim + 1, $subDim) AS sub))")).as("gs"))
       .select(col("gs.g").as("g"), col("gs.sub").as("sub"))
     for (_ <- 1 to iters) {
-      val booksCol = typedLit(books.map(_.map(_.toSeq).toSeq).toSeq)
       val means = subs
-        .withColumn("c", pqAssignSubUdf(col("g"), col("sub"), booksCol))
+        .withColumn("c", pqAssignSubUdf(books)(col("g"), col("sub")))
         .select(col("g"), col("c"), posexplode(col("sub")).as(Seq("dim", "x")))
         .groupBy(col("g"), col("c"), col("dim")).agg(avg(col("x")).as("m"))
         .collect()
@@ -472,8 +480,10 @@ object Ivf {
     }
   }
 
-  private val pqEncodeUdf = udf((v: Seq[Double], books: Seq[Seq[Seq[Double]]]) =>
-    pqEncode(v, books))
+  private def pqEncodeUdf(books: Array[Array[Array[Double]]]) = {
+    val booksSeq: Seq[Seq[Seq[Double]]] = books.map(_.map(_.toSeq).toSeq).toSeq
+    udf((v: Seq[Double]) => pqEncode(v, booksSeq))
+  }
 
   private val pqCodesCache =
     new java.util.concurrent.ConcurrentHashMap[String, (String, Array[Array[Array[Double]]])]()
@@ -493,8 +503,8 @@ object Ivf {
       val path = graft.Scratch.fresh(
         s"ivfpq_${java.lang.Integer.toHexString(key.hashCode)}")
       vecsOf(emb)
-        .withColumn("list_id", centroidAssignUdf(col("v"), typedLit(cents)))
-        .withColumn("codes", pqEncodeUdf(col("v"), typedLit(books)))
+        .withColumn("list_id", centroidAssignUdf(cents)(col("v")))
+        .withColumn("codes", pqEncodeUdf(books)(col("v")))
         .select(col("vec_id"), col("list_id"), col("codes"))
         .write.partitionBy("list_id").mode("overwrite").parquet(path)
       (path, books)
@@ -529,12 +539,11 @@ object Ivf {
         pqCodesPath(s, emb)
       else pqCodesPath(s, emb, s"lloyd$trainIters-$nCodes-$groups",
         pqBooksTrained(_, trainIters, nCodes, groups))
-    val centsCol = typedLit(cents)
     val qvecs = vecsOf(emb).filter(col("vec_id") < 5)
       .select(col("vec_id").as("qid"), col("v").as("qv"))
     val qside = qvecs
       .select(col("qid"), col("qv"),
-        explode(nearestListsUdf(col("qv"), centsCol, lit(nprobe))).as("list_id"))
+        explode(nearestListsUdf(cents, nprobe)(col("qv"))).as("list_id"))
     val probed = qside.select(col("list_id")).distinct()
       .collect().map(_.getInt(0)).toSeq.sorted
     // per-query ADC lookup table, built driver-side from the collected

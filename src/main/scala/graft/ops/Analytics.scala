@@ -1314,10 +1314,11 @@ object Analytics {
     * each user, the NEXT event type via lead() on one user-keyed window,
     * then (from, to) counts and per-from rates in basis points (integer
     * div — no float). This is the Markov-chain summary behind funnel
-    * diagnostics and session modeling. Event timestamps are globally
-    * distinct in the driver data, so `lead` ordered by (ts, id) is
-    * deterministic. The oracle finds the successor DECLARATIVELY (the
-    * event with the minimal later timestamp per user) — no window. */
+    * diagnostics and session modeling. `lead` orders by (ts, event_id)
+    * so colliding per-user timestamps cannot make it nondeterministic,
+    * and the oracle mirrors the SAME tie-break DECLARATIVELY — the
+    * successor is the lexicographic min of later (ts_us, event_id) — so
+    * both engines stay hash-identical even on a fixture with ties. */
   private val q177 = Q(
     "q177_transition_matrix",
     (s, dir) => {
@@ -1335,12 +1336,15 @@ object Analytics {
         .select(col("from_type"), col("to_type"), col("n"), col("rate_bp"))
         .orderBy(asc_nulls_first("from_type"), asc_nulls_first("to_type"))
     },
-    Some("""WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_type FROM events),
-      nxt AS (SELECT a.event_type AS from_type, b.event_type AS to_type
-              FROM e a JOIN e b
-                ON b.user_id = a.user_id
-               AND b.ts_us = (SELECT MIN(c.ts_us) FROM e c
-                              WHERE c.user_id = a.user_id AND c.ts_us > a.ts_us)),
+    Some("""WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type FROM events),
+      nxt AS (SELECT a.event_type AS from_type,
+                (SELECT b.event_type FROM e b
+                 WHERE b.user_id = a.user_id
+                   AND (b.ts_us, b.event_id) > (a.ts_us, a.event_id)
+                 ORDER BY b.ts_us ASC, b.event_id ASC LIMIT 1) AS to_type
+              FROM e a
+              WHERE EXISTS (SELECT 1 FROM e b WHERE b.user_id = a.user_id
+                              AND (b.ts_us, b.event_id) > (a.ts_us, a.event_id))),
       t AS (SELECT from_type, to_type, COUNT(*) AS n FROM nxt GROUP BY 1, 2)
       SELECT from_type, to_type, n,
              CAST((10000 * n) // (SELECT SUM(n) FROM t t2 WHERE t2.from_type = t.from_type) AS BIGINT)
@@ -1526,13 +1530,15 @@ object Analytics {
         // 1e38 (N ≤ ~3e9 rows even fully dependent). The oracle uses
         // HUGEINT — both are exact integers over the whole range, and
         // Spark's div on decimals returns the BIGINT quotient directly.
-        .withColumn("d", expr("cast(obs*n - rt*ct AS decimal(19,0))"))
+        // the d/den products must START in decimal, not overflow int64 and
+        // then cast: rt*ct*n wraps past ~2e6 rows if multiplied in BIGINT
+        .withColumn("d", expr("cast(obs AS decimal(19,0))*n - cast(rt AS decimal(19,0))*ct"))
         .withColumn("d2", expr("cast(d * d AS decimal(38,0))"))
-        .withColumn("den", expr("cast(rt * ct * n AS decimal(38,0))"))
+        .withColumn("den", expr("cast(rt AS decimal(38,0)) * ct * n"))
         .withColumn("chi_e4",
           expr("10000 * (d2 div den) + cast((10000 * cast(d2 % den AS decimal(34,0))) div den AS bigint)"))
         .select(col("priority"), col("status"), col("obs"),
-          expr("(1000 * rt * ct) div n").as("exp_milli"), col("chi_e4"))
+          expr("(1000 * cast(rt AS decimal(38,0)) * ct) div n").as("exp_milli"), col("chi_e4"))
         .orderBy(asc_nulls_first("priority"), asc_nulls_first("status"))
     },
     Some("""WITH cells AS (
@@ -1544,10 +1550,11 @@ object Analytics {
               SUM(obs) OVER () AS n
             FROM cells)
       SELECT priority, status, obs,
-             CAST((1000 * rt * ct) // n AS BIGINT) AS exp_milli,
+             CAST((1000 * CAST(rt AS HUGEINT) * ct) // n AS BIGINT) AS exp_milli,
              CAST(10000 * (d2 // den) + (10000 * (d2 % den)) // den AS BIGINT) AS chi_e4
       FROM (SELECT priority, status, obs, rt, ct, n,
-              CAST(obs*n - rt*ct AS HUGEINT) * CAST(obs*n - rt*ct AS HUGEINT) AS d2,
+              (CAST(obs AS HUGEINT)*n - CAST(rt AS HUGEINT)*ct)
+                * (CAST(obs AS HUGEINT)*n - CAST(rt AS HUGEINT)*ct) AS d2,
               CAST(rt AS HUGEINT) * ct * n AS den
             FROM m)
       ORDER BY priority ASC NULLS FIRST, status ASC NULLS FIRST"""),
@@ -1589,9 +1596,9 @@ object Analytics {
     * quantization — which WOULD overflow — is assembled quotient+
     * remainder (1000·(Σ div W) + (1000·(Σ mod W)) div W, q182's trick);
     * one user-keyed window provides the successor. The oracle finds
-    * successors declaratively (min later timestamp — q177's pattern,
-    * timestamps are globally distinct) and replays the same integer
-    * quotient. */
+    * successors declaratively — lexicographic min of later
+    * (ts_us, event_id), q177's tie-broken pattern, so tied timestamps
+    * cannot split the engines — and replays the same integer quotient. */
   private val q184 = Q(
     "q184_twap",
     (s, dir) => {
@@ -1611,12 +1618,14 @@ object Analytics {
             .as("twap_millicents"))
         .orderBy(asc_nulls_first("user_id"))
     },
-    Some("""WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us,
+    Some("""WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
                CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
              FROM events),
       iv AS (SELECT a.user_id, a.cents,
-               (SELECT MIN(b.ts_us) FROM e b
-                WHERE b.user_id = a.user_id AND b.ts_us > a.ts_us) - a.ts_us AS dt
+               (SELECT b.ts_us FROM e b
+                WHERE b.user_id = a.user_id
+                  AND (b.ts_us, b.event_id) > (a.ts_us, a.event_id)
+                ORDER BY b.ts_us ASC, b.event_id ASC LIMIT 1) - a.ts_us AS dt
              FROM e a),
       g AS (SELECT user_id, COUNT(*) AS n_intervals,
               CAST(SUM(dt) AS BIGINT) AS sum_dt,

@@ -47,7 +47,17 @@ object Manifest {
         .groupBy(col("_metadata.file_path").as("file"))
         .agg(min(zoneCol).as("lo"), max(zoneCol).as("hi")),
       s"file zones of $path", cap)
-      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .map { r =>
+        // a file whose zone column is ALL NULL aggregates to null lo/hi;
+        // getLong would throw (or mask the file as zone [0,0], silently
+        // dropping its rows from every range read) — fail with the file
+        // named so the caller can exclude or backfill it
+        require(!r.isNullAt(1) && !r.isNullAt(2),
+          s"file ${r.getString(0)} has an entirely-NULL zone column — " +
+            "zone-map pruning cannot bound it; filter nulls out of the " +
+            "layout or zone on a non-null column")
+        (r.getString(0), r.getLong(1), r.getLong(2))
+      }
 
   /** Files whose [lo, hi] zone overlaps [from, to] — the candidate set a
     * range predicate must read; every skipped file provably holds no

@@ -20,6 +20,30 @@ object Streams {
     * cost 4× vs the session's batch-tuned 32 while staying parallel. A new
     * checkpoint is created per run, so the partition count is free to
     * differ from the batch session conf. */
+  /** tmpfs checkpoint dirs not yet cleaned up — deleted by a JVM shutdown
+    * hook so an abnormal exit (uncaught throw, SIGTERM) cannot leak RAM
+    * on /dev/shm until reboot. */
+  private val pendingCkptDirs =
+    java.util.Collections.synchronizedSet(new java.util.HashSet[String]())
+
+  private def deleteRecursively(d: String): Unit = {
+    val p = java.nio.file.Paths.get(d)
+    if (java.nio.file.Files.exists(p)) {
+      val walk = java.nio.file.Files.walk(p)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => { java.nio.file.Files.deleteIfExists(f); () })
+      finally walk.close()
+    }
+  }
+
+  locally {
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      pendingCkptDirs.toArray(Array.empty[String]).foreach { d =>
+        try deleteRecursively(d) catch { case _: Throwable => () }
+      }
+    }, "graft-ckpt-cleanup"))
+  }
+
   private def withStatePartitions[A](s: SparkSession, n: Int)(body: => A): A = {
     val pKey = "spark.sql.shuffle.partitions"
     val nKey = "spark.sql.streaming.noDataMicroBatches.enabled"
@@ -43,7 +67,12 @@ object Streams {
           .createTempDirectory(shm.toPath, "graft_ckpt_").toString)
       else None
     }
-    ckBase.foreach(d => s.conf.set(cKey, d))
+    ckBase.foreach { d => pendingCkptDirs.add(d); s.conf.set(cKey, d) }
+    // snapshot of already-active queries: anything NEW in the finally
+    // block was started by `body` and may hold state under ckBase — stop
+    // it before the checkpoint dir is deleted (deleting under a live
+    // query corrupts its commit log mid-write)
+    val preActive = s.streams.active.map(_.id).toSet
     s.conf.set(pKey, n.toString)
     // No-data micro-batches exist to advance the watermark so APPEND-MODE
     // AGGREGATIONS can finalize their windows. None of this module's
@@ -60,12 +89,11 @@ object Streams {
     try body finally {
       s.conf.set(pKey, oldP); s.conf.set(nKey, oldN)
       oldC.fold(s.conf.unset(cKey))(v => s.conf.set(cKey, v))
-      ckBase.foreach { d =>
-        val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(d))
-        try walk.sorted(java.util.Comparator.reverseOrder())
-          .forEach(f => { java.nio.file.Files.deleteIfExists(f); () })
-        finally walk.close()
-      }
+      // if body threw (or forgot to stop) with a query still running, stop
+      // it before deleting its checkpoint out from under it
+      s.streams.active.filterNot(q => preActive.contains(q.id))
+        .foreach(q => try q.stop() catch { case _: Throwable => () })
+      ckBase.foreach { d => deleteRecursively(d); pendingCkptDirs.remove(d) }
     }
   }
 
