@@ -459,6 +459,78 @@ object Ivf {
     books
   }
 
+  // ---- persisted codebook artifacts ---------------------------------
+  //
+  // Training is `iters` linear passes over the corpus — cheap relative to
+  // 100 TB but NOT free per process. A real deployment trains codebooks
+  // once and serves them as a catalog artifact (FAISS persists the
+  // quantizer next to the index for the same reason); retraining per JVM
+  // would re-scan the corpus on every fresh session. The artifact is a
+  // tiny parquet table (groups × codes rows of subDim doubles, ~256 KB at
+  // q193's 16×256×16) keyed by (corpus fingerprint, groups, codes,
+  // iters), so a corpus or parameter change trains a NEW artifact rather
+  // than silently serving stale codes. Doubles round-trip parquet
+  // bit-exactly, so reloaded books encode byte-identically
+  // (IvfPqSpec pins this).
+
+  /** Cross-JVM artifact root — overridable for tests/deployments (the
+    * system property lets a spec point at a fresh dir in-process). */
+  private def artifactRoot: String =
+    sys.props.get("graft.artifacts")
+      .orElse(sys.env.get("GRAFT_ARTIFACTS"))
+      .getOrElse(sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft_artifacts")
+
+  /** Content fingerprint of the embedding table's backing files:
+    * path + length + mtime per file, SHA-256-folded. Detects both a
+    * different corpus and a regenerated fixture at the same path. */
+  def corpusFingerprint(emb: DataFrame): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    emb.inputFiles.sorted.foreach { f =>
+      val p = try new java.io.File(new java.net.URI(f)) catch {
+        case _: Exception => new java.io.File(f)
+      }
+      md.update(s"$f:${p.length}:${p.lastModified}".getBytes("UTF-8"))
+    }
+    md.digest().take(8).map(b => f"$b%02x").mkString
+  }
+
+  /** Persist trained books as (g, c, vec) parquet — atomic via Spark's
+    * _SUCCESS marker (a torn write is retrained, never half-read). */
+  def saveBooks(s: SparkSession, books: Array[Array[Array[Double]]],
+      path: String): Unit = {
+    val rows = for {
+      g <- books.indices; c <- books(g).indices
+    } yield (g, c, books(g)(c).toSeq)
+    s.createDataFrame(rows).toDF("g", "c", "vec")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Reload books written by [[saveBooks]] — bounded collect
+    * (groups × codes rows), reassembled in (g, c) order. */
+  def loadBooks(s: SparkSession, path: String): Array[Array[Array[Double]]] =
+    s.read.parquet(path).orderBy("g", "c").collect()
+      .groupBy(_.getInt(0)).toArray.sortBy(_._1)
+      .map(_._2.sortBy(_.getInt(1)).map(_.getSeq[Double](2).toArray))
+
+  /** Trained books served from the cross-JVM artifact store: load if a
+    * complete artifact exists for this (corpus, groups, codes, iters)
+    * key, else train once and persist. In-memory frames (no input files
+    * — spec fixtures) always train fresh: they have no stable identity
+    * to key on. */
+  def pqBooksPersisted(emb: DataFrame, iters: Int, nCodes: Int = PqCodes,
+      groups: Int = PqGroups): Array[Array[Array[Double]]] = {
+    if (emb.inputFiles.isEmpty) return pqBooksTrained(emb, iters, nCodes, groups)
+    val s = emb.sparkSession
+    val dir = new java.io.File(artifactRoot,
+      s"pqbooks_${corpusFingerprint(emb)}_g${groups}_c${nCodes}_i$iters")
+    if (new java.io.File(dir, "_SUCCESS").isFile) loadBooks(s, dir.toString)
+    else {
+      val books = pqBooksTrained(emb, iters, nCodes, groups)
+      saveBooks(s, books, dir.toString)
+      books
+    }
+  }
+
   /** Pure per-vector encoder (spec entry point; the UDF delegates). The
     * books SHAPE is the parameterization: books.length groups of
     * books(g)(c).length-dim codewords — the constants above are only the
@@ -538,7 +610,7 @@ object Ivf {
       if (trainIters == 0 && nCodes == PqCodes && groups == PqGroups)
         pqCodesPath(s, emb)
       else pqCodesPath(s, emb, s"lloyd$trainIters-$nCodes-$groups",
-        pqBooksTrained(_, trainIters, nCodes, groups))
+        pqBooksPersisted(_, trainIters, nCodes, groups))
     val qvecs = vecsOf(emb).filter(col("vec_id") < 5)
       .select(col("vec_id").as("qid"), col("v").as("qv"))
     val qside = qvecs
