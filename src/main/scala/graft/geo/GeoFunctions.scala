@@ -49,6 +49,16 @@ object GeoFunctions {
       Array(xmin, xmax, xmax, xmin, xmin),
       Array(ymin, ymin, ymax, ymax, ymin)))))))
 
+  /** Fixture/builder helper: triangle polygon as WKB (CCW ring) — gives
+    * the oracle twins a NON-axis-aligned shape, so ray-cast containment
+    * and the shoelace kernels are exercised on slanted edges, not just
+    * the rectangle special case. */
+  val stMakeTriangle =
+    udf((ax: Double, ay: Double, bx: Double, by: Double, cx: Double, cy: Double) =>
+      Wkb.write(Wkb.Poly(Wkb.Polygon(Array(Wkb.Ring(
+        Array(ax, bx, cx, ax),
+        Array(ay, by, cy, ay)))))))
+
   /** G1 ST_Union as a typed Aggregator: a TRUE geometric dissolve (PostGIS
     * ST_Union semantics, load_report.py:472). Parts with disjoint
     * envelopes pass through untouched; overlapping/adjacent components go

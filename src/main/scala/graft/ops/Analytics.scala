@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.{Q, T}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 import org.apache.spark.sql.expressions.Window
@@ -1291,18 +1292,25 @@ object Analytics {
     * quadratic in basket size — bounded here (TPC-H baskets ≤ 7 lines);
     * at 100 TB cap items per basket first (row_number ≤ K per order, the
     * q133 pattern) so a pathological basket cannot explode a partition. */
+  /** q176's pair kernel on an (ok, pk) basket frame — exposed so
+    * AqeSkewJoinSpec can drive the IDENTICAL join shape with a planted
+    * hot basket (a pathological order whose quadratic pair fan-out lands
+    * in one shuffle partition on both sides of the self-join) and prove
+    * the AQE skew split fires on it. */
+  def cooccurrencePairs(l: DataFrame): DataFrame = {
+    val pairs = l.join(l.select(col("ok"), col("pk").as("pk2")), Seq("ok"))
+      .filter(col("pk") < col("pk2"))
+    pairs.groupBy(col("pk").as("part_a"), col("pk2").as("part_b"))
+      .agg(count(lit(1)).as("n_orders"))
+      .filter(col("n_orders") >= 2)
+      .orderBy(desc("n_orders"), asc_nulls_first("part_a"), asc_nulls_first("part_b"))
+  }
+
   private val q176 = Q(
     "q176_cooccurrence",
-    (s, dir) => {
-      val l = T(s, dir, "lineitem")
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
-      val pairs = l.join(l.select(col("ok"), col("pk").as("pk2")), Seq("ok"))
-        .filter(col("pk") < col("pk2"))
-      pairs.groupBy(col("pk").as("part_a"), col("pk2").as("part_b"))
-        .agg(count(lit(1)).as("n_orders"))
-        .filter(col("n_orders") >= 2)
-        .orderBy(desc("n_orders"), asc_nulls_first("part_a"), asc_nulls_first("part_b"))
-    },
+    (s, dir) => cooccurrencePairs(
+      T(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()),
     Some("""WITH l AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem)
       SELECT a.pk AS part_a, b.pk AS part_b, COUNT(*) AS n_orders
       FROM l a JOIN l b ON a.ok = b.ok AND a.pk < b.pk

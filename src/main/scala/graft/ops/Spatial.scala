@@ -981,6 +981,111 @@ object Spatial {
       FROM t GROUP BY category ORDER BY category ASC NULLS FIRST"""),
     "G2∘G4/G5 transform-then-centroid/bounds composition, DuckDB-oracle-checked (q47 composition twin)")
 
+  /** q202, ORACLE-CHECKED — the q45 twin on NON-rectangular polygons:
+    * every prior join twin (q53/q54/q58/q59/q60/q200) used axis-aligned
+    * boxes, where ray-cast containment degenerates to range comparisons;
+    * this one runs the SAME bucket-join + ray-cast machinery against
+    * TRIANGLES with ±2-slope edges, which DuckDB mirrors as half-plane
+    * inequalities. Tie-immunity is by construction, not rounding:
+    * points sit on the integer lattice, triangle vertices on the
+    * half-integer lattice, and every edge slope is in {0, ±2} — so an
+    * edge never passes through a point, a ray never passes through a
+    * vertex, and the ray-cast's crossing arithmetic (slope-2 edges
+    * divide by 2: exact in binary) is EXACT, making both engines'
+    * comparisons ties-free and bit-deterministic. */
+  private val q202 = Q(
+    "q202_triangle_join_oracle",
+    (s, dir) => {
+      // px and py from INDEPENDENT digits of event_id (mod vs div) — a
+      // shared modulus would collapse the grid onto one 40-point line
+      val pts = graft.T(s, dir, "events").select(
+        col("event_id"),
+        pmod(col("event_id"), lit(40)).cast(DoubleType).as("px"),
+        pmod(expr("event_id div 40"), lit(40)).cast(DoubleType).as("py"))
+      // 3x3 grid of upward triangles: base 8, height 8, apex x = cx+0.5
+      val tris = s.range(9).select(
+        col("id").as("tri_id"),
+        (lit(4.0) + (col("id") % 3).cast(DoubleType) * 13.0).as("cx"),
+        (lit(4.0) + floor(col("id") / 3).cast(DoubleType) * 13.0).as("cy"))
+        .select(col("tri_id"),
+          G.stMakeTriangle(
+            col("cx") - 3.5, col("cy") - 0.5,   // A: bottom-left
+            col("cx") + 4.5, col("cy") - 0.5,   // B: bottom-right
+            col("cx") + 0.5, col("cy") + 7.5    // C: apex
+          ).as("geom"))
+      spatialJoin(pts, broadcast(tris), "px", "py", "geom", 4.0)
+        .groupBy(col("tri_id"))
+        .agg(count(lit(1)).as("n_points"), sum(col("event_id")).as("sum_ids"))
+        .orderBy(asc_nulls_first("tri_id"))
+    },
+    Some("""WITH p AS (SELECT event_id,
+               CAST(event_id % 40 AS DOUBLE) AS px,
+               CAST((event_id // 40) % 40 AS DOUBLE) AS py
+             FROM events),
+      t AS (SELECT g AS tri_id,
+              4.0 + (g % 3) * 13.0 AS cx,
+              4.0 + (g // 3) * 13.0 AS cy
+            FROM generate_series(0, 8) s(g))
+      SELECT tri_id, COUNT(*) AS n_points, CAST(SUM(event_id) AS BIGINT) AS sum_ids
+      FROM t JOIN p
+        ON py > cy - 0.5
+       AND py < 2 * (px - cx) + cy + 6.5
+       AND py < -2 * (px - cx) + cy + 8.5
+      GROUP BY tri_id ORDER BY tri_id ASC NULLS FIRST"""),
+    "J3 ray-cast spatial join on slanted-edge triangles (not the box special case), DuckDB-oracle-checked (q45 direct twin)")
+
+  /** q203, ORACLE-CHECKED — the q47/q46 twin on NON-rectangular
+    * polygons: shoelace area, area-weighted centroid, and envelope of
+    * per-event triangles, vs closed forms in DuckDB (triangle area =
+    * base·height/2 with base = height = 2k+4, exact in both engines;
+    * centroid = vertex mean — mathematically identical to the shoelace
+    * centroid, IEEE-different, killed by round(6) with 11 orders of
+    * margin at coordinate scale ~1e2). q71 proved these kernels on
+    * boxes, where the shoelace terms collapse pairwise; triangles
+    * exercise the general path. */
+  private val q203 = Q(
+    "q203_triangle_metrics_oracle",
+    (s, dir) => {
+      graft.geo.GeoExpressions.ensureRegistered(s)
+      val tri = graft.T(s, dir, "events").select(
+        concat(lit("Cat "), (col("event_id") % 7).cast("string")).as("category"),
+        pmod(col("event_id"), lit(90)).cast(DoubleType).as("cx"),
+        pmod(col("event_id") * 3, lit(90)).cast(DoubleType).as("cy"),
+        (lit(1) + pmod(col("event_id"), lit(5))).cast(DoubleType).as("k"))
+        .select(col("category"),
+          G.stMakeTriangle(
+            col("cx") - col("k") - 1.5, col("cy") - 0.5,
+            col("cx") + col("k") + 2.5, col("cy") - 0.5,
+            col("cx") + 0.5, col("cy") + col("k") * 2 + 3.5).as("geom"))
+      tri
+        .withColumn("area", graft.geo.GeoExpressions.stAreaNative(col("geom")))
+        .withColumn("c", G.stCentroid(col("geom")))
+        .withColumn("env", G.stEnvelope(col("geom")))
+        .groupBy(col("category"))
+        .agg(
+          round(sum(col("area").cast(org.apache.spark.sql.types.DecimalType(28, 6)))
+            .cast(DoubleType) / 10000.0, 6).as("area_ha"),
+          round(avg(element_at(col("c"), 1)), 6).as("centroid_x"),
+          round(avg(element_at(col("c"), 2)), 6).as("centroid_y"),
+          round(min(col("env._1")), 6).as("bxmin"), round(min(col("env._2")), 6).as("bymin"),
+          round(max(col("env._3")), 6).as("bxmax"), round(max(col("env._4")), 6).as("bymax"))
+        .orderBy(asc_nulls_first("category"))
+    },
+    Some("""WITH t AS (SELECT
+               'Cat ' || CAST(event_id % 7 AS VARCHAR) AS category,
+               CAST(event_id % 90 AS DOUBLE) AS cx,
+               CAST((event_id * 3) % 90 AS DOUBLE) AS cy,
+               CAST(1 + event_id % 5 AS DOUBLE) AS k
+             FROM events)
+      SELECT category,
+             round(CAST(SUM(CAST((2*k+4) * (2*k+4) / 2.0 AS DECIMAL(28,6))) AS DOUBLE) / 10000.0, 6) AS area_ha,
+             round(AVG(((cx-k-1.5) + (cx+k+2.5) + (cx+0.5)) / 3.0), 6) AS centroid_x,
+             round(AVG(((cy-0.5) + (cy-0.5) + (cy+2*k+3.5)) / 3.0), 6) AS centroid_y,
+             round(MIN(cx-k-1.5), 6) AS bxmin, round(MIN(cy-0.5), 6) AS bymin,
+             round(MAX(cx+k+2.5), 6) AS bxmax, round(MAX(cy+2*k+3.5), 6) AS bymax
+      FROM t GROUP BY category ORDER BY category ASC NULLS FIRST"""),
+    "G3/G4/G5 shoelace area + centroid + envelope on triangles (general shoelace path, not the box collapse), DuckDB-oracle-checked (q47 direct twin)")
+
   /** q40's twin, ORACLE-CHECKED: the full flagship composition — per-
     * category ST_Union (the REAL dissolve: each category is two adjacent
     * boxes that merge across their shared edge), area sum, monthly-NDVI
@@ -1053,5 +1158,5 @@ object Spatial {
     "flagship report composition (dissolve + area + variance + argmax + pivot), DuckDB-oracle-checked q40 twin")
 
   val all: Seq[Q] = Seq(q40, q41, q42, q43, q44, q45, q46, q47, q53, q54,
-    q58, q59, q60, q68, q69, q70, q71, q74, q200, q201)
+    q58, q59, q60, q68, q69, q70, q71, q74, q200, q201, q202, q203)
 }

@@ -97,4 +97,46 @@ class AqeSkewJoinSpec extends AnyFunSuite {
       ov.fold(spark.conf.unset(k))(v => spark.conf.set(k, v))
     }
   }
+
+  test("AQE splits a planted hot basket in q176's co-occurrence self-join") {
+    // q176 self-joins the (order, part) frame on the ORDER key — the
+    // other hot-key-exposed join next to q179 (VERDICT r8 #6): one
+    // pathological basket (an order with thousands of parts) lands its
+    // entire quadratic pair fan-out in ONE shuffle partition on BOTH
+    // sides. Plant exactly that: two identical 1000-part baskets (so the
+    // pairs survive the n_orders >= 2 support filter) over a cold
+    // background of 3-part orders; the final adaptive plan must mark the
+    // sort-merge join skew-split.
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.forceOptimizeSkewedJoin" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "2KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "2KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
+    val old = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val hot = spark.range(0, 2000).select(
+        (lit(42L) + expr("id div 1000")).as("ok"),     // orders 42 and 43
+        pmod(col("id"), lit(1000L)).as("pk"))          // identical 1000-part baskets
+      val cold = spark.range(0, 600).select(
+        (lit(1000L) + col("id") / 3).as("ok"),         // 200 orders x 3 parts
+        (lit(100000L) + col("id")).as("pk"))           // unique parts -> no pairs
+      val baskets = hot.unionAll(cold)
+      val res = graft.ops.Analytics.cooccurrencePairs(baskets)
+      val qe = res.queryExecution
+      val n = qe.toRdd.count()
+      // both hot baskets hold the same 1000 parts, so every canonical
+      // pair has support 2; cold parts are unique corpus-wide
+      assert(n === 1000L * 999L / 2)
+      val plan = qe.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE skew split did not fire on the co-occurrence join:\n${plan.take(2000)}")
+    } finally old.foreach { case (k, ov) =>
+      ov.fold(spark.conf.unset(k))(v => spark.conf.set(k, v))
+    }
+  }
 }

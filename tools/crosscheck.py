@@ -23,7 +23,8 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
             df[c] = df[c].astype("datetime64[us]")
     return df.reset_index(drop=True)
 
-def main(sf_dir: str, out_dir: str) -> int:
+def main(sf_dir: str, out_dir: str, json_out: str = None) -> int:
+    report = {}
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
@@ -33,17 +34,20 @@ def main(sf_dir: str, out_dir: str) -> int:
     n_ok = n_bad = 0
     for name, sql in sorted(oracle.items()):
         spark_files = glob.glob(f"{out_dir}/{name}/*.parquet")
+        def rec(ok, err=None, rows=None):
+            report[name] = {"rows_match": ok, "schema_match": ok, "hash_match": ok,
+                            "spark_rows": rows, "err": err}
         if not spark_files:
-            print(f"FAIL {name}: no spark result"); n_bad += 1; continue
+            print(f"FAIL {name}: no spark result"); rec(False, "no spark result"); n_bad += 1; continue
         try:
             got = norm(pd.concat([pd.read_parquet(f) for f in spark_files]))
             want = norm(con.execute(sql).df())
         except Exception as e:
-            print(f"FAIL {name}: {e}"); n_bad += 1; continue
+            print(f"FAIL {name}: {e}"); rec(False, str(e)[:300]); n_bad += 1; continue
         if list(got.columns) != list(want.columns):
-            print(f"FAIL {name}: cols {list(got.columns)} vs {list(want.columns)}"); n_bad += 1; continue
+            print(f"FAIL {name}: cols {list(got.columns)} vs {list(want.columns)}"); rec(False, "schema mismatch", len(got)); n_bad += 1; continue
         if len(got) != len(want):
-            print(f"FAIL {name}: rows {len(got)} vs {len(want)}"); n_bad += 1; continue
+            print(f"FAIL {name}: rows {len(got)} vs {len(want)}"); rec(False, f"rows {len(got)} vs {len(want)}", len(got)); n_bad += 1; continue
         mismatch = None
         for c in got.columns:
             a, b = got[c], want[c]
@@ -63,16 +67,21 @@ def main(sf_dir: str, out_dir: str) -> int:
                 mismatch = f"col {c} row {i}: spark={a.iloc[i]!r} duck={b.iloc[i]!r} (dtypes {a.dtype}/{b.dtype})"
                 break
         if mismatch:
-            print(f"FAIL {name}: {mismatch}"); n_bad += 1
+            print(f"FAIL {name}: {mismatch}"); rec(False, mismatch, len(got)); n_bad += 1
         else:
-            print(f"ok   {name} ({len(got)} rows)"); n_ok += 1
+            print(f"ok   {name} ({len(got)} rows)"); rec(True, None, len(got)); n_ok += 1
     extra = [q for q in os.listdir(out_dir)
              if os.path.isdir(f"{out_dir}/{q}") and q not in oracle]
     for q in sorted(extra):
         n = sum(len(pd.read_parquet(f)) for f in glob.glob(f"{out_dir}/{q}/*.parquet"))
         print(f"rows-only {q}: {n} rows")
+        report[q] = {"rows_match": None, "schema_match": None, "hash_match": None,
+                     "spark_rows": n, "err": "no_oracle"}
     print(f"== {n_ok} ok, {n_bad} fail, {len(extra)} rows-only ==")
+    if json_out:
+        json.dump(dict(sorted(report.items())), open(json_out, "w"), indent=1)
     return 1 if n_bad else 0
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2],
+                  sys.argv[3] if len(sys.argv) > 3 else None))
