@@ -473,26 +473,10 @@ object Ivf {
   // bit-exactly, so reloaded books encode byte-identically
   // (IvfPqSpec pins this).
 
-  /** Cross-JVM artifact root — overridable for tests/deployments (the
-    * system property lets a spec point at a fresh dir in-process). */
-  private def artifactRoot: String =
-    sys.props.get("graft.artifacts")
-      .orElse(sys.env.get("GRAFT_ARTIFACTS"))
-      .getOrElse(sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft_artifacts")
-
-  /** Content fingerprint of the embedding table's backing files:
-    * path + length + mtime per file, SHA-256-folded. Detects both a
-    * different corpus and a regenerated fixture at the same path. */
-  def corpusFingerprint(emb: DataFrame): String = {
-    val md = java.security.MessageDigest.getInstance("SHA-256")
-    emb.inputFiles.sorted.foreach { f =>
-      val p = try new java.io.File(new java.net.URI(f)) catch {
-        case _: Exception => new java.io.File(f)
-      }
-      md.update(s"$f:${p.length}:${p.lastModified}".getBytes("UTF-8"))
-    }
-    md.digest().take(8).map(b => f"$b%02x").mkString
-  }
+  /** Content fingerprint of the embedding table's backing files —
+    * [[graft.Artifacts.fingerprint]]. Detects both a different corpus
+    * and a regenerated fixture at the same path. */
+  def corpusFingerprint(emb: DataFrame): String = graft.Artifacts.fingerprint(emb)
 
   /** Persist trained books as (g, c, vec) parquet — atomic via Spark's
     * _SUCCESS marker (a torn write is retrained, never half-read). */
@@ -519,10 +503,11 @@ object Ivf {
     * to key on. */
   def pqBooksPersisted(emb: DataFrame, iters: Int, nCodes: Int = PqCodes,
       groups: Int = PqGroups): Array[Array[Array[Double]]] = {
-    if (emb.inputFiles.isEmpty) return pqBooksTrained(emb, iters, nCodes, groups)
+    val f = corpusFingerprint(emb)
+    if (f.isEmpty) return pqBooksTrained(emb, iters, nCodes, groups)
     val s = emb.sparkSession
-    val dir = new java.io.File(artifactRoot,
-      s"pqbooks_${corpusFingerprint(emb)}_g${groups}_c${nCodes}_i$iters")
+    val dir = new java.io.File(graft.Artifacts.root,
+      s"pqbooks_${f}_g${groups}_c${nCodes}_i$iters")
     if (new java.io.File(dir, "_SUCCESS").isFile) loadBooks(s, dir.toString)
     else {
       val books = pqBooksTrained(emb, iters, nCodes, groups)
