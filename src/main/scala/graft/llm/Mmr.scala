@@ -22,6 +22,39 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType}
   * embarrassingly parallel across the one qid-keyed shuffle). */
 object Mmr {
 
+  /** Shared greedy core over `n` candidates PRE-SORTED in tie-break
+    * order: pick argmax of wRel·rel(i) − wSim·maxSim(i) with strict `>`
+    * (so the pre-sort position breaks score ties), then raise each
+    * remaining candidate's maxSim by sim(i, picked); maxSim starts at 0,
+    * so negative similarities never reward a pick. rel/sim are whatever
+    * arithmetic the caller chose — double cosine in [[mmrSelect]],
+    * exact scaled-integer in [[mmrSelectExact]] (integer-valued doubles
+    * ≪ 2⁵³, where +/−/× are exact). Returns (rank, index, score). */
+  private def greedy(n: Int, k: Int, rel: Int => Double,
+      sim: (Int, Int) => Double, wRel: Double, wSim: Double)
+      : Array[(Int, Int, Double)] = {
+    val maxSim = Array.fill(n)(0.0)
+    val taken = Array.fill(n)(false)
+    val out = Array.newBuilder[(Int, Int, Double)]
+    var rank = 1
+    while (rank <= math.min(k, n)) {
+      var best = -1
+      var bestScore = Double.NegativeInfinity
+      for (i <- 0 until n if !taken(i)) {
+        val score = wRel * rel(i) - wSim * maxSim(i)
+        if (score > bestScore) { best = i; bestScore = score }
+      }
+      taken(best) = true
+      out += ((rank, best, bestScore))
+      for (i <- 0 until n if !taken(i)) {
+        val d = sim(i, best)
+        if (d > maxSim(i)) maxSim(i) = d
+      }
+      rank += 1
+    }
+    out.result()
+  }
+
   /** Greedy MMR over one candidate set. `cands` = (vid, rel, rawVec);
     * vectors are unit-normalized here. Ties break toward the smaller
     * vid, matching the repo's ranking contract (q28). Returns
@@ -32,27 +65,30 @@ object Mmr {
       val n = math.sqrt(v.map(x => x * x).sum)
       (vid, rel, if (n == 0) v else v.map(_ / n))
     }.sortBy { case (vid, rel, _) => (-rel, vid) }
-    val maxSim = Array.fill(unit.length)(0.0)
-    val taken = Array.fill(unit.length)(false)
-    val out = Array.newBuilder[(Int, Long, Double)]
-    var rank = 1
-    while (rank <= math.min(k, unit.length)) {
-      var best = -1
-      var bestScore = Double.NegativeInfinity
-      for (i <- unit.indices if !taken(i)) {
-        val score = lam * unit(i)._2 - (1 - lam) * maxSim(i)
-        // strict > plus the (-rel, vid) pre-sort = smallest-vid tie-break
-        if (score > bestScore) { best = i; bestScore = score }
-      }
-      taken(best) = true
-      out += ((rank, unit(best)._1, bestScore))
-      for (i <- unit.indices if !taken(i)) {
-        val d = unit(i)._3.zip(unit(best)._3).map { case (a, b) => a * b }.sum
-        if (d > maxSim(i)) maxSim(i) = d
-      }
-      rank += 1
+    def dot(i: Int, j: Int): Double =
+      unit(i)._3.zip(unit(j)._3).map { case (a, b) => a * b }.sum
+    greedy(unit.length, k, unit(_)._2, dot, lam, 1 - lam)
+      .map { case (rank, i, score) => (rank, unit(i)._1, score) }
+  }
+
+  /** Integer-exact MMR (q204): `cands` = (vid, rel, intVec) with rel and
+    * vectors already integer (floor-quantized upstream); λ=0.7 carried as
+    * the exact weight pair (7, 3) — score = 7·rel − 3·max(0, maxSim) is
+    * integer arithmetic evaluated in doubles far below 2⁵³, so every
+    * comparison the greedy makes is exact and an independent engine
+    * replaying the same arithmetic picks the identical sequence. Same
+    * greedy core and tie-break contract as [[mmrSelect]]. */
+  def mmrSelectExact(cands: Array[(Long, Long, Array[Long])], k: Int)
+      : Array[(Int, Long, Long)] = {
+    val sorted = cands.sortBy { case (vid, rel, _) => (-rel, vid) }
+    def dot(i: Int, j: Int): Double = {
+      val (a, b) = (sorted(i)._3, sorted(j)._3)
+      var s = 0L; var d = 0
+      while (d < a.length) { s += a(d) * b(d); d += 1 }
+      s.toDouble
     }
-    out.result()
+    greedy(sorted.length, k, sorted(_)._2.toDouble, dot, 7.0, 3.0)
+      .map { case (rank, i, score) => (rank, sorted(i)._1, score.toLong) }
   }
 
   /** q160: MMR-diversified top-k serving over the embeddings table —
@@ -98,5 +134,116 @@ object Mmr {
     None,
     "MMR-diversified top-k serving: q28 retrieval contract + bounded per-anchor greedy (flatMapGroups, O(topn*k) state); semantics pinned by MmrSpec")
 
-  val all: Seq[Q] = Seq(q160)
+  // ---- MMR under the ORACLE gate (q160's integer-exact twin) ----------
+
+  /** q204: [[diversifiedTopK]]'s exact plan shape — broadcast retrieval,
+    * qid-keyed flatMapGroups greedy — in arithmetic BOTH engines evaluate
+    * bit-identically, so the greedy SELECTION LOGIC itself sits under the
+    * DuckDB hash gate (q160's λ-cosine scores are float-ordering-fragile;
+    * this twin is why that one can stay rows-only). Embeddings are
+    * floor-quantized to integers (float→double→×1000→floor is the same
+    * IEEE op sequence in Spark and DuckDB), rel/sim are raw integer dots
+    * (≤ 64·530² ≈ 1.8e7, exact), and λ=0.7 becomes the weight pair (7,3).
+    * The oracle replays retrieval declaratively and unrolls the k greedy
+    * steps as chained argmax CTEs carrying the chosen list. */
+  def diversifiedTopKExact(s: SparkSession, emb: DataFrame, k: Int,
+      topn: Int): DataFrame = {
+    import graft.geo.GeoExpressions.vecDot
+    import s.implicits._
+    val iv = emb.select(col("vec_id"),
+      expr("transform(embedding, x -> floor(cast(x AS double) * 1000d))")
+        .cast(ArrayType(DoubleType)).as("v"))
+    val q = iv.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val cc = iv.select(col("vec_id").as("vid"), col("v").as("cv"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(desc_nulls_last("rel"), asc_nulls_first("vid"))
+    val top = cc.crossJoin(broadcast(q))
+      .filter(col("qid") =!= col("vid"))
+      .select(col("qid"), col("vid"),
+        vecDot(col("qv"), col("cv")).cast("long").as("rel"), col("cv"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= topn)
+    top.select(col("qid"), col("vid"), col("rel"), col("cv"))
+      .as[(Long, Long, Long, Seq[Double])]
+      .groupByKey(_._1)
+      .flatMapGroups { (qid, it) =>
+        val cands = it.map(t => (t._2, t._3, t._4.map(_.toLong).toArray)).toArray
+        mmrSelectExact(cands, k).iterator.map { case (rank, vid, sc) =>
+          (qid, rank.toLong, vid, sc)
+        }
+      }
+      .toDF("qid", "rank", "vid", "mmr_score")
+      .orderBy(asc_nulls_first("qid"), asc_nulls_first("rank"))
+  }
+
+  /** The k greedy steps as chained CTEs: m_i scores the remaining
+    * candidates against the chosen list (maxSim = GREATEST(0, MAX sim) —
+    * the greedy's 0-floored update), s_i is the argmax with the
+    * (score DESC, rel DESC, vid ASC) tie-break (= strict-> over the
+    * (-rel, vid) pre-sort), c_i appends the pick. All BIGINT. */
+  private def mmrOracleSql(k: Int, topn: Int): String = {
+    val steps = (2 to k).map { i =>
+      s"""m$i AS (
+        SELECT t.qid, t.vid, t.rel,
+               7 * t.rel - 3 * GREATEST(0, MAX(sm.s)) AS score
+        FROM top t
+        JOIN c${i - 1} c ON c.qid = t.qid AND NOT list_contains(c.chosen, t.vid)
+        JOIN sim sm ON sm.qid = t.qid AND sm.v1 = t.vid
+                   AND list_contains(c.chosen, sm.v2)
+        GROUP BY t.qid, t.vid, t.rel),
+      s$i AS (
+        SELECT qid, vid, score FROM (
+          SELECT qid, vid, score, row_number() OVER (PARTITION BY qid
+            ORDER BY score DESC NULLS LAST, rel DESC NULLS LAST,
+                     vid ASC NULLS FIRST) AS rn
+          FROM m$i) WHERE rn = 1),
+      c$i AS (
+        SELECT c.qid, list_append(c.chosen, s.vid) AS chosen
+        FROM c${i - 1} c JOIN s$i s USING (qid))"""
+    }.mkString(",\n      ")
+    val union = (1 to k)
+      .map(i => s"SELECT qid, CAST($i AS BIGINT) AS rank, vid, score AS mmr_score FROM s$i")
+      .mkString("\n      UNION ALL ")
+    s"""WITH iv AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1000)) AS v
+        FROM embeddings),
+      qs AS (SELECT vec_id AS qid, v AS qv FROM iv WHERE vec_id < 5),
+      rel AS (
+        SELECT qs.qid, iv.vec_id AS vid,
+               CAST(list_dot_product(qs.qv, iv.v) AS BIGINT) AS rel
+        FROM iv CROSS JOIN qs WHERE iv.vec_id <> qs.qid),
+      top AS (
+        SELECT qid, vid, rel FROM (
+          SELECT qid, vid, rel, row_number() OVER (PARTITION BY qid
+            ORDER BY rel DESC NULLS LAST, vid ASC NULLS FIRST) AS rn
+          FROM rel) WHERE rn <= $topn),
+      sim AS (
+        SELECT t1.qid, t1.vid AS v1, t2.vid AS v2,
+               CAST(list_dot_product(a.v, b.v) AS BIGINT) AS s
+        FROM top t1 JOIN top t2 ON t1.qid = t2.qid AND t1.vid <> t2.vid
+        JOIN iv a ON a.vec_id = t1.vid
+        JOIN iv b ON b.vec_id = t2.vid),
+      m1 AS (SELECT qid, vid, rel, 7 * rel AS score FROM top),
+      s1 AS (
+        SELECT qid, vid, score FROM (
+          SELECT qid, vid, score, row_number() OVER (PARTITION BY qid
+            ORDER BY score DESC NULLS LAST, rel DESC NULLS LAST,
+                     vid ASC NULLS FIRST) AS rn
+          FROM m1) WHERE rn = 1),
+      c1 AS (SELECT qid, [vid] AS chosen FROM s1),
+      $steps
+      SELECT qid, rank, vid, mmr_score FROM (
+        $union)
+      ORDER BY qid ASC NULLS FIRST, rank ASC NULLS FIRST"""
+  }
+
+  private val q204 = Q(
+    "q204_mmr_exact",
+    (s, dir) => diversifiedTopKExact(s, T(s, dir, "embeddings"), 8, 20),
+    Some(mmrOracleSql(8, 20)),
+    "integer-exact MMR twin: q160's broadcast-retrieval + per-anchor greedy with floor-quantized vectors and (7,3) weights, greedy replayed by the oracle as unrolled argmax CTEs")
+
+  val all: Seq[Q] = Seq(q160, q204)
 }

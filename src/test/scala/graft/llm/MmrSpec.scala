@@ -34,6 +34,35 @@ class MmrSpec extends AnyFunSuite {
     assert(out.length === 2)
   }
 
+  test("mmrSelectExact mirrors the greedy on integer arithmetic") {
+    // Quantized version of the duplicate-swap case: anchor (1000,0,0);
+    // rel(11)=rel(12)=rel(13)=800000; sim(12,11)=800²+600²=1e6,
+    // sim(13,11)=800²−600²=280000. Rank 2: 7·8e5−3·1e6 = 2.6e6 for the
+    // duplicate vs 7·8e5−3·2.8e5 = 4.76e6 for the diverse hit → swap.
+    val cands = Array(
+      (11L, 800000L, Array(800L, 600L, 0L)),
+      (12L, 800000L, Array(800L, 600L, 0L)),
+      (13L, 800000L, Array(800L, -600L, 0L)))
+    val out = Mmr.mmrSelectExact(cands, k = 3)
+    assert(out.map(_._2).toSeq === Seq(11L, 13L, 12L))
+    assert(out(0)._3 === 7L * 800000L)
+    assert(out(1)._3 === 7L * 800000L - 3L * 280000L)
+    assert(out(2)._3 === 7L * 800000L - 3L * 1000000L)
+  }
+
+  test("q204 end-to-end: quantized twin swaps the duplicate too") {
+    import spark.implicits._
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (11L, Array(0.8f, 0.6f, 0.0f)),
+      (12L, Array(0.8f, 0.6f, 0.0f)),
+      (13L, Array(0.8f, -0.6f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Mmr.diversifiedTopKExact(spark, emb, k = 2, topn = 10)
+      .collect().filter(_.getLong(0) == 0L).map(r => (r.getLong(1), r.getLong(2)))
+    assert(out.toSeq === Seq((1L, 11L), (2L, 13L)))
+  }
+
   test("q160 over a planted table diversifies end-to-end") {
     import spark.implicits._
     val emb = Seq(
