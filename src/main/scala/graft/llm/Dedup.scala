@@ -466,6 +466,141 @@ object Dedup {
     None,
     "LSH-bucketed approximate top-k (similarity-search scale path; exact twin = q28)")
 
+  // ---- LSH near-dup under the ORACLE gate (q27's integer-exact twin) ----
+
+  /** q27/q30 are rows-only because both the Gaussian hyperplanes (seeded
+    * driver RNG) and the float cosine are engine-specific. q205 runs the
+    * IDENTICAL pipeline shape — plant, bucket (posexplode + table/bucket
+    * self-join), verify — in arithmetic DuckDB replays bit-for-bit:
+    * vectors floor-quantized to integers, hyperplane weights from a
+    * squared-LCG mix mod 2³¹−1 (pure BIGINT ops; measured near-uniform:
+    * max bucket 5 at sf0.01 vs the affine LCG's 10× skew), and the
+    * cos ≥ 0.9 predicate cleared of floats entirely:
+    * 100·dot² ≥ 81·|a|²·|b|² ∧ dot > 0 in int64 (max term ~3e16 < 2⁶³).
+    * All 5 planted pairs are recovered at the q205 table config
+    * (6×12 ≈ 62% recall/pair at cos .999 — each planted pair must
+    * collide in ≥1 of 6 tables; both engines agree on WHICH collide). */
+  val TablesExact = 6
+  val BitsExact = 12
+  private val PlaneP = 2147483647L // 2^31 − 1
+
+  /** SQL-replayable plane weight for flat index (t·B + j)·D + d:
+    * two multiplicative mixes with a squaring between, all mod p —
+    * every intermediate < 2⁶³ so Spark's and DuckDB's BIGINT agree. */
+  private[llm] def planeInt(idx: Long): Long = {
+    val h0 = ((idx + 1L) * 2654435761L) % PlaneP
+    val h1 = (h0 * h0) % PlaneP
+    val h2 = (h1 * 1103515245L + 12345L) % PlaneP
+    h2 - (PlaneP - 1) / 2
+  }
+
+  private lazy val planesInt: Array[Array[Long]] =
+    Array.tabulate(TablesExact * BitsExact)(tj =>
+      Array.tabulate(Dim)(d => planeInt(tj.toLong * Dim + d)))
+
+  private val lshKeysIntUdf = udf((v: Seq[Long]) => {
+    val arr = v.toArray
+    val keys = new Array[Long](TablesExact)
+    var t = 0
+    while (t < TablesExact) {
+      var key = 0L
+      var j = 0
+      while (j < BitsExact) {
+        val pl = planesInt(t * BitsExact + j)
+        var dot = 0L
+        var d = 0
+        val n = math.min(arr.length, pl.length)
+        while (d < n) { dot += arr(d) * pl(d); d += 1 }
+        if (dot > 0) key |= (1L << j)
+        j += 1
+      }
+      keys(t) = key
+      t += 1
+    }
+    keys
+  })
+
+  /** [[plantedNearDups]] in integer-exact arithmetic: same planting
+    * (vec_id < 5 copies shifted +0.02, ids +100000), same bucket
+    * self-join shape, verification by the float-free threshold. Output
+    * carries the raw integer dot so the hash gate pins the verification
+    * arithmetic, not just the surviving ids. */
+  def embeddingNearDupsExact(s: SparkSession, emb: DataFrame): DataFrame = {
+    val base = emb.select(col("vec_id"),
+      col("embedding").cast(ArrayType(DoubleType)).as("e"))
+    val un = base.unionByName(
+      base.filter(col("vec_id") < 5)
+        .select((col("vec_id") + 100000).as("vec_id"),
+          transform(col("e"), x => x + lit(0.02)).as("e")))
+    val iv = un.select(col("vec_id"),
+      expr("transform(e, x -> cast(floor(x * 1000d) AS bigint))").as("v"))
+    val bucketed = iv
+      .select(col("vec_id"), posexplode(lshKeysIntUdf(col("v"))).as(Seq("table", "bucket")))
+      .localCheckpoint(false)
+    val pairIds = bucketed.alias("a").join(bucketed.alias("b"),
+        col("a.table") === col("b.table") && col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+      .distinct()
+    val dotL = "aggregate(zip_with(%s, %s, (x, y) -> x * y), 0L, (acc, z) -> acc + z)"
+    pairIds
+      .join(iv.select(col("vec_id").as("id_a"), col("v").as("va")), Seq("id_a"))
+      .join(iv.select(col("vec_id").as("id_b"), col("v").as("vb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        expr(dotL.format("va", "vb")).as("dot"),
+        expr(dotL.format("va", "va")).as("na2"),
+        expr(dotL.format("vb", "vb")).as("nb2"))
+      .filter(col("dot") > 0 &&
+        lit(100L) * col("dot") * col("dot") >= lit(81L) * col("na2") * col("nb2"))
+      .select(col("id_a"), col("id_b"), col("dot"))
+      .orderBy(asc_nulls_first("id_a"), asc_nulls_first("id_b"))
+  }
+
+  private val q205 = Q(
+    "q205_lsh_neardup_oracle",
+    (s, dir) => embeddingNearDupsExact(s, T(s, dir, "embeddings")),
+    Some(s"""WITH base AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings),
+      un AS (
+        SELECT vec_id, e FROM base
+        UNION ALL
+        SELECT vec_id + 100000, list_transform(e, x -> x + CAST(0.02 AS DOUBLE))
+        FROM base WHERE vec_id < 5),
+      iv AS (SELECT vec_id, list_transform(e, x -> floor(x * 1000)) AS v FROM un),
+      dim AS (SELECT max(len(v)) AS d FROM iv),
+      pl AS (
+        SELECT i,
+          ((((((i + 1) * 2654435761) % $PlaneP) * (((i + 1) * 2654435761) % $PlaneP)) % $PlaneP)
+            * 1103515245 + 12345) % $PlaneP - ${(PlaneP - 1) / 2} AS w
+        FROM (SELECT unnest(range(0, ${TablesExact * BitsExact} * (SELECT d FROM dim))) AS i)),
+      pls AS (
+        SELECT i // (SELECT d FROM dim) AS tj, list(CAST(w AS DOUBLE) ORDER BY i) AS pw
+        FROM pl GROUP BY 1),
+      bits AS (
+        SELECT iv.vec_id, pls.tj // $BitsExact AS t, pls.tj % $BitsExact AS j,
+               CASE WHEN list_dot_product(iv.v, pls.pw) > 0 THEN 1 ELSE 0 END AS bit
+        FROM iv CROSS JOIN pls),
+      keys AS (
+        SELECT vec_id, t, SUM(bit * (CAST(1 AS BIGINT) << CAST(j AS INTEGER))) AS bucket
+        FROM bits GROUP BY vec_id, t),
+      cand AS (
+        SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM keys a JOIN keys b
+          ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+      sc AS (
+        SELECT c.id_a, c.id_b,
+               CAST(list_dot_product(va.v, vb.v) AS BIGINT) AS dot,
+               CAST(list_dot_product(va.v, va.v) AS BIGINT) AS na2,
+               CAST(list_dot_product(vb.v, vb.v) AS BIGINT) AS nb2
+        FROM cand c
+        JOIN iv va ON va.vec_id = c.id_a
+        JOIN iv vb ON vb.vec_id = c.id_b)
+      SELECT id_a, id_b, dot FROM sc
+      WHERE dot > 0 AND 100 * dot * dot >= 81 * na2 * nb2
+      ORDER BY id_a ASC NULLS FIRST, id_b ASC NULLS FIRST"""),
+    "integer-exact LSH near-dup twin: q27's plant+bucket+verify pipeline with SQL-replayable squared-LCG hyperplanes and a float-free cosine threshold (100 dot^2 >= 81 |a|^2 |b|^2)")
+
   // ---- containment detection via winnowing fingerprints -----------------
 
   private val winnowUdf = udf((text: String) => Hashing.winnow(text, WinnowK, WinnowW))
@@ -928,6 +1063,6 @@ object Dedup {
       ORDER BY doc_a ASC NULLS FIRST, doc_b ASC NULLS FIRST"""),
     "prefix-filtering set-similarity join (PPJoin family): EXACT candidate generation (lossless-superset theorem), rarest-first prefixes bound the join; oracle answers all-pairs declaratively")
 
-  val all: Seq[Q] = Seq(q24, q25, q26, q27, q30, q92, q93, q94, q101, q135, q163,
+  val all: Seq[Q] = Seq(q24, q25, q26, q27, q30, q205, q92, q93, q94, q101, q135, q163,
     q179)
 }

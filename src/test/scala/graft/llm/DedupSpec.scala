@@ -166,6 +166,29 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.length >= 3, s"expected most of the 5 planted pairs, got ${pairs.length}")
   }
 
+  test("q205 integer-exact twin recovers planted pairs with a float-free threshold") {
+    val emb = graft.T(spark, "/root/testdata/sf0.001", "embeddings")
+    val rows = Dedup.embeddingNearDupsExact(spark, emb).collect()
+    assert(rows.nonEmpty, "planted quantized copies must collide in >=1 of 6 tables")
+    assert(rows.forall(r => r.getLong(1) === r.getLong(0) + 100000L),
+      rows.map(r => (r.getLong(0), r.getLong(1))).mkString(", "))
+    // the carried dot is the exact integer dot — re-derivable and positive
+    assert(rows.forall(_.getLong(2) > 0L))
+  }
+
+  test("planeInt is the documented squared-LCG mix (oracle replay contract)") {
+    // pin a few values: changing the formula silently would break the
+    // q205 oracle only at verify time — fail fast here instead.
+    def ref(idx: Long): Long = {
+      val p = 2147483647L
+      val h0 = ((idx + 1) * 2654435761L) % p
+      val h1 = (h0 * h0) % p
+      ((h1 * 1103515245L + 12345L) % p) - (p - 1) / 2
+    }
+    for (i <- Seq(0L, 1L, 63L, 64L, 4607L))
+      assert(Dedup.planeInt(i) === ref(i), s"planeInt($i)")
+  }
+
   test("ann top-k returns at most k per query with scores in [-1,1]") {
     import spark.implicits._
     val r = new scala.util.Random(13)
