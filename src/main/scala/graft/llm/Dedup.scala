@@ -466,6 +466,192 @@ object Dedup {
     None,
     "LSH-bucketed approximate top-k (similarity-search scale path; exact twin = q28)")
 
+  // ---- MinHash-LSH under the ORACLE gate (q25's integer-exact twin) ----
+
+  private val PlaneP = 2147483647L // 2^31 − 1
+
+  /** SQL-replayable plane weight for flat index (t·B + j)·D + d:
+    * two multiplicative mixes with a squaring between, all mod p —
+    * every intermediate < 2⁶³ so Spark's and DuckDB's BIGINT agree. */
+  private[llm] def planeInt(idx: Long): Long = {
+    val h0 = ((idx + 1L) * 2654435761L) % PlaneP
+    val h1 = (h0 * h0) % PlaneP
+    val h2 = (h1 * 1103515245L + 12345L) % PlaneP
+    h2 - (PlaneP - 1) / 2
+  }
+
+
+  /** q25 is rows-only because its shingle/seed hashes are 64-bit
+    * xxhash64/splitmix mixes DuckDB cannot evaluate. q206 runs the
+    * identical pipeline shape — shingle → k seeded mins → banded bucket
+    * self-join → candidate dedup → semi-join verification — in mod-p
+    * arithmetic both engines replay exactly: tokens split on ' ', token
+    * hash = 16-char unrolled Horner base 257 mod 2³¹−1 (absent chars
+    * contribute 0 — `ascii(substr(t,j,1))` of an out-of-range position is
+    * 0 in DuckDB, matching the padded loop here), shingle value combines
+    * the token-triple hashes base 1000003 mod p, and seed s applies
+    * (a_s·x + b_s) mod p with a_s/b_s derived from [[planeInt]]. Every
+    * intermediate < 2⁶³. Emits ALL banded candidates with their exact
+    * integer (inter, uni) — the hash gate pins the banding decisions AND
+    * the verification arithmetic. 25 pairs at sf0.01 — the same planted
+    * near-dup families q25 surfaces. */
+  val MinhashK = 16
+  val PolyBandRows = 4
+
+  private def tokHashPoly(t: String): Long = {
+    var h = 0L
+    var j = 0
+    while (j < 16) {
+      val c = if (j < t.length) t.charAt(j).toLong else 0L
+      h = (h * 257 + c) % PlaneP
+      j += 1
+    }
+    h
+  }
+
+  /** Distinct mod-p shingle values: token-triple hashes at positions
+    * 0..max(0, n−3), absent tokens hashing as ''. An empty/sub-3-token
+    * text still yields its one (possibly partial) shingle, so every
+    * document signs. */
+  private[llm] def polyShingles(text: String): Array[Long] = {
+    val ts = text.split(" ").filter(_.nonEmpty)
+    val n = math.max(1, ts.length - 2)
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    var i = 0
+    while (i < n) {
+      def tok(k: Int): String = if (i + k < ts.length) ts(i + k) else ""
+      val x = ((tokHashPoly(tok(0)) * 1000003L + tokHashPoly(tok(1))) % PlaneP
+        * 1000003L + tokHashPoly(tok(2))) % PlaneP
+      seen.add(x)
+      i += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = it.next(); k += 1 }
+    out
+  }
+
+  private lazy val seedsA: Array[Long] = Array.tabulate(MinhashK)(s =>
+    (planeInt(1000L + s) + 1073741823L) % (PlaneP - 1) + 1)
+  private lazy val seedsB: Array[Long] = Array.tabulate(MinhashK)(s =>
+    (planeInt(2000L + s) + 1073741823L) % PlaneP)
+
+  /** Band keys from a shingle set: k=16 seeded mins folded into
+    * 16/4 = 4 keys via a base-31 Horner seeded with the band index. */
+  private[llm] def polyBands(xs: Array[Long]): Array[Long] = {
+    val mins = Array.fill(MinhashK)(Long.MaxValue)
+    var i = 0
+    while (i < xs.length) {
+      var s = 0
+      while (s < MinhashK) {
+        val h = (seedsA(s) * xs(i) + seedsB(s)) % PlaneP
+        if (h < mins(s)) mins(s) = h
+        s += 1
+      }
+      i += 1
+    }
+    val nBands = MinhashK / PolyBandRows
+    Array.tabulate(nBands) { b =>
+      var acc = b.toLong
+      var r = 0
+      while (r < PolyBandRows) { acc = (acc * 31 + mins(b * PolyBandRows + r)) % PlaneP; r += 1 }
+      acc
+    }
+  }
+
+  private val polyShinglesUdf = udf((text: String) => polyShingles(text))
+  private val polyBandsUdf = udf((xs: Seq[Long]) => polyBands(xs.toArray))
+
+  /** q25's exact shape in replayable arithmetic: banded bucket self-join
+    * for candidates (ids only through the shuffle), semi-join the corpus
+    * down to surviving candidates, exact integer intersection/union. */
+  def minhashPairsExact(s: SparkSession, docs0: DataFrame): DataFrame = {
+    val docs = docs0.filter(col("text").isNotNull)
+    val sh = docs.select(col("doc_id"), polyShinglesUdf(col("text")).as("xs"))
+      .localCheckpoint(false)
+    val banded = sh.select(col("doc_id"),
+      posexplode(polyBandsUdf(col("xs"))).as(Seq("band", "bh")))
+    val cand = banded.alias("a").join(banded.alias("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val candIds = cand.select(col("doc_a").as("doc_id"))
+      .union(cand.select(col("doc_b").as("doc_id"))).distinct()
+    val shc = sh.join(candIds, Seq("doc_id"), "left_semi")
+    cand
+      .join(shc.select(col("doc_id").as("doc_a"), col("xs").as("xa")), Seq("doc_a"))
+      .join(shc.select(col("doc_id").as("doc_b"), col("xs").as("xb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("xa"), col("xb"))).cast("long").as("inter"),
+        (size(col("xa")) + size(col("xb"))
+          - size(array_intersect(col("xa"), col("xb")))).cast("long").as("uni"))
+      .orderBy(asc_nulls_first("doc_a"), asc_nulls_first("doc_b"))
+  }
+
+  private def horner16Sql(col: String): String =
+    (1 to 16).foldLeft("CAST(0 AS BIGINT)") { (acc, j) =>
+      s"(($acc * 257 + ascii(substr($col, $j, 1))) % $PlaneP)"
+    }
+
+  private def q206OracleSql: String = {
+    val mins = (0 until MinhashK)
+      .map(s => s"MIN((${seedsA(s)} * x + ${seedsB(s)}) % $PlaneP) AS m$s")
+      .mkString(",\n          ")
+    def bandKey(b: Int): String =
+      (0 until PolyBandRows).foldLeft(b.toString) { (acc, r) =>
+        s"(($acc * 31 + m${b * PolyBandRows + r}) % $PlaneP)"
+      }
+    val bands = (0 until MinhashK / PolyBandRows)
+      .map(b => s"SELECT doc_id, $b AS band, ${bandKey(b)} AS bh FROM sigs")
+      .mkString("\n        UNION ALL ")
+    s"""WITH toks AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), t -> len(t) > 0) AS ts
+        FROM documents WHERE text IS NOT NULL),
+      tok3 AS (
+        SELECT doc_id,
+               COALESCE(ts[CAST(i AS INTEGER)], '') AS t1,
+               COALESCE(ts[CAST(i AS INTEGER) + 1], '') AS t2,
+               COALESCE(ts[CAST(i AS INTEGER) + 2], '') AS t3
+        FROM toks, unnest(range(1, greatest(2, len(ts) - 1))) AS u(i)),
+      shing AS (
+        SELECT DISTINCT doc_id,
+          (((${horner16Sql("t1")} * 1000003 + ${horner16Sql("t2")}) % $PlaneP)
+            * 1000003 + ${horner16Sql("t3")}) % $PlaneP AS x
+        FROM tok3),
+      sigs AS (
+        SELECT doc_id,
+          $mins
+        FROM shing GROUP BY doc_id),
+      banded AS (
+        $bands),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+      cnts AS (SELECT doc_id, COUNT(*) AS n FROM shing GROUP BY doc_id),
+      inter AS (
+        SELECT c.doc_a, c.doc_b, COUNT(*) AS i
+        FROM cand c JOIN shing sa ON sa.doc_id = c.doc_a
+        JOIN shing sb ON sb.doc_id = c.doc_b AND sb.x = sa.x
+        GROUP BY c.doc_a, c.doc_b)
+      SELECT c.doc_a, c.doc_b,
+             COALESCE(i.i, 0) AS inter,
+             ca.n + cb.n - COALESCE(i.i, 0) AS uni
+      FROM cand c
+      LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+      JOIN cnts ca ON ca.doc_id = c.doc_a
+      JOIN cnts cb ON cb.doc_id = c.doc_b
+      ORDER BY c.doc_a ASC NULLS FIRST, c.doc_b ASC NULLS FIRST"""
+  }
+
+  private val q206 = Q(
+    "q206_minhash_oracle",
+    (s, dir) => minhashPairsExact(s, T.spread(s, T(s, dir, "documents"))),
+    Some(q206OracleSql),
+    "integer-exact MinHash-LSH twin: q25's shingle->seeded-mins->band-bucket-join->verify pipeline in mod-p arithmetic DuckDB replays; banding decisions and exact (inter, uni) both hash-gated")
+
   // ---- LSH near-dup under the ORACLE gate (q27's integer-exact twin) ----
 
   /** q27/q30 are rows-only because both the Gaussian hyperplanes (seeded
@@ -482,18 +668,6 @@ object Dedup {
     * collide in ≥1 of 6 tables; both engines agree on WHICH collide). */
   val TablesExact = 6
   val BitsExact = 12
-  private val PlaneP = 2147483647L // 2^31 − 1
-
-  /** SQL-replayable plane weight for flat index (t·B + j)·D + d:
-    * two multiplicative mixes with a squaring between, all mod p —
-    * every intermediate < 2⁶³ so Spark's and DuckDB's BIGINT agree. */
-  private[llm] def planeInt(idx: Long): Long = {
-    val h0 = ((idx + 1L) * 2654435761L) % PlaneP
-    val h1 = (h0 * h0) % PlaneP
-    val h2 = (h1 * 1103515245L + 12345L) % PlaneP
-    h2 - (PlaneP - 1) / 2
-  }
-
   private lazy val planesInt: Array[Array[Long]] =
     Array.tabulate(TablesExact * BitsExact)(tj =>
       Array.tabulate(Dim)(d => planeInt(tj.toLong * Dim + d)))
@@ -1063,6 +1237,6 @@ object Dedup {
       ORDER BY doc_a ASC NULLS FIRST, doc_b ASC NULLS FIRST"""),
     "prefix-filtering set-similarity join (PPJoin family): EXACT candidate generation (lossless-superset theorem), rarest-first prefixes bound the join; oracle answers all-pairs declaratively")
 
-  val all: Seq[Q] = Seq(q24, q25, q26, q27, q30, q205, q92, q93, q94, q101, q135, q163,
+  val all: Seq[Q] = Seq(q24, q25, q26, q27, q30, q205, q206, q92, q93, q94, q101, q135, q163,
     q179)
 }

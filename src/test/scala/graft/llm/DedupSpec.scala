@@ -189,6 +189,36 @@ class DedupSpec extends AnyFunSuite {
       assert(Dedup.planeInt(i) === ref(i), s"planeInt($i)")
   }
 
+  test("q206 poly shingles: sub-3-token and empty texts still sign; dup texts collide") {
+    // empty text → the single all-empty-token shingle (x = 0)
+    assert(Dedup.polyShingles("").toSeq === Seq(0L))
+    // 2 tokens → one partial shingle (third token hashes as '')
+    assert(Dedup.polyShingles("a b").length === 1)
+    // 5 tokens → 3 shingles
+    assert(Dedup.polyShingles("a b c d e").length === 3)
+    // identical text → identical shingle set and identical band keys
+    val t = "the quick brown fox jumps over the lazy dog"
+    assert(Dedup.polyShingles(t).toSeq === Dedup.polyShingles(t).toSeq)
+    assert(Dedup.polyBands(Dedup.polyShingles(t)).toSeq ===
+      Dedup.polyBands(Dedup.polyShingles(t)).toSeq)
+    // disjoint shingle sets → (with 4 bands) almost surely different keys
+    val u = "completely different words in every position here now ok"
+    assert(Dedup.polyBands(Dedup.polyShingles(t)).toSeq !==
+      Dedup.polyBands(Dedup.polyShingles(u)).toSeq)
+  }
+
+  test("q206 end-to-end: exact duplicates pair with inter == uni") {
+    import spark.implicits._
+    val text = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq(
+      (1L, text), (2L, text),
+      (3L, "unrelated content entirely here with other words present"))
+      .toDF("doc_id", "text")
+    val rows = Dedup.minhashPairsExact(spark, docs).collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((1L, 2L)))
+    assert(rows.head.getLong(2) === rows.head.getLong(3), "dup pair: inter == uni")
+  }
+
   test("ann top-k returns at most k per query with scores in [-1,1]") {
     import spark.implicits._
     val r = new scala.util.Random(13)
