@@ -652,6 +652,92 @@ object Dedup {
     Some(q206OracleSql),
     "integer-exact MinHash-LSH twin: q25's shingle->seeded-mins->band-bucket-join->verify pipeline in mod-p arithmetic DuckDB replays; banding decisions and exact (inter, uni) both hash-gated")
 
+  // ---- SimHash under the ORACLE gate (q26's integer-exact twin) --------
+
+  /** q26's 64-bit splitmix SimHash is DuckDB-opaque; q207 is the same
+    * pipeline — per-token fingerprint vote, chunk-bucketed self-join,
+    * hamming verify — over a 30-bit mod-p fingerprint both engines
+    * compute identically: token hash = the q206 16-char Horner, bit j
+    * votes Σ(±1) over token OCCURRENCES (multiplicity counts, ties → 0),
+    * three 10-bit chunks bucket candidates, and the emitted radius is
+    * ham ≤ 2 — exactly the radius 3 chunks make pigeonhole-COMPLETE, so
+    * the output is a closed-form set, not a recall sample. ham is
+    * bit_count(xor) — pure integer — and rides the map-side joined row
+    * (q25's trick: only (doc_a, doc_b, ham) scalars shuffle). */
+  private[llm] def simhashPoly(text: String): Long = {
+    val ts = text.split(" ").filter(_.nonEmpty)
+    if (ts.isEmpty) return -1L
+    val sums = new Array[Int](30)
+    var i = 0
+    while (i < ts.length) {
+      val h = tokHashPoly(ts(i))
+      var j = 0
+      while (j < 30) { sums(j) += (((h >> j) & 1L).toInt * 2 - 1); j += 1 }
+      i += 1
+    }
+    var f = 0L
+    var j = 0
+    while (j < 30) { if (sums(j) > 0) f |= (1L << j); j += 1 }
+    f
+  }
+
+  private val simhashPolyUdf = udf((text: String) => simhashPoly(text))
+
+  def simhashPairsExact(s: SparkSession, docs0: DataFrame): DataFrame = {
+    val docs = docs0.filter(col("text").isNotNull)
+    // -1 sentinel = tokenless doc (the oracle's no-tokens group-by drop)
+    val fp = docs.select(col("doc_id"), simhashPolyUdf(col("text")).as("f"))
+      .filter(col("f") >= 0)
+      .localCheckpoint(false)
+    val chunks = fp.select(col("doc_id"), col("f"), posexplode(expr(
+      "array(f & 1023, shiftright(f, 10) & 1023, shiftright(f, 20) & 1023)"))
+      .as(Seq("c", "cv")))
+    chunks.alias("a").join(chunks.alias("b"),
+        col("a.c") === col("b.c") && col("a.cv") === col("b.cv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        expr("cast(bit_count(a.f ^ b.f) AS bigint)").as("ham"))
+      .filter(col("ham") <= 2)
+      .distinct()
+      .orderBy(asc_nulls_first("doc_a"), asc_nulls_first("doc_b"))
+  }
+
+  private def q207OracleSql: String = s"""WITH toks AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), t -> len(t) > 0) AS ts
+        FROM documents WHERE text IS NOT NULL),
+      th AS (
+        SELECT doc_id, ${horner16Sql("u.t")} AS h
+        FROM toks, unnest(ts) AS u(t)),
+      bits AS (
+        SELECT doc_id, j.j,
+               CASE WHEN SUM(((h >> CAST(j.j AS INTEGER)) & 1) * 2 - 1) > 0
+                    THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS b
+        FROM th, (SELECT unnest(range(0, 30)) AS j) j
+        GROUP BY doc_id, j.j),
+      fp AS (
+        SELECT doc_id, SUM(b * (CAST(1 AS BIGINT) << CAST(j AS INTEGER))) AS f
+        FROM bits GROUP BY doc_id),
+      chunks AS (
+        SELECT doc_id, c.c, (f >> CAST(c.c * 10 AS INTEGER)) & 1023 AS cv
+        FROM fp, (SELECT unnest(range(0, 3)) AS c) c),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM chunks a JOIN chunks b
+          ON a.c = b.c AND a.cv = b.cv AND a.doc_id < b.doc_id)
+      SELECT c.doc_a, c.doc_b,
+             CAST(bit_count(xor(fa.f, fb.f)) AS BIGINT) AS ham
+      FROM cand c
+      JOIN fp fa ON fa.doc_id = c.doc_a
+      JOIN fp fb ON fb.doc_id = c.doc_b
+      WHERE bit_count(xor(fa.f, fb.f)) <= 2
+      ORDER BY c.doc_a ASC NULLS FIRST, c.doc_b ASC NULLS FIRST"""
+
+  private val q207 = Q(
+    "q207_simhash_oracle",
+    (s, dir) => simhashPairsExact(s, T.spread(s, T(s, dir, "documents"))),
+    Some(q207OracleSql),
+    "integer-exact SimHash twin: 30-bit mod-p fingerprint vote, 3x10-bit chunk buckets, pigeonhole-complete ham<=2 pairs — bucketing and hamming verify both hash-gated")
+
   // ---- LSH near-dup under the ORACLE gate (q27's integer-exact twin) ----
 
   /** q27/q30 are rows-only because both the Gaussian hyperplanes (seeded
@@ -1237,6 +1323,6 @@ object Dedup {
       ORDER BY doc_a ASC NULLS FIRST, doc_b ASC NULLS FIRST"""),
     "prefix-filtering set-similarity join (PPJoin family): EXACT candidate generation (lossless-superset theorem), rarest-first prefixes bound the join; oracle answers all-pairs declaratively")
 
-  val all: Seq[Q] = Seq(q24, q25, q26, q27, q30, q205, q206, q92, q93, q94, q101, q135, q163,
+  val all: Seq[Q] = Seq(q24, q25, q26, q27, q30, q205, q206, q207, q92, q93, q94, q101, q135, q163,
     q179)
 }

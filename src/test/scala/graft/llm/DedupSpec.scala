@@ -219,6 +219,29 @@ class DedupSpec extends AnyFunSuite {
     assert(rows.head.getLong(2) === rows.head.getLong(3), "dup pair: inter == uni")
   }
 
+  test("q207 poly simhash: 30-bit range, dup invariance, tokenless sentinel") {
+    val t = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val f = Dedup.simhashPoly(t)
+    assert(f >= 0 && f < (1L << 30))
+    assert(Dedup.simhashPoly(t) === f, "deterministic")
+    assert(Dedup.simhashPoly("") === -1L && Dedup.simhashPoly("   ") === -1L)
+    // one-token change flips few of the 30 vote sums
+    val f2 = Dedup.simhashPoly(t.replace("kappa", "lambda"))
+    assert(java.lang.Long.bitCount(f ^ f2) <= 10, s"near-dup drift ${java.lang.Long.bitCount(f ^ f2)}")
+  }
+
+  test("q207 end-to-end: identical docs pair at ham 0; radius capped at 2") {
+    import spark.implicits._
+    val text = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq(
+      (1L, text), (2L, text),
+      (3L, "unrelated content entirely here with other words present okay"))
+      .toDF("doc_id", "text")
+    val rows = Dedup.simhashPairsExact(spark, docs).collect()
+    assert(rows.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L && r.getLong(2) == 0L))
+    assert(rows.forall(_.getLong(2) <= 2L))
+  }
+
   test("ann top-k returns at most k per query with scores in [-1,1]") {
     import spark.implicits._
     val r = new scala.util.Random(13)
