@@ -482,7 +482,9 @@ object Dedup {
 
 
   /** q25 is rows-only because its shingle/seed hashes are 64-bit
-    * xxhash64/splitmix mixes DuckDB cannot evaluate. q206 runs the
+    * xxhash64/splitmix mixes DuckDB cannot evaluate. (MinHash resemblance
+    * sketch: Broder 1997, "On the resemblance and containment of
+    * documents"; banding analysis: Leskovec/Rajaraman/Ullman, MMDS ch. 3.) q206 runs the
     * identical pipeline shape — shingle → k seeded mins → banded bucket
     * self-join → candidate dedup → semi-join verification — in mod-p
     * arithmetic both engines replay exactly: tokens split on ' ', token
@@ -654,7 +656,9 @@ object Dedup {
 
   // ---- SimHash under the ORACLE gate (q26's integer-exact twin) --------
 
-  /** q26's 64-bit splitmix SimHash is DuckDB-opaque; q207 is the same
+  /** q26's 64-bit splitmix SimHash is DuckDB-opaque (Charikar 2002
+    * random-hyperplane rounding; chunk-bucket search: Manku et al. 2007,
+    * "Detecting near-duplicates for web crawling"); q207 is the same
     * pipeline — per-token fingerprint vote, chunk-bucketed self-join,
     * hamming verify — over a 30-bit mod-p fingerprint both engines
     * compute identically: token hash = the q206 16-char Horner, bit j
@@ -741,7 +745,9 @@ object Dedup {
   // ---- LSH near-dup under the ORACLE gate (q27's integer-exact twin) ----
 
   /** q27/q30 are rows-only because both the Gaussian hyperplanes (seeded
-    * driver RNG) and the float cosine are engine-specific. q205 runs the
+    * driver RNG) and the float cosine are engine-specific (sign-random
+    * -projection LSH: Charikar 2002; multi-table amplification:
+    * Indyk & Motwani 1998). q205 runs the
     * IDENTICAL pipeline shape — plant, bucket (posexplode + table/bucket
     * self-join), verify — in arithmetic DuckDB replays bit-for-bit:
     * vectors floor-quantized to integers, hyperplane weights from a
