@@ -1403,7 +1403,7 @@ object Analytics {
       SELECT n, CAST(n*sxy - sx*sy AS BIGINT) AS slope_num,
              CAST(n*sx2 - sx*sx AS BIGINT) AS slope_den,
              CAST(CASE WHEN n*sxy - sx*sy < 0 THEN -1 ELSE 1 END *
-                  ((1000000 * abs(n*sxy - sx*sy)) // (n*sx2 - sx*sx)) AS BIGINT)
+                  ((CAST(1000000 AS HUGEINT) * abs(n*sxy - sx*sy)) // (n*sx2 - sx*sx)) AS BIGINT)
                AS slope_microcents
       FROM agg"""),
     "integer-exact OLS revenue trend: one map-combinable aggregate over the month spine; sign-safe micro-cents quantization (div/floor parity), DECIMAL(38,0)↔HUGEINT product")

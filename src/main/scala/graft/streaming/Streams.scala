@@ -335,8 +335,17 @@ object Streams {
   private val q73 = Q(
     "q73_stream_dedup",
     (s, dir) => streamDedup(s, dir),
-    // dup-free driver corpus → the deduped stream is exactly the corpus
-    Some("""SELECT doc_id, md5(text) AS hash FROM documents
+    // Duplicate-robust oracle (the sf1 gate exposed the old "dup-free
+    // corpus" assumption: sf0.1 carries 8 duplicate texts, ×10 at sf1):
+    // dropDuplicatesWithinWatermark keeps the FIRST-ARRIVING row per
+    // hash, and on the driver's single-file layout the source file is
+    // one row group = one input partition, so arrival order IS doc_id
+    // order and the survivor is MIN(doc_id) — verified row-for-row at
+    // sf1 (49 920/49 920). On a multi-file production layout the
+    // survivor is arrival-dependent by API contract; the dedup SET
+    // (one row per hash) is layout-invariant.
+    Some("""SELECT MIN(doc_id) AS doc_id, md5(text) AS hash FROM documents
+      GROUP BY md5(text)
       ORDER BY doc_id ASC NULLS FIRST"""),
     "streaming exact dedup: watermark-expired hash state + foreachBatch parquet append (dedup surface, SURVEY §2.9)")
 
