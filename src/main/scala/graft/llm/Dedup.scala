@@ -597,7 +597,9 @@ object Dedup {
       s"(($acc * 257 + ascii(substr($col, $j, 1))) % $PlaneP)"
     }
 
-  private def q206OracleSql: String = {
+  /** The q206 CTE chain (everything up to and incl. `inter`), shared by
+    * the q206 final select and the q208 pipeline composition. */
+  private def q206Ctes: String = {
     val mins = (0 until MinhashK)
       .map(s => s"MIN((${seedsA(s)} * x + ${seedsB(s)}) % $PlaneP) AS m$s")
       .mkString(",\n          ")
@@ -608,7 +610,7 @@ object Dedup {
     val bands = (0 until MinhashK / PolyBandRows)
       .map(b => s"SELECT doc_id, $b AS band, ${bandKey(b)} AS bh FROM sigs")
       .mkString("\n        UNION ALL ")
-    s"""WITH toks AS (
+    s"""toks AS (
         SELECT doc_id, list_filter(string_split(text, ' '), t -> len(t) > 0) AS ts
         FROM documents WHERE text IS NOT NULL),
       tok3 AS (
@@ -637,7 +639,10 @@ object Dedup {
         SELECT c.doc_a, c.doc_b, COUNT(*) AS i
         FROM cand c JOIN shing sa ON sa.doc_id = c.doc_a
         JOIN shing sb ON sb.doc_id = c.doc_b AND sb.x = sa.x
-        GROUP BY c.doc_a, c.doc_b)
+        GROUP BY c.doc_a, c.doc_b)"""
+  }
+
+  private def q206OracleSql: String = s"""WITH ${q206Ctes}
       SELECT c.doc_a, c.doc_b,
              COALESCE(i.i, 0) AS inter,
              ca.n + cb.n - COALESCE(i.i, 0) AS uni
@@ -646,13 +651,64 @@ object Dedup {
       JOIN cnts ca ON ca.doc_id = c.doc_a
       JOIN cnts cb ON cb.doc_id = c.doc_b
       ORDER BY c.doc_a ASC NULLS FIRST, c.doc_b ASC NULLS FIRST"""
-  }
 
   private val q206 = Q(
     "q206_minhash_oracle",
     (s, dir) => minhashPairsExact(s, T.spread(s, T(s, dir, "documents"))),
     Some(q206OracleSql),
     "integer-exact MinHash-LSH twin: q25's shingle->seeded-mins->band-bucket-join->verify pipeline in mod-p arithmetic DuckDB replays; banding decisions and exact (inter, uni) both hash-gated")
+
+  // ---- dedup pipeline capstone under the ORACLE gate -------------------
+
+  /** q208: the FULL dedup pipeline — candidate pairs → threshold →
+    * connected components → canonical keep flags — end-to-end under the
+    * hash gate. q101 (the production capstone) composes xxhash64 MinHash
+    * and is rows-only forever; this twin chains the q206 mod-p pair
+    * kernel (same code path), the Jaccard ≥ 0.7 edge test in integers
+    * (10·inter ≥ 7·uni), and the q82 large-star/small-star components
+    * over the resulting edge set, emitting per document its cluster
+    * representative and the keep flag a dedup system writes to the
+    * catalog. The oracle replays pairs via the q206 SQL and the closure
+    * via the q82 recursive CTE — so banding, verification arithmetic,
+    * clustering, AND canonical selection are all pinned at once. */
+  def dedupPipelineExact(s: SparkSession, docs0: DataFrame): DataFrame = {
+    val pairs = minhashPairsExact(s, docs0)
+    val edges = pairs
+      .filter(lit(10L) * col("inter") >= lit(7L) * col("uni"))
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val nodes = docs0.select(col("doc_id").as("node"))
+    graft.ops.Graph.connectedComponents(nodes, edges)
+      .select(col("node").as("doc_id"), col("component"),
+        (col("node") === col("component")).as("keep"))
+      .orderBy(asc_nulls_first("doc_id"))
+  }
+
+  private def q208OracleSql: String = {
+    // q206's pair derivation verbatim (shared CTE chain), then the q82
+    // reachability closure over the thresholded edge set.
+    s"""WITH RECURSIVE ${q206Ctes},
+      pairs AS (
+        SELECT c.doc_a, c.doc_b,
+               COALESCE(i.i, 0) AS inter, ca.n + cb.n - COALESCE(i.i, 0) AS uni
+        FROM cand c
+        LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+        JOIN cnts ca ON ca.doc_id = c.doc_a
+        JOIN cnts cb ON cb.doc_id = c.doc_b),
+      edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs WHERE 10*inter >= 7*uni),
+      ud AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+      reach AS (SELECT doc_id AS src, doc_id AS dst FROM documents
+                UNION
+                SELECT r.src, ud.b FROM reach r JOIN ud ON ud.a = r.dst),
+      comp AS (SELECT src AS doc_id, min(dst) AS component FROM reach GROUP BY src)
+      SELECT doc_id, component, doc_id = component AS keep
+      FROM comp ORDER BY doc_id ASC NULLS FIRST"""
+  }
+
+  private val q208 = Q(
+    "q208_dedup_pipeline_oracle",
+    (s, dir) => dedupPipelineExact(s, T.spread(s, T(s, dir, "documents"))),
+    Some(q208OracleSql),
+    "dedup pipeline capstone twin: q206 mod-p pairs -> integer Jaccard>=0.7 edges -> q82 components -> canonical keep flags, the whole chain hash-gated")
 
   // ---- SimHash under the ORACLE gate (q26's integer-exact twin) --------
 
@@ -1329,6 +1385,6 @@ object Dedup {
       ORDER BY doc_a ASC NULLS FIRST, doc_b ASC NULLS FIRST"""),
     "prefix-filtering set-similarity join (PPJoin family): EXACT candidate generation (lossless-superset theorem), rarest-first prefixes bound the join; oracle answers all-pairs declaratively")
 
-  val all: Seq[Q] = Seq(q24, q25, q26, q27, q30, q205, q206, q207, q92, q93, q94, q101, q135, q163,
+  val all: Seq[Q] = Seq(q24, q25, q26, q27, q30, q205, q206, q207, q208, q92, q93, q94, q101, q135, q163,
     q179)
 }

@@ -242,6 +242,18 @@ class DedupSpec extends AnyFunSuite {
     assert(rows.forall(_.getLong(2) <= 2L))
   }
 
+  test("q208 pipeline: dup triple clusters to min-id rep, keep flags canonical") {
+    import spark.implicits._
+    val text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (5L, text), (9L, text), (11L, text),            // one dup cluster
+      (3L, "unrelated words occupying this other document right here ok"))
+      .toDF("doc_id", "text")
+    val rows = Dedup.dedupPipelineExact(spark, docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+    assert(rows === Seq((3L, 3L, true), (5L, 5L, true), (9L, 5L, false), (11L, 5L, false)))
+  }
+
   test("ann top-k returns at most k per query with scores in [-1,1]") {
     import spark.implicits._
     val r = new scala.util.Random(13)
