@@ -1321,20 +1321,35 @@ object Dedup {
     * `lengthFilter = false` exists only so the spec can measure the
     * unfiltered fan-out. */
   private[graft] def ppjoinCandidates(sh: DataFrame, sizes: DataFrame,
-      lengthFilter: Boolean = true): DataFrame = {
+      lengthFilter: Boolean = true, positionalFilter: Boolean = true): DataFrame = {
     val df = sh.groupBy(col("sgh")).agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col("doc_id")).orderBy(asc("df"), asc("sgh"))
     val prefix = sh.join(df, Seq("sgh")).join(sizes, Seq("doc_id"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= col("n") - expr("(6 * n + 9) div 10") + 1)
-      .select(col("doc_id"), col("sgh"), col("n"))
+      .select(col("doc_id"), col("sgh"), col("n"), col("rn"))
     val lenOk =
       if (lengthFilter) col("a.n") * 6 <= col("b.n") * 10 &&
         col("b.n") * 6 <= col("a.n") * 10
       else lit(true)
+    // POSITIONAL filter (Xiao et al. 2008, ppjoin proper): both prefixes
+    // are sorted by the same global (df, sgh) order, so a token matching
+    // at positions (rnA, rnB) bounds the overlap by
+    // 1 + min(nA − rnA, nB − rnB); Jaccard ≥ 0.6 needs overlap ≥
+    // ⌈3(nA+nB)/8⌉ (t/(1+t) = 3/8), i.e. 8·ubound ≥ 3(nA+nB) in
+    // integers. LOSSLESS per matched token, and the pair-level distinct
+    // keeps a pair if ANY of its prefix matches passes — a superset of
+    // ppjoin's accumulated test, so still exact. Prunes candidates
+    // BEFORE the distinct exchange and the verification joins.
+    val posOk =
+      if (positionalFilter)
+        lit(8) * (lit(1) + least(col("a.n") - col("a.rn"), col("b.n") - col("b.rn"))) >=
+          lit(3) * (col("a.n") + col("b.n"))
+      else lit(true)
     prefix.as("a")
       .join(prefix.as("b"),
-        col("a.sgh") === col("b.sgh") && col("a.doc_id") < col("b.doc_id") && lenOk)
+        col("a.sgh") === col("b.sgh") && col("a.doc_id") < col("b.doc_id") &&
+          lenOk && posOk)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
   }

@@ -73,7 +73,9 @@ class PpjoinSpec extends AnyFunSuite {
   test("length filter bounds clone-cluster fan-out from quadratic to O(cluster·window)") {
     val (sh, sizes) = shingleFrame(fixture(spark))
     val inCluster = (d: Long) => d < K
-    val unfiltered = Dedup.ppjoinCandidates(sh, sizes, lengthFilter = false)
+    // control arm: prefix rule only (both extra prunes off)
+    val unfiltered = Dedup.ppjoinCandidates(sh, sizes,
+        lengthFilter = false, positionalFilter = false)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
       .filter { case (a, b) => inCluster(a) && inCluster(b) }
     val filtered = Dedup.ppjoinCandidates(sh, sizes)
@@ -92,9 +94,11 @@ class PpjoinSpec extends AnyFunSuite {
 
   test("length filter is lossless: verified output identical with and without") {
     val (sh, sizes) = shingleFrame(fixture(spark))
-    val without = verified(sh, sizes, Dedup.ppjoinCandidates(sh, sizes, lengthFilter = false))
+    val without = verified(sh, sizes, Dedup.ppjoinCandidates(sh, sizes,
+      lengthFilter = false, positionalFilter = false))
     val withLf = verified(sh, sizes, Dedup.ppjoinCandidates(sh, sizes))
-    assert(withLf === without)
+    assert(withLf === without,
+      "length + positional filters must be jointly lossless")
     assert(withLf.nonEmpty, "geometric truncation chain must contain >= 0.6-Jaccard pairs")
     // every surviving pair respects the size theorem: min >= 0.6 * max
     val n = sizes.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
