@@ -502,9 +502,13 @@ object Dedup {
 
   private def tokHashPoly(t: String): Long = {
     var h = 0L
-    var j = 0
-    while (j < 16) {
-      val c = if (j < t.length) t.charAt(j).toLong else 0L
+    var j = 0 // code-point index — DuckDB's substr/ascii are
+    var i = 0 // character-based, so UTF-16 surrogate pairs must hash
+    while (j < 16) { // as ONE code point here too (identical on ASCII)
+      val c =
+        if (i < t.length) {
+          val cp = t.codePointAt(i); i += Character.charCount(cp); cp.toLong
+        } else 0L
       h = (h * 257 + c) % PlaneP
       j += 1
     }
@@ -890,18 +894,23 @@ object Dedup {
         SELECT vec_id + 100000, list_transform(e, x -> x + CAST(0.02 AS DOUBLE))
         FROM base WHERE vec_id < 5),
       iv AS (SELECT vec_id, list_transform(e, x -> floor(x * 1000)) AS v FROM un),
-      dim AS (SELECT max(len(v)) AS d FROM iv),
+      -- plane weights at FLAT index tj*$Dim + d (the Spark side's fixed
+      -- $Dim-slot layout), dims beyond least(dim, $Dim) ignored on both
+      -- sides — so a non-$Dim fixture perturbs neither engine differently
+      dim AS (SELECT least(max(len(v)), $Dim) AS d FROM iv),
       pl AS (
-        SELECT i,
-          ((((((i + 1) * 2654435761) % $PlaneP) * (((i + 1) * 2654435761) % $PlaneP)) % $PlaneP)
+        SELECT tjs.tj, ds.d,
+          (((((tjs.tj * $Dim + ds.d + 1) * 2654435761) % $PlaneP)
+              * (((tjs.tj * $Dim + ds.d + 1) * 2654435761) % $PlaneP) % $PlaneP)
             * 1103515245 + 12345) % $PlaneP - ${(PlaneP - 1) / 2} AS w
-        FROM (SELECT unnest(range(0, ${TablesExact * BitsExact} * (SELECT d FROM dim))) AS i)),
+        FROM (SELECT unnest(range(0, ${TablesExact * BitsExact})) AS tj) tjs,
+             (SELECT unnest(range(0, (SELECT d FROM dim))) AS d) ds),
       pls AS (
-        SELECT i // (SELECT d FROM dim) AS tj, list(CAST(w AS DOUBLE) ORDER BY i) AS pw
-        FROM pl GROUP BY 1),
+        SELECT tj, list(CAST(w AS DOUBLE) ORDER BY d) AS pw
+        FROM pl GROUP BY tj),
       bits AS (
         SELECT iv.vec_id, pls.tj // $BitsExact AS t, pls.tj % $BitsExact AS j,
-               CASE WHEN list_dot_product(iv.v, pls.pw) > 0 THEN 1 ELSE 0 END AS bit
+               CASE WHEN list_dot_product(iv.v[1:$Dim], pls.pw) > 0 THEN 1 ELSE 0 END AS bit
         FROM iv CROSS JOIN pls),
       keys AS (
         SELECT vec_id, t, SUM(bit * (CAST(1 AS BIGINT) << CAST(j AS INTEGER))) AS bucket

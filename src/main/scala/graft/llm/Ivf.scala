@@ -510,8 +510,13 @@ object Ivf {
       s"pqbooks_${f}_g${groups}_c${nCodes}_i$iters")
     if (new java.io.File(dir, "_SUCCESS").isFile) loadBooks(s, dir.toString)
     else {
+      // stage + atomic publish (Artifacts class doc): concurrent
+      // sessions race benignly instead of interleaving part files
       val books = pqBooksTrained(emb, iters, nCodes, groups)
-      saveBooks(s, books, dir.toString)
+      val stage = new java.io.File(graft.Artifacts.root,
+        s".stage_pqbooks_${f}_${java.util.UUID.randomUUID.toString.take(8)}")
+      saveBooks(s, books, stage.toString)
+      graft.Artifacts.publish(stage, dir)
       books
     }
   }
@@ -633,6 +638,13 @@ object Ivf {
       .orderBy(asc_nulls_first("qid"), asc("rank"))
   }
 
+  /** q193's operating point (the r8 IvfSweep winner) — shared with
+    * [[warmIndex]] so the bench setup phase can never warm a different
+    * artifact than the query trains. */
+  val Q193Iters = 2
+  val Q193Codes = 256
+  val Q193Groups = 16
+
   private val q193 = Q(
     "q193_ivfpq_search",
     // operating point from the r8 nprobe/m sweep (tools/IvfSweep, sf0.01):
@@ -641,7 +653,7 @@ object Ivf {
     // still 16× smaller than the 256-byte raw vectors; the r7 config's
     // ceiling was PQ resolution, not routing (nprobe=16 gave only 0.32).
     (s, dir) => ivfPqTopK(s, T(s, dir, "embeddings"), 10,
-      nprobe = 8, trainIters = 2, nCodes = 256, groups = 16),
+      nprobe = 8, trainIters = Q193Iters, nCodes = Q193Codes, groups = Q193Groups),
     None,
     "IVF-PQ ANN with asymmetric distance: nprobe routing + 16-byte trained codes + per-query LUT scoring (FAISS IVFPQ shape); recall law spec-pinned")
 
@@ -652,7 +664,8 @@ object Ivf {
   def warmIndex(s: SparkSession, dir: String): Unit = {
     val emb = T(s, dir, "embeddings")
     builtIndex(emb)
-    pqCodesPath(s, emb, "lloyd2-256-16", pqBooksPersisted(_, 2, 256, 16))
+    pqCodesPath(s, emb, s"lloyd$Q193Iters-$Q193Codes-$Q193Groups",
+      pqBooksPersisted(_, Q193Iters, Q193Codes, Q193Groups))
     ()
   }
 

@@ -84,7 +84,8 @@ object Mmr {
     def dot(i: Int, j: Int): Double = {
       val (a, b) = (sorted(i)._3, sorted(j)._3)
       var s = 0L; var d = 0
-      while (d < a.length) { s += a(d) * b(d); d += 1 }
+      val n = math.min(a.length, b.length) // ragged vectors truncate, as mmrSelect's zip does
+      while (d < n) { s += a(d) * b(d); d += 1 }
       s.toDouble
     }
     greedy(sorted.length, k, sorted(_)._2.toDouble, dot, 7.0, 3.0)

@@ -123,7 +123,7 @@ class AqeSkewJoinSpec extends AnyFunSuite {
         (lit(42L) + expr("id div 1000")).as("ok"),     // orders 42 and 43
         pmod(col("id"), lit(1000L)).as("pk"))          // identical 1000-part baskets
       val cold = spark.range(0, 600).select(
-        (lit(1000L) + col("id") / 3).as("ok"),         // 200 orders x 3 parts
+        (lit(1000L) + expr("id div 3")).as("ok"),      // 200 orders x 3 parts
         (lit(100000L) + col("id")).as("pk"))           // unique parts -> no pairs
       val baskets = hot.unionAll(cold)
       val res = graft.ops.Analytics.cooccurrencePairs(baskets)

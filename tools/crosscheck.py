@@ -34,20 +34,21 @@ def main(sf_dir: str, out_dir: str, json_out: str = None) -> int:
     n_ok = n_bad = 0
     for name, sql in sorted(oracle.items()):
         spark_files = glob.glob(f"{out_dir}/{name}/*.parquet")
-        def rec(ok, err=None, rows=None):
-            report[name] = {"rows_match": ok, "schema_match": ok, "hash_match": ok,
-                            "spark_rows": rows, "err": err}
+        def rec(err=None, rows=None, schema=None, rows_m=None, hashes=None):
+            # per-stage verdicts: None = stage not reached (earlier stage failed)
+            report[name] = {"rows_match": rows_m, "schema_match": schema,
+                            "hash_match": hashes, "spark_rows": rows, "err": err}
         if not spark_files:
-            print(f"FAIL {name}: no spark result"); rec(False, "no spark result"); n_bad += 1; continue
+            print(f"FAIL {name}: no spark result"); rec("no spark result"); n_bad += 1; continue
         try:
             got = norm(pd.concat([pd.read_parquet(f) for f in spark_files]))
             want = norm(con.execute(sql).df())
         except Exception as e:
-            print(f"FAIL {name}: {e}"); rec(False, str(e)[:300]); n_bad += 1; continue
+            print(f"FAIL {name}: {e}"); rec(str(e)[:300]); n_bad += 1; continue
         if list(got.columns) != list(want.columns):
-            print(f"FAIL {name}: cols {list(got.columns)} vs {list(want.columns)}"); rec(False, "schema mismatch", len(got)); n_bad += 1; continue
+            print(f"FAIL {name}: cols {list(got.columns)} vs {list(want.columns)}"); rec("schema mismatch", len(got), schema=False); n_bad += 1; continue
         if len(got) != len(want):
-            print(f"FAIL {name}: rows {len(got)} vs {len(want)}"); rec(False, f"rows {len(got)} vs {len(want)}", len(got)); n_bad += 1; continue
+            print(f"FAIL {name}: rows {len(got)} vs {len(want)}"); rec(f"rows {len(got)} vs {len(want)}", len(got), schema=True, rows_m=False); n_bad += 1; continue
         mismatch = None
         for c in got.columns:
             a, b = got[c], want[c]
@@ -67,9 +68,9 @@ def main(sf_dir: str, out_dir: str, json_out: str = None) -> int:
                 mismatch = f"col {c} row {i}: spark={a.iloc[i]!r} duck={b.iloc[i]!r} (dtypes {a.dtype}/{b.dtype})"
                 break
         if mismatch:
-            print(f"FAIL {name}: {mismatch}"); rec(False, mismatch, len(got)); n_bad += 1
+            print(f"FAIL {name}: {mismatch}"); rec(mismatch, len(got), schema=True, rows_m=True, hashes=False); n_bad += 1
         else:
-            print(f"ok   {name} ({len(got)} rows)"); rec(True, None, len(got)); n_ok += 1
+            print(f"ok   {name} ({len(got)} rows)"); rec(None, len(got), schema=True, rows_m=True, hashes=True); n_ok += 1
     extra = [q for q in os.listdir(out_dir)
              if os.path.isdir(f"{out_dir}/{q}") and q not in oracle]
     for q in sorted(extra):
