@@ -850,7 +850,17 @@ object Dedup {
     * (vec_id < 5 copies shifted +0.02, ids +100000), same bucket
     * self-join shape, verification by the float-free threshold. Output
     * carries the raw integer dot so the hash gate pins the verification
-    * arithmetic, not just the surviving ids. */
+    * arithmetic, not just the surviving ids.
+    *
+    * Both engines quantize into a FIXED [[Dim]]-slot layout (missing
+    * dims as 0, extras dropped), so a ragged-length fixture perturbs
+    * neither engine and every downstream dot is over equal-length
+    * lists. Quantized norms are guarded below [[MaxNorm2]] — the bound
+    * under which 100·dot² and 81·na²·nb² both fit in int64 (Cauchy-
+    * Schwarz: |dot| ≤ √(na²·nb²)) — so an out-of-range fixture fails
+    * LOUDLY on the Spark side the way DuckDB's BIGINT overflow does,
+    * instead of wrapping silently into wrong pairs. */
+  val MaxNorm2 = 300000000L // 100·(3e8)² = 9e18 < Long.Max
   def embeddingNearDupsExact(s: SparkSession, emb: DataFrame): DataFrame = {
     val base = emb.select(col("vec_id"),
       col("embedding").cast(ArrayType(DoubleType)).as("e"))
@@ -859,7 +869,7 @@ object Dedup {
         .select((col("vec_id") + 100000).as("vec_id"),
           transform(col("e"), x => x + lit(0.02)).as("e")))
     val iv = un.select(col("vec_id"),
-      expr("transform(e, x -> cast(floor(x * 1000d) AS bigint))").as("v"))
+      expr(s"transform(sequence(1, $Dim), i -> cast(floor(coalesce(try_element_at(e, i), 0d) * 1000d) AS bigint))").as("v"))
     val bucketed = iv
       .select(col("vec_id"), posexplode(lshKeysIntUdf(col("v"))).as(Seq("table", "bucket")))
       .localCheckpoint(false)
@@ -876,7 +886,12 @@ object Dedup {
         expr(dotL.format("va", "vb")).as("dot"),
         expr(dotL.format("va", "va")).as("na2"),
         expr(dotL.format("vb", "vb")).as("nb2"))
-      .filter(col("dot") > 0 &&
+      // overflow guard inside the filter (not a dropped column Catalyst
+      // could prune): assert_true is NULL when the bound holds, raises
+      // when it doesn't — mirroring DuckDB's loud BIGINT overflow
+      .filter(assert_true(col("na2") <= MaxNorm2 && col("nb2") <= MaxNorm2,
+          lit(s"quantized norm exceeds MaxNorm2=$MaxNorm2: int64 threshold would overflow")).isNull &&
+        col("dot") > 0 &&
         lit(100L) * col("dot") * col("dot") >= lit(81L) * col("na2") * col("nb2"))
       .select(col("id_a"), col("id_b"), col("dot"))
       .orderBy(asc_nulls_first("id_a"), asc_nulls_first("id_b"))
@@ -893,24 +908,29 @@ object Dedup {
         UNION ALL
         SELECT vec_id + 100000, list_transform(e, x -> x + CAST(0.02 AS DOUBLE))
         FROM base WHERE vec_id < 5),
-      iv AS (SELECT vec_id, list_transform(e, x -> floor(x * 1000)) AS v FROM un),
+      -- fixed $Dim-slot quantization (missing dims 0, extras dropped),
+      -- identical to the Spark side's sequence(1, $Dim) layout — every
+      -- downstream dot is over equal-length lists on BOTH engines even
+      -- on a ragged-length fixture
+      iv AS (SELECT vec_id,
+               list_transform(range(1, ${Dim + 1}),
+                 i -> floor(coalesce(e[CAST(i AS INTEGER)], 0) * 1000)) AS v
+             FROM un),
       -- plane weights at FLAT index tj*$Dim + d (the Spark side's fixed
-      -- $Dim-slot layout), dims beyond least(dim, $Dim) ignored on both
-      -- sides — so a non-$Dim fixture perturbs neither engine differently
-      dim AS (SELECT least(max(len(v)), $Dim) AS d FROM iv),
+      -- $Dim-slot layout)
       pl AS (
         SELECT tjs.tj, ds.d,
           (((((tjs.tj * $Dim + ds.d + 1) * 2654435761) % $PlaneP)
               * (((tjs.tj * $Dim + ds.d + 1) * 2654435761) % $PlaneP) % $PlaneP)
             * 1103515245 + 12345) % $PlaneP - ${(PlaneP - 1) / 2} AS w
         FROM (SELECT unnest(range(0, ${TablesExact * BitsExact})) AS tj) tjs,
-             (SELECT unnest(range(0, (SELECT d FROM dim))) AS d) ds),
+             (SELECT unnest(range(0, $Dim)) AS d) ds),
       pls AS (
         SELECT tj, list(CAST(w AS DOUBLE) ORDER BY d) AS pw
         FROM pl GROUP BY tj),
       bits AS (
         SELECT iv.vec_id, pls.tj // $BitsExact AS t, pls.tj % $BitsExact AS j,
-               CASE WHEN list_dot_product(iv.v[1:$Dim], pls.pw) > 0 THEN 1 ELSE 0 END AS bit
+               CASE WHEN list_dot_product(iv.v, pls.pw) > 0 THEN 1 ELSE 0 END AS bit
         FROM iv CROSS JOIN pls),
       keys AS (
         SELECT vec_id, t, SUM(bit * (CAST(1 AS BIGINT) << CAST(j AS INTEGER))) AS bucket

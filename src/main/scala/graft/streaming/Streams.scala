@@ -329,7 +329,24 @@ object Streams {
       }
       .start()
     try q.processAllAvailable() finally q.stop()
-    s.read.parquet(outDir).orderBy(asc_nulls_first("doc_id"))
+    // Layout-invariant result: the streaming pass decides the dedup SET
+    // (which hashes survive the watermark horizon — the stateful
+    // semantics under test), but dropDuplicatesWithinWatermark's
+    // per-hash SURVIVOR is arrival-dependent by API contract, and
+    // arrival order follows the file-split layout
+    // (spark.sql.files.maxPartitionBytes), not doc_id order. So the
+    // representative is re-derived as the canonical MIN(doc_id) over
+    // each surviving hash group — what a production dedup catalog
+    // records — making the output identical under ANY input layout.
+    // (distinct() guards the horizon edge: a duplicate arriving after
+    // its predecessor's state expired is re-emitted by the operator.)
+    val canon = s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("hash"))
+      .groupBy(col("hash")).agg(min(col("doc_id")).as("doc_id"))
+    s.read.parquet(outDir).select(col("hash")).distinct()
+      .join(canon, Seq("hash"))
+      .select(col("doc_id"), col("hash"))
+      .orderBy(asc_nulls_first("doc_id"))
   }
 
   private val q73 = Q(
@@ -337,13 +354,11 @@ object Streams {
     (s, dir) => streamDedup(s, dir),
     // Duplicate-robust oracle (the sf1 gate exposed the old "dup-free
     // corpus" assumption: sf0.1 carries 8 duplicate texts, ×10 at sf1):
-    // dropDuplicatesWithinWatermark keeps the FIRST-ARRIVING row per
-    // hash, and on the driver's single-file layout the source file is
-    // one row group = one input partition, so arrival order IS doc_id
-    // order and the survivor is MIN(doc_id) — verified row-for-row at
-    // sf1 (49 920/49 920). On a multi-file production layout the
-    // survivor is arrival-dependent by API contract; the dedup SET
-    // (one row per hash) is layout-invariant.
+    // the stream decides the surviving hash SET; the representative is
+    // the canonical MIN(doc_id) per hash group on BOTH sides, so the
+    // comparison no longer depends on the source being read as a
+    // single input partition (arrival order == doc_id order) — it
+    // holds under any file-split layout.
     Some("""SELECT MIN(doc_id) AS doc_id, md5(text) AS hash FROM documents
       GROUP BY md5(text)
       ORDER BY doc_id ASC NULLS FIRST"""),

@@ -51,4 +51,45 @@ class ArtifactsSpec extends AnyFunSuite {
     assert(new File(dir, "_SUCCESS").isFile, "replacement must be complete")
     assert(Files.readString(new File(dir, "part-0.parquet").toPath) === "data")
   }
+
+  test("stale .stage_* dirs are swept by age; fresh ones survive") {
+    val root = Files.createTempDirectory("artifacts_spec").toFile
+    val stale = mkStage(root, marker = false)
+    val twoHoursAgo = System.currentTimeMillis - 2L * 3600 * 1000
+    stale.listFiles().foreach(_.setLastModified(twoHoursAgo))
+    assert(stale.setLastModified(twoHoursAgo))
+    val fresh = mkStage(root, marker = false)
+    Artifacts.sweepStaleStages(root)
+    assert(!stale.exists(), "an hour-old orphaned staging dir must be swept")
+    assert(fresh.exists(), "a live builder's staging dir must be untouched")
+  }
+
+  test("content-hash fingerprint catches a length+mtime-preserving rewrite") {
+    val spark = Sessions.build("local[2]", 2)
+    val dir = Files.createTempDirectory("artifacts_fp").toFile
+    spark.range(1000).write.mode("overwrite").parquet(dir.toString)
+    val read = () => spark.read.parquet(dir.toString)
+    val defaultBefore = Artifacts.fingerprint(read())
+    sys.props("graft.artifacts.contentHash") = "true"
+    try {
+      val contentBefore = Artifacts.fingerprint(read())
+      // in-place rewrite: flip one byte mid-file, restore the mtime —
+      // the length+mtime key cannot see this, the content key must
+      val part = dir.listFiles().filter(_.getName.endsWith(".parquet")).minBy(_.getName)
+      val mtime = part.lastModified
+      val raf = new java.io.RandomAccessFile(part, "rw")
+      try {
+        raf.seek(part.length / 2)
+        val b = raf.read()
+        raf.seek(part.length / 2)
+        raf.write(b ^ 0xff)
+      } finally raf.close()
+      assert(part.setLastModified(mtime))
+      assert(Artifacts.fingerprint(read()) !== contentBefore,
+        "content hash must change under an in-place rewrite")
+      sys.props.remove("graft.artifacts.contentHash")
+      assert(Artifacts.fingerprint(read()) === defaultBefore,
+        "the default length+mtime key is blind to the rewrite (the documented hole)")
+    } finally sys.props.remove("graft.artifacts.contentHash")
+  }
 }
