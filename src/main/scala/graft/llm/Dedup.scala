@@ -284,15 +284,7 @@ object Dedup {
     "q135_incremental_dedup",
     (s, dir) => {
       val corpus = T(s, dir, "documents").select(col("doc_id"), col("text"))
-      val near = corpus.filter(col("doc_id") % 20 === 0)
-        .select((col("doc_id") + 500000).as("doc_id"),
-          concat(col("text"), lit(" appended near dup suffix")).as("text"))
-      val exact = corpus.filter(col("doc_id") % 50 === 0)
-        .select((col("doc_id") + 600000).as("doc_id"), col("text"))
-      val fresh = corpus.filter(col("doc_id") % 100 === 0)
-        .select((col("doc_id") + 700000).as("doc_id"),
-          array_join(reverse(split(col("text"), " ")), " ").as("text"))
-      incrementalDedup(s, corpus, near.unionByName(exact).unionByName(fresh), 0.8)
+      incrementalDedup(s, corpus, plantedDelta(corpus), 0.8)
     },
     None,
     "incremental delta-vs-corpus dedup: exact-hash hit, band-index near probe, or unique (daily-ingest shape)")
@@ -601,9 +593,13 @@ object Dedup {
       s"(($acc * 257 + ascii(substr($col, $j, 1))) % $PlaneP)"
     }
 
-  /** The q206 CTE chain (everything up to and incl. `inter`), shared by
-    * the q206 final select and the q208 pipeline composition. */
-  private def q206Ctes: String = {
+  /** The mod-p signature CTE family over relation `src`, CTE names
+    * prefixed `p`: tokens → padded triples → distinct shingles → k
+    * seeded mins → band keys → shingle counts. One instantiation per
+    * signed relation lets the q210/q211 oracles sign a corpus AND a
+    * delta with the identical arithmetic the q206 self-join signs
+    * `documents` with. */
+  private[graft] def modpSigCtes(src: String, p: String): String = {
     val mins = (0 until MinhashK)
       .map(s => s"MIN((${seedsA(s)} * x + ${seedsB(s)}) % $PlaneP) AS m$s")
       .mkString(",\n          ")
@@ -612,39 +608,44 @@ object Dedup {
         s"(($acc * 31 + m${b * PolyBandRows + r}) % $PlaneP)"
       }
     val bands = (0 until MinhashK / PolyBandRows)
-      .map(b => s"SELECT doc_id, $b AS band, ${bandKey(b)} AS bh FROM sigs")
+      .map(b => s"SELECT doc_id, $b AS band, ${bandKey(b)} AS bh FROM ${p}sigs")
       .mkString("\n        UNION ALL ")
-    s"""toks AS (
+    s"""${p}toks AS (
         SELECT doc_id, list_filter(string_split(text, ' '), t -> len(t) > 0) AS ts
-        FROM documents WHERE text IS NOT NULL),
-      tok3 AS (
+        FROM $src WHERE text IS NOT NULL),
+      ${p}tok3 AS (
         SELECT doc_id,
                COALESCE(ts[CAST(i AS INTEGER)], '') AS t1,
                COALESCE(ts[CAST(i AS INTEGER) + 1], '') AS t2,
                COALESCE(ts[CAST(i AS INTEGER) + 2], '') AS t3
-        FROM toks, unnest(range(1, greatest(2, len(ts) - 1))) AS u(i)),
-      shing AS (
+        FROM ${p}toks, unnest(range(1, greatest(2, len(ts) - 1))) AS u(i)),
+      ${p}shing AS (
         SELECT DISTINCT doc_id,
           (((${horner16Sql("t1")} * 1000003 + ${horner16Sql("t2")}) % $PlaneP)
             * 1000003 + ${horner16Sql("t3")}) % $PlaneP AS x
-        FROM tok3),
-      sigs AS (
+        FROM ${p}tok3),
+      ${p}sigs AS (
         SELECT doc_id,
           $mins
-        FROM shing GROUP BY doc_id),
-      banded AS (
+        FROM ${p}shing GROUP BY doc_id),
+      ${p}banded AS (
         $bands),
+      ${p}cnts AS (SELECT doc_id, COUNT(*) AS n FROM ${p}shing GROUP BY doc_id)"""
+  }
+
+  /** The q206 CTE chain (everything up to and incl. `inter`), shared by
+    * the q206 final select and the q208 pipeline composition. */
+  private def q206Ctes: String =
+    s"""${modpSigCtes("documents", "")},
       cand AS (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM banded a JOIN banded b
           ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
-      cnts AS (SELECT doc_id, COUNT(*) AS n FROM shing GROUP BY doc_id),
       inter AS (
         SELECT c.doc_a, c.doc_b, COUNT(*) AS i
         FROM cand c JOIN shing sa ON sa.doc_id = c.doc_a
         JOIN shing sb ON sb.doc_id = c.doc_b AND sb.x = sa.x
         GROUP BY c.doc_a, c.doc_b)"""
-  }
 
   private def q206OracleSql: String = s"""WITH ${q206Ctes}
       SELECT c.doc_a, c.doc_b,
@@ -687,10 +688,11 @@ object Dedup {
       .orderBy(asc_nulls_first("doc_id"))
   }
 
-  private def q208OracleSql: String = {
-    // q206's pair derivation verbatim (shared CTE chain), then the q82
-    // reachability closure over the thresholded edge set.
-    s"""WITH RECURSIVE ${q206Ctes},
+  /** q206's pair derivation plus the q82 reachability closure — the CTE
+    * chain ending at `comp(doc_id, component)`. Shared by the q208 final
+    * select and the q209 training-shards composition in [[Pipeline]]. */
+  private[llm] def dedupCompCtes: String =
+    s"""${q206Ctes},
       pairs AS (
         SELECT c.doc_a, c.doc_b,
                COALESCE(i.i, 0) AS inter, ca.n + cb.n - COALESCE(i.i, 0) AS uni
@@ -703,7 +705,12 @@ object Dedup {
       reach AS (SELECT doc_id AS src, doc_id AS dst FROM documents
                 UNION
                 SELECT r.src, ud.b FROM reach r JOIN ud ON ud.a = r.dst),
-      comp AS (SELECT src AS doc_id, min(dst) AS component FROM reach GROUP BY src)
+      comp AS (SELECT src AS doc_id, min(dst) AS component FROM reach GROUP BY src)"""
+
+  private def q208OracleSql: String = {
+    // q206's pair derivation verbatim (shared CTE chain), then the q82
+    // reachability closure over the thresholded edge set.
+    s"""WITH RECURSIVE ${dedupCompCtes}
       SELECT doc_id, component, doc_id = component AS keep
       FROM comp ORDER BY doc_id ASC NULLS FIRST"""
   }
@@ -713,6 +720,165 @@ object Dedup {
     (s, dir) => dedupPipelineExact(s, T.spread(s, T(s, dir, "documents"))),
     Some(q208OracleSql),
     "dedup pipeline capstone twin: q206 mod-p pairs -> integer Jaccard>=0.7 edges -> q82 components -> canonical keep flags, the whole chain hash-gated")
+
+  // ---- incremental probe kernel under the ORACLE gate ------------------
+
+  /** Mod-p twin of [[deltaSignatures]]: one materialized
+    * (doc_id, h = md5 text, xs = mod-p shingle set) pass per batch —
+    * md5 where production uses xxhash64 (DuckDB evaluates md5), the
+    * q206 shingle arithmetic where production uses 64-bit mixes. */
+  def deltaSignaturesExact(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), md5(col("text").cast("binary")).as("h"),
+      polyShinglesUdf(col("text")).as("xs")).localCheckpoint(false)
+
+  /** The (hash, band) index rows from [[deltaSignaturesExact]] output —
+    * the mod-p sibling of [[indexFrames]]. */
+  def indexFramesExact(sigs: DataFrame): (DataFrame, DataFrame) =
+    (sigs.select(col("doc_id"), col("h")),
+      sigs.select(col("doc_id"), posexplode(polyBandsUdf(col("xs"))).as(Seq("band", "bh"))))
+
+  /** [[classifyAgainstIndex]]'s decision sequence — exact-hash
+    * precedence, hot-bucket-capped band probe, best-match selection —
+    * in arithmetic DuckDB replays: md5 for the exact hit, the q206
+    * mod-p banding for candidates, integer (inter, uni) with the
+    * threshold 0.8 as 5·inter ≥ 4·uni, and the match quality quantized
+    * to jq = (10⁶·inter) div uni so the argmax (jq desc, corpus_id
+    * asc) is float-free on both engines. The index is three standing
+    * frames — (doc_id, h), (doc_id, band, bh), (doc_id, xs) — exactly
+    * the signature-store shape [[classifyAgainstIndex]] probes. */
+  def classifyAgainstIndexExact(delta: DataFrame, idxHashes: DataFrame,
+      idxBands: DataFrame, idxShingles: DataFrame,
+      maxBucket: Int = MaxBucketSize,
+      precomputedSigs: Option[DataFrame] = None): DataFrame = {
+    val sigs = precomputedSigs.getOrElse(deltaSignaturesExact(delta))
+    val exactHit = sigs.alias("d").join(idxHashes.alias("c"), col("d.h") === col("c.h"))
+      .groupBy(col("d.doc_id").as("doc_id"))
+      .agg(min(col("c.doc_id")).as("dup_of"))
+      .withColumn("kind", lit("exact")).withColumn("jq", lit(1000000L))
+    val probe = sigs.join(exactHit.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), posexplode(polyBandsUdf(col("xs"))).as(Seq("band", "bh")))
+    val hot = idxBands.groupBy(col("band"), col("bh"))
+      .agg(count(lit(1)).as("bn")).filter(col("bn") > maxBucket)
+      .select(col("band"), col("bh"))
+    val cand = probe.alias("d")
+      .join(hot, Seq("band", "bh"), "left_anti")
+      .join(idxBands.alias("c"), Seq("band", "bh"))
+      .select(col("d.doc_id").as("delta_id"), col("c.doc_id").as("corpus_id"))
+      .distinct()
+    val shD = sigs.select(col("doc_id").as("delta_id"), col("xs").as("sh_d"))
+    val shC = idxShingles.select(col("doc_id").as("corpus_id"), col("xs").as("sh_c"))
+    val nearHit = cand.join(shD, Seq("delta_id")).join(shC, Seq("corpus_id"))
+      .select(col("delta_id"), col("corpus_id"),
+        size(array_intersect(col("sh_d"), col("sh_c"))).cast("long").as("inter"),
+        (size(col("sh_d")) + size(col("sh_c"))
+          - size(array_intersect(col("sh_d"), col("sh_c")))).cast("long").as("uni"))
+      .filter(lit(5L) * col("inter") >= lit(4L) * col("uni"))
+      .select(col("delta_id"), col("corpus_id"),
+        expr("(1000000 * inter) div uni").as("jq"))
+      .groupBy(col("delta_id").as("doc_id"))
+      .agg(max(struct(col("jq"), (-col("corpus_id")).as("negid"))).as("best"))
+      .select(col("doc_id"), (-col("best.negid")).as("dup_of"),
+        lit("near").as("kind"), col("best.jq").as("jq"))
+    val classified = exactHit.select(col("doc_id"), col("kind"), col("dup_of"), col("jq"))
+      .unionByName(nearHit.select(col("doc_id"), col("kind"), col("dup_of"), col("jq")))
+    delta.select(col("doc_id"))
+      .join(classified, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("kind"), lit("unique")).as("kind"),
+        col("dup_of"), col("jq"))
+      .orderBy(asc_nulls_first("doc_id"))
+  }
+
+  /** [[incrementalDedup]]'s shape with the exact kernel: the standing
+    * index is built from the corpus frame once (checkpointed), the
+    * delta probes it. */
+  def incrementalDedupExact(s: SparkSession, corpus: DataFrame,
+      delta: DataFrame): DataFrame = {
+    val corpusSigs = deltaSignaturesExact(corpus)
+    val (ch, cb) = indexFramesExact(corpusSigs)
+    classifyAgainstIndexExact(delta, ch, cb.localCheckpoint(false),
+      corpusSigs.select(col("doc_id"), col("xs")))
+  }
+
+  /** The q135 planted delta (near / exact / reversed-unique families)
+    * as SQL over `documents` — byte-identical text construction on both
+    * engines. */
+  private[llm] def plantedDeltaSql: String =
+    """SELECT doc_id + 500000 AS doc_id, text || ' appended near dup suffix' AS text
+      FROM documents WHERE doc_id % 20 = 0
+      UNION ALL
+      SELECT doc_id + 600000, text FROM documents WHERE doc_id % 50 = 0
+      UNION ALL
+      SELECT doc_id + 700000,
+             array_to_string(list_reverse(string_split(text, ' ')), ' ')
+      FROM documents WHERE doc_id % 100 = 0"""
+
+  /** The same planted delta as a frame (q135's construction verbatim). */
+  private[llm] def plantedDelta(corpus: DataFrame): DataFrame = {
+    val near = corpus.filter(col("doc_id") % 20 === 0)
+      .select((col("doc_id") + 500000L).as("doc_id"),
+        concat(col("text"), lit(" appended near dup suffix")).as("text"))
+    val exact = corpus.filter(col("doc_id") % 50 === 0)
+      .select((col("doc_id") + 600000L).as("doc_id"), col("text"))
+    val fresh = corpus.filter(col("doc_id") % 100 === 0)
+      .select((col("doc_id") + 700000L).as("doc_id"),
+        array_join(reverse(split(col("text"), " ")), " ").as("text"))
+    near.unionByName(exact).unionByName(fresh)
+  }
+
+  /** q210: q135's incremental probe under the hash gate — the same
+    * planted delta, classified against the corpus index by
+    * [[classifyAgainstIndexExact]], with DuckDB replaying every
+    * decision: the md5 exact hit (earliest corpus doc), the hot-bucket
+    * cap, the band-probe candidate set, the integer Jaccard threshold,
+    * and the quantized best-match argmax. */
+  private def q210OracleSql: String = s"""WITH delta AS (
+      ${plantedDeltaSql}),
+      ${modpSigCtes("documents", "c_")},
+      ${modpSigCtes("delta", "d_")},
+      ch AS (SELECT doc_id, md5(text) AS h FROM documents),
+      dh AS (SELECT doc_id, md5(text) AS h FROM delta),
+      ex AS (SELECT d.doc_id, MIN(c.doc_id) AS dup_of
+             FROM dh d JOIN ch c ON c.h = d.h GROUP BY d.doc_id),
+      hot AS (SELECT band, bh FROM c_banded
+              GROUP BY band, bh HAVING COUNT(*) > $MaxBucketSize),
+      cand AS (
+        SELECT DISTINCT d.doc_id AS delta_id, c.doc_id AS corpus_id
+        FROM d_banded d
+        JOIN c_banded c ON c.band = d.band AND c.bh = d.bh
+        LEFT JOIN hot h ON h.band = d.band AND h.bh = d.bh
+        LEFT JOIN ex ON ex.doc_id = d.doc_id
+        WHERE h.band IS NULL AND ex.doc_id IS NULL),
+      iw AS (SELECT c.delta_id, c.corpus_id, COUNT(*) AS i
+             FROM cand c JOIN d_shing sd ON sd.doc_id = c.delta_id
+             JOIN c_shing sc ON sc.doc_id = c.corpus_id AND sc.x = sd.x
+             GROUP BY c.delta_id, c.corpus_id),
+      nearq AS (
+        SELECT c.delta_id, c.corpus_id,
+               COALESCE(iw.i, 0) AS i, dn.n + cn.n - COALESCE(iw.i, 0) AS u
+        FROM cand c
+        LEFT JOIN iw ON iw.delta_id = c.delta_id AND iw.corpus_id = c.corpus_id
+        JOIN d_cnts dn ON dn.doc_id = c.delta_id
+        JOIN c_cnts cn ON cn.doc_id = c.corpus_id),
+      near AS (
+        SELECT delta_id AS doc_id, corpus_id AS dup_of, (1000000 * i) // u AS jq
+        FROM (SELECT *, row_number() OVER (PARTITION BY delta_id
+                ORDER BY (1000000 * i) // u DESC, corpus_id ASC) AS rk
+              FROM nearq WHERE 5 * i >= 4 * u)
+        WHERE rk = 1),
+      cls AS (SELECT doc_id, 'exact' AS kind, dup_of, CAST(1000000 AS BIGINT) AS jq FROM ex
+              UNION ALL SELECT doc_id, 'near', dup_of, jq FROM near)
+      SELECT d.doc_id, COALESCE(c.kind, 'unique') AS kind, c.dup_of, c.jq
+      FROM delta d LEFT JOIN cls c ON c.doc_id = d.doc_id
+      ORDER BY d.doc_id ASC NULLS FIRST"""
+
+  private val q210 = Q(
+    "q210_incremental_dedup_oracle",
+    (s, dir) => {
+      val corpus = T.spread(s, T(s, dir, "documents")).select(col("doc_id"), col("text"))
+      incrementalDedupExact(s, corpus, plantedDelta(corpus))
+    },
+    Some(q210OracleSql),
+    "incremental dedup twin: q135's planted delta classified vs the corpus index — md5 exact precedence, mod-p band probe, hot-bucket cap, integer Jaccard + quantized argmax, all hash-gated")
 
   // ---- SimHash under the ORACLE gate (q26's integer-exact twin) --------
 
@@ -1429,6 +1595,6 @@ object Dedup {
       ORDER BY doc_a ASC NULLS FIRST, doc_b ASC NULLS FIRST"""),
     "prefix-filtering set-similarity join (PPJoin family): EXACT candidate generation (lossless-superset theorem), rarest-first prefixes bound the join; oracle answers all-pairs declaratively")
 
-  val all: Seq[Q] = Seq(q24, q25, q26, q27, q30, q205, q206, q207, q208, q92, q93, q94, q101, q135, q163,
+  val all: Seq[Q] = Seq(q24, q25, q26, q27, q30, q205, q206, q207, q208, q210, q92, q93, q94, q101, q135, q163,
     q179)
 }

@@ -88,5 +88,90 @@ object Pipeline {
     None,
     "capstone: dedup -> component-keyed split -> shard packing -> global train order, one composed job")
 
-  val all: Seq[Q] = Seq(q132)
+  /** q209: [[trainingShards]]' exact composition — dedup → component-
+    * keyed split → per-shard packing → global train order — with every
+    * stage in arithmetic DuckDB replays, so the END-TO-END corpus→shards
+    * answer sits under the hash gate (q132 itself composes xxhash64
+    * MinHash and stays rows-only forever). Stage-for-stage:
+    *
+    *   1. [[Dedup.dedupPipelineExact]] — the q206 mod-p pair kernel +
+    *      q208 components (same code path the q208 twin gates);
+    *   2. component-keyed 80/10/10 split via the q112 mix constants
+    *      ((component·1315423911) mod 1048573 mod 10) — replayable where
+    *      q132's xxhash64(cluster) is engine-opaque, same leakage-safety
+    *      argument (no dedup component straddles train/eval);
+    *   3. [[graft.ops.TextOps.packBySource]] on shard = split|source —
+    *      the exact greedy recurrence the q106 recursive CTE replays;
+    *   4. [[graft.ops.Analytics.globalShufflePositions]] over the train
+    *      split — the q112 two-level order, replayed as the straight
+    *      global row_number.
+    *
+    * The oracle chains the q208 component CTEs with the q106 packing CTE
+    * and the q112 order window — one WITH RECURSIVE replaying the whole
+    * pipeline. Scale shape identical to q132 (see class doc): flags are
+    * components-sized, the split is a map-side projection, packing
+    * shuffles (shard, id, size) triples, the order join is id↔id. */
+  def trainingShardsExact(s: SparkSession, docs: DataFrame): DataFrame = {
+    val flags = Dedup.dedupPipelineExact(s, docs.select(col("doc_id"), col("text")))
+    val bucket = col("component") * lit(1315423911L) % lit(1048573L) % lit(10L)
+    val kept = docs.select(col("doc_id"), col("source"), col("n_chars"))
+      .join(flags.filter(col("keep")).select(col("doc_id"), col("component")), Seq("doc_id"))
+      .withColumn("split",
+        when(bucket < 8, "train").when(bucket === 8, "val").otherwise("test"))
+    val packed = graft.ops.TextOps.packBySource(s,
+        kept.select(concat(col("split"), lit("|"), col("source")).as("source"),
+          col("doc_id"), col("n_chars")), 4096L)
+      .select(col("source").as("shard"), col("doc_id"), col("bin"), col("bin_fill"))
+    val order = graft.ops.Analytics.globalShufflePositions(
+      kept.filter(col("split") === "train").select(col("doc_id")))
+    kept.select(col("doc_id"), col("component"), col("split"))
+      .join(packed, Seq("doc_id"))
+      .join(order, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("component"), col("split"), col("shard"),
+        col("bin"), col("bin_fill"), col("pos"))
+      .orderBy(asc_nulls_first("doc_id"))
+  }
+
+  private def q209OracleSql: String =
+    s"""WITH RECURSIVE ${Dedup.dedupCompCtes},
+      kept AS (
+        SELECT d.doc_id, d.source, d.n_chars, c.component,
+               CASE WHEN ((c.component * 1315423911) % 1048573) % 10 < 8 THEN 'train'
+                    WHEN ((c.component * 1315423911) % 1048573) % 10 = 8 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents d
+        JOIN comp c ON c.doc_id = d.doc_id AND c.doc_id = c.component),
+      sh AS (
+        SELECT doc_id, split, component, n_chars,
+               split || '|' || source AS shard,
+               row_number() OVER (PARTITION BY split || '|' || source
+                                  ORDER BY doc_id ASC) AS rn
+        FROM kept),
+      p AS (
+        SELECT shard, rn, doc_id, CAST(1 AS BIGINT) AS bin, n_chars AS fill
+        FROM sh WHERE rn = 1
+        UNION ALL
+        SELECT s.shard, s.rn, s.doc_id,
+               CASE WHEN p.fill + s.n_chars > 4096 THEN p.bin + 1 ELSE p.bin END,
+               CASE WHEN p.fill + s.n_chars > 4096 THEN s.n_chars ELSE p.fill + s.n_chars END
+        FROM p JOIN sh s ON s.shard = p.shard AND s.rn = p.rn + 1),
+      ord AS (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY (doc_id * 1315423911) % 1048573 ASC,
+                                           doc_id ASC) - 1 AS pos
+        FROM kept WHERE split = 'train')
+      SELECT k.doc_id, k.component, k.split, p.shard, p.bin,
+             p.fill AS bin_fill, o.pos
+      FROM kept k
+      JOIN p ON p.doc_id = k.doc_id
+      LEFT JOIN ord o ON o.doc_id = k.doc_id
+      ORDER BY k.doc_id ASC NULLS FIRST"""
+
+  private val q209 = Q(
+    "q209_training_shards_oracle",
+    (s, dir) => trainingShardsExact(s, graft.T.spread(s, T(s, dir, "documents"))),
+    Some(q209OracleSql),
+    "training-shards capstone twin: q208 mod-p dedup -> component-keyed split -> q106 packing CTE -> q112 order replay, the corpus-to-shards path end-to-end under the hash gate")
+
+  val all: Seq[Q] = Seq(q132, q209)
 }

@@ -3,7 +3,7 @@ package graft.streaming
 import graft.{Q, T}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{BooleanType, DecimalType, DoubleType, IntegerType, LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{ArrayType, BooleanType, DecimalType, DoubleType, IntegerType, LongType, StringType, StructField, StructType}
 
 /** Structured Streaming surface (SURVEY.md §2.9 extension): the events
   * table replayed through readStream, windowed-aggregated, and drained
@@ -656,11 +656,65 @@ object Streams {
     * exact: originals classify unique, every planted clone finds its
     * source. */
   def streamIncrementalDedup(s: SparkSession, corpus0: DataFrame,
-      threshold: Double, stageKey: Option[String] = None): DataFrame = withStatePartitions(s, 8) {
+      threshold: Double, stageKey: Option[String] = None): DataFrame =
+    streamIngestDedup(s, corpus0, stageKey,
+      hType = LongType,
+      oSchema = StructType(Seq(StructField("doc_id", LongType),
+        StructField("kind", StringType), StructField("dup_of", LongType),
+        StructField("jaccard", DoubleType))),
+      sigFn = graft.llm.Dedup.deltaSignatures,
+      auxFn = (batch, _) => batch,
+      classifyFn = (batch, idxH, idxB, idxAux, sigs) =>
+        graft.llm.Dedup.classifyAgainstIndex(batch, idxH, idxB, idxAux,
+          threshold, precomputedSigs = Some(sigs)),
+      indexHB = graft.llm.Dedup.indexFrames)
+
+  /** q211: [[streamIncrementalDedup]]'s EXACT twin — the identical
+    * streaming harness ([[streamIngestDedup]]: same four staged waves,
+    * same per-batch index append, same idempotency markers), with the
+    * mod-p probe kernel ([[graft.llm.Dedup.classifyAgainstIndexExact]])
+    * in place of the 64-bit one, so the PREFIX semantics themselves —
+    * every doc classified against exactly what arrived before it — sit
+    * under the DuckDB hash gate. The aux index holds (doc_id, xs)
+    * shingle sets instead of raw text (the verify step's input, exactly
+    * what a production signature store materializes). */
+  def streamIncrementalDedupExact(s: SparkSession, corpus0: DataFrame,
+      stageKey: Option[String] = None): DataFrame =
+    streamIngestDedup(s, corpus0, stageKey,
+      hType = StringType,
+      oSchema = StructType(Seq(StructField("doc_id", LongType),
+        StructField("kind", StringType), StructField("dup_of", LongType),
+        StructField("jq", LongType))),
+      sigFn = graft.llm.Dedup.deltaSignaturesExact,
+      auxFn = (_, sigs) => sigs.select(col("doc_id"), col("xs")),
+      classifyFn = (batch, idxH, idxB, idxAux, sigs) =>
+        graft.llm.Dedup.classifyAgainstIndexExact(batch, idxH, idxB, idxAux,
+          precomputedSigs = Some(sigs)),
+      indexHB = graft.llm.Dedup.indexFramesExact,
+      auxSchema = Some(StructType(Seq(StructField("doc_id", LongType),
+        StructField("xs", ArrayType(LongType))))))
+
+  /** The shared streaming ingest-dedup harness behind q142 and its q211
+    * oracle twin: stage the four arrival waves (corpus → near clones →
+    * exact clones → reversed-unique, strictly increasing mtimes so
+    * FileStreamSource replays them oldest-first), then per micro-batch
+    * sign once, classify against the standing (hash, band, aux) index
+    * tables, append classifications and index rows, and skip replayed
+    * batchIds via marker files (q117's idempotency pattern). The twin
+    * differs ONLY in the kernel closures it plugs in. */
+  private def streamIngestDedup(s: SparkSession, corpus0: DataFrame,
+      stageKey: Option[String],
+      hType: org.apache.spark.sql.types.DataType,
+      oSchema: StructType,
+      sigFn: DataFrame => DataFrame,
+      auxFn: (DataFrame, DataFrame) => DataFrame,
+      classifyFn: (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) => DataFrame,
+      indexHB: DataFrame => (DataFrame, DataFrame),
+      auxSchema: Option[StructType] = None): DataFrame = withStatePartitions(s, 8) {
     import java.nio.file.{Files, Paths}
     val corpus = corpus0.select(col("doc_id"), col("text"))
     // the staged arrival waves are pure functions of the input corpus, so
-    // keyed callers (q142: keyed by sf dir) write them once per JVM —
+    // keyed callers (q142/q211: keyed by sf dir) write them once per JVM —
     // q117's stage-memo pattern; the INDEX state below is always fresh
     val stage = stageKey.map(k => graft.Scratch.dir(s"sid_stage_$k"))
       .getOrElse(graft.Scratch.fresh("sid_stage"))
@@ -683,34 +737,30 @@ object Streams {
     }
     val root = graft.Scratch.fresh("sid_state")
     val idxH = s"$root/idx_h"; val idxB = s"$root/idx_b"
-    val idxD = s"$root/idx_d"; val outDir = s"$root/out"
-    val hSchema = StructType(Seq(StructField("doc_id", LongType), StructField("h", LongType)))
+    val idxA = s"$root/idx_a"; val outDir = s"$root/out"
+    val hSchema = StructType(Seq(StructField("doc_id", LongType), StructField("h", hType)))
     val bSchema = StructType(Seq(StructField("doc_id", LongType),
       StructField("band", IntegerType), StructField("bh", LongType)))
-    val dSchema = corpus.schema
-    val oSchema = StructType(Seq(StructField("doc_id", LongType),
-      StructField("kind", StringType), StructField("dup_of", LongType),
-      StructField("jaccard", DoubleType)))
+    val aSchema = auxSchema.getOrElse(corpus.schema)
     def readOrEmpty(path: String, schema: StructType) =
       if (Files.exists(Paths.get(path))) s.read.schema(schema).parquet(path)
       else s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    val q = s.readStream.schema(dSchema).option("maxFilesPerTrigger", "1").parquet(stage)
+    val q = s.readStream.schema(corpus.schema).option("maxFilesPerTrigger", "1").parquet(stage)
       .writeStream.outputMode("append")
       .foreachBatch { (batch0: DataFrame, batchId: Long) =>
         val marker = Paths.get(root, "_applied", batchId.toString)
         if (!Files.exists(marker)) {
           val batch = batch0.localCheckpoint() // one materialization, three consumers
           // signatures compute ONCE per batch, shared by probe + index append
-          val sigs = graft.llm.Dedup.deltaSignatures(batch)
-          graft.llm.Dedup.classifyAgainstIndex(batch,
+          val sigs = sigFn(batch)
+          classifyFn(batch,
               readOrEmpty(idxH, hSchema), readOrEmpty(idxB, bSchema),
-              readOrEmpty(idxD, dSchema), threshold,
-              precomputedSigs = Some(sigs))
+              readOrEmpty(idxA, aSchema), sigs)
             .write.mode("append").parquet(outDir)
-          val (h, b) = graft.llm.Dedup.indexFrames(sigs)
+          val (h, b) = indexHB(sigs)
           h.write.mode("append").parquet(idxH)
           b.write.mode("append").parquet(idxB)
-          batch.write.mode("append").parquet(idxD)
+          auxFn(batch, sigs).write.mode("append").parquet(idxA)
           Files.createDirectories(marker.getParent)
           Files.createFile(marker)
           ()
@@ -897,6 +947,71 @@ object Streams {
       Some(dir.hashCode.toHexString)),
     None,
     "streaming ingest near-dup dedup: per-batch classify vs the self-maintained signature index (prefix arrival semantics, idempotent batches)")
+
+  /** q211's oracle replays the PREFIX semantics from first principles:
+    * every doc carries its wave number, the exact hit and the band
+    * probe only see strictly-earlier waves, and the per-wave hot-bucket
+    * cap counts exactly the index rows standing when that wave's batch
+    * probed. The kernel arithmetic is q210's (md5 precedence, mod-p
+    * bands, integer Jaccard, quantized argmax). */
+  private def q211OracleSql: String = s"""WITH alldocs AS (
+      SELECT doc_id, 0 AS wave, text FROM documents
+      UNION ALL
+      SELECT doc_id + 500000, 1, text || ' appended near dup suffix'
+      FROM documents WHERE doc_id % 20 = 0
+      UNION ALL
+      SELECT doc_id + 600000, 2, text FROM documents WHERE doc_id % 50 = 0
+      UNION ALL
+      SELECT doc_id + 700000, 3,
+             array_to_string(list_reverse(string_split(text, ' ')), ' ')
+      FROM documents WHERE doc_id % 100 = 0),
+      ${graft.llm.Dedup.modpSigCtes("alldocs", "a_")},
+      bw AS (SELECT b.doc_id, a.wave, b.band, b.bh
+             FROM a_banded b JOIN alldocs a USING (doc_id)),
+      hsh AS (SELECT doc_id, wave, md5(text) AS h FROM alldocs),
+      ex AS (SELECT d.doc_id, MIN(c.doc_id) AS dup_of
+             FROM hsh d JOIN hsh c ON c.h = d.h AND c.wave < d.wave
+             GROUP BY d.doc_id),
+      hot AS (SELECT w.w, b.band, b.bh FROM (SELECT unnest([1, 2, 3]) AS w) w
+              JOIN bw b ON b.wave < w.w
+              GROUP BY w.w, b.band, b.bh
+              HAVING COUNT(*) > ${graft.llm.Dedup.MaxBucketSize}),
+      cand AS (
+        SELECT DISTINCT d.doc_id AS delta_id, c.doc_id AS corpus_id
+        FROM bw d
+        JOIN bw c ON c.band = d.band AND c.bh = d.bh AND c.wave < d.wave
+        LEFT JOIN hot h ON h.w = d.wave AND h.band = d.band AND h.bh = d.bh
+        LEFT JOIN ex ON ex.doc_id = d.doc_id
+        WHERE h.w IS NULL AND ex.doc_id IS NULL),
+      iw AS (SELECT c.delta_id, c.corpus_id, COUNT(*) AS i
+             FROM cand c JOIN a_shing sd ON sd.doc_id = c.delta_id
+             JOIN a_shing sc ON sc.doc_id = c.corpus_id AND sc.x = sd.x
+             GROUP BY c.delta_id, c.corpus_id),
+      nearq AS (
+        SELECT c.delta_id, c.corpus_id,
+               COALESCE(iw.i, 0) AS i, dn.n + cn.n - COALESCE(iw.i, 0) AS u
+        FROM cand c
+        LEFT JOIN iw ON iw.delta_id = c.delta_id AND iw.corpus_id = c.corpus_id
+        JOIN a_cnts dn ON dn.doc_id = c.delta_id
+        JOIN a_cnts cn ON cn.doc_id = c.corpus_id),
+      near AS (
+        SELECT delta_id AS doc_id, corpus_id AS dup_of, (1000000 * i) // u AS jq
+        FROM (SELECT *, row_number() OVER (PARTITION BY delta_id
+                ORDER BY (1000000 * i) // u DESC, corpus_id ASC) AS rk
+              FROM nearq WHERE 5 * i >= 4 * u)
+        WHERE rk = 1),
+      cls AS (SELECT doc_id, 'exact' AS kind, dup_of, CAST(1000000 AS BIGINT) AS jq FROM ex
+              UNION ALL SELECT doc_id, 'near', dup_of, jq FROM near)
+      SELECT a.doc_id, COALESCE(c.kind, 'unique') AS kind, c.dup_of, c.jq
+      FROM alldocs a LEFT JOIN cls c ON c.doc_id = a.doc_id
+      ORDER BY a.doc_id ASC NULLS FIRST"""
+
+  private val q211 = Q(
+    "q211_stream_incremental_dedup_oracle",
+    (s, dir) => streamIncrementalDedupExact(s, T(s, dir, "documents"),
+      Some(dir.hashCode.toHexString)),
+    Some(q211OracleSql),
+    "streaming ingest dedup twin: q142's wave-staged prefix classification with the q210 mod-p kernel — arrival-prefix semantics, index maintenance, and per-wave hot caps all hash-gated")
 
   /** Stream-stream LEFT OUTER interval join — q65's missing-side
     * completion: trades with NO qualifying quote in the 24 h lookback
@@ -1092,6 +1207,6 @@ object Streams {
       FROM j"""),
     "stream-stream FULL OUTER interval join: both sides' orphans emit on watermark passage (sentinel-flushed); reconciliation summary matches the batch FULL JOIN")
 
-  val all: Seq[Q] = Seq(q50, q52, q65, q73, q80, q109, q114, q117, q142, q148, q154,
+  val all: Seq[Q] = Seq(q50, q52, q65, q73, q80, q109, q114, q117, q142, q211, q148, q154,
     q168, q198)
 }
