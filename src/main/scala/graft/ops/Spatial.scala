@@ -1157,6 +1157,110 @@ object Spatial {
        SELECT "Metric", "Value" FROM rep ORDER BY "Metric" ASC NULLS FIRST"""),
     "flagship report composition (dissolve + area + variance + argmax + pivot), DuckDB-oracle-checked q40 twin")
 
+  // ---- the FIXTURE-shaped direct twins (q212/q213) -----------------------
+
+  /** The [[parcels]] grid construction with its one engine-opaque
+    * ingredient — the xxhash64 jitter [[u]] — replaced by an LCG mod a
+    * PRIME (99991) both engines evaluate in integer arithmetic: 36
+    * jittered boxes on a 6×6 grid, centers (2i+1 ± 0.1-cell jitter),
+    * half-width 0.8 (the fixture's 0.4·cell shape). The prime modulus
+    * keeps every derived coordinate a rational with denominator
+    * 5·99991 — never exactly on a rounding or containment boundary of
+    * the 0.25-step point grid (disjoint denominators), so float
+    * equality never decides an answer. */
+  private def jitteredParcelGrid(s: SparkSession): DataFrame =
+    s.range(36).select(
+      col("id"),
+      ((col("id") % 6).cast(DoubleType) * 2.0 + 1.0
+        + (pmod(col("id") * 1103515245L + 12345L, lit(99991L)).cast(DoubleType) / 99991.0
+          - 0.5) * 0.2).as("cx"),
+      (floor(col("id") / 6).cast(DoubleType) * 2.0 + 1.0
+        + (pmod(col("id") * 69069L + 12345L, lit(99991L)).cast(DoubleType) / 99991.0
+          - 0.5) * 0.2).as("cy"))
+
+  private val jitteredParcelGridSql =
+    """SELECT g AS id,
+         (g % 6) * 2.0 + 1.0 + (((g * 1103515245 + 12345) % 99991) / 99991.0 - 0.5) * 0.2 AS cx,
+         (g // 6) * 2.0 + 1.0 + (((g * 69069 + 12345) % 99991) / 99991.0 - 0.5) * 0.2 AS cy
+       FROM generate_series(0, 35) t(g)"""
+
+  /** q212, ORACLE-CHECKED — q45's DIRECT fixture-shaped twin: the
+    * per-parcel scene count at full cell×month fan-out, on the
+    * [[parcels]]-shaped jittered box grid and a [[scenes]]-shaped point
+    * set (12-month fan-out per cell, one globally sceneless month, a
+    * deterministic 1-in-37 hole pattern replacing the fixture's xxhash64
+    * holes), through the REAL broadcast + bucket + ray-cast
+    * [[spatialJoin]] with q45's inner-count semantics (zero-scene
+    * parcels drop — here provably the top grid row, outside the point
+    * envelope). q60 proved the count on exact-integer boxes and q200
+    * the transform composition; this pins the remaining fixture traits:
+    * jittered geometry and month-fan-out cardinality. */
+  private val q212 = Q(
+    "q212_parcel_fanout_oracle",
+    (s, dir) => {
+      val pts = graft.T(s, dir, "events")
+        .filter(expr("(event_id div 400) % 12") =!= 2 && col("event_id") % 37 =!= 0)
+        .select(col("event_id"),
+          (pmod(col("event_id"), lit(20)).cast(DoubleType) * 0.5 + 0.25).as("px"),
+          (pmod(expr("event_id div 20"), lit(20)).cast(DoubleType) * 0.5 + 0.25).as("py"))
+      val rects = jitteredParcelGrid(s).select(col("id"),
+        G.stMakeBox(col("cx") - 0.8, col("cy") - 0.8,
+          col("cx") + 0.8, col("cy") + 0.8).as("geom"))
+      spatialJoin(pts, broadcast(rects), "px", "py", "geom", 2.0)
+        .groupBy(col("id")).agg(count(lit(1)).as("n_scenes"))
+        .orderBy(asc_nulls_first("id"))
+    },
+    Some(s"""WITH p AS (
+        SELECT event_id,
+               (event_id % 20) * 0.5 + 0.25 AS px,
+               ((event_id // 20) % 20) * 0.5 + 0.25 AS py
+        FROM events
+        WHERE (event_id // 400) % 12 <> 2 AND event_id % 37 <> 0),
+      r AS ($jitteredParcelGridSql)
+      SELECT id, COUNT(*) AS n_scenes
+      FROM r JOIN p ON px >= cx - 0.8 AND px < cx + 0.8
+                   AND py >= cy - 0.8 AND py < cy + 0.8
+      GROUP BY id ORDER BY id ASC NULLS FIRST"""),
+    "J3+A6 per-parcel count at cell-month fan-out on the jittered parcel-grid fixture shape, DuckDB-oracle-checked (q45 direct fixture twin)")
+
+  /** q213, ORACLE-CHECKED — q47's DIRECT fixture-shaped twin: the
+    * centroid/bounds report on the jittered parcel grid with the REAL
+    * 17-way keterangan assignment (the fixture's category list and
+    * id%17 indexing, 2-3 parcels per category), through
+    * stCentroid/stEnvelope and q47's exact agg/round shape. The oracle
+    * computes centroids as midpoints (= the shoelace value to ~1e-15;
+    * round(6) at coordinate scale ~1e1 leaves 9 orders of margin) and
+    * bounds as the same corner arithmetic. */
+  private val q213 = Q(
+    "q213_parcel_centroid_bounds_oracle",
+    (s, dir) => {
+      val kArr = array(keterangans.map(lit): _*)
+      jitteredParcelGrid(s)
+        .select(
+          element_at(kArr, (col("id") % keterangans.size).cast("int") + 1).as("keterangan"),
+          G.stMakeBox(col("cx") - 0.8, col("cy") - 0.8,
+            col("cx") + 0.8, col("cy") + 0.8).as("geom"))
+        .withColumn("c", G.stCentroid(col("geom")))
+        .withColumn("env", G.stEnvelope(col("geom")))
+        .groupBy(col("keterangan"))
+        .agg(
+          round(avg(element_at(col("c"), 1)), 6).as("centroid_x"),
+          round(avg(element_at(col("c"), 2)), 6).as("centroid_y"),
+          round(min(col("env._1")), 6).as("bxmin"), round(min(col("env._2")), 6).as("bymin"),
+          round(max(col("env._3")), 6).as("bxmax"), round(max(col("env._4")), 6).as("bymax"))
+        .orderBy(asc_nulls_first("keterangan"))
+    },
+    Some(s"""WITH r AS ($jitteredParcelGridSql),
+      k AS (SELECT ${keterangans.map(k => s"'$k'").mkString("[", ", ", "]")}[CAST(id % ${keterangans.size} AS INTEGER) + 1] AS keterangan,
+                   cx, cy FROM r)
+      SELECT keterangan,
+             round(AVG(cx), 6) AS centroid_x,
+             round(AVG(cy), 6) AS centroid_y,
+             round(MIN(cx - 0.8), 6) AS bxmin, round(MIN(cy - 0.8), 6) AS bymin,
+             round(MAX(cx + 0.8), 6) AS bxmax, round(MAX(cy + 0.8), 6) AS bymax
+      FROM k GROUP BY keterangan ORDER BY keterangan ASC NULLS FIRST"""),
+    "G4+G5/A10 centroid/bounds on the jittered parcel fixture with the real 17-way keterangan assignment, DuckDB-oracle-checked (q47 direct fixture twin)")
+
   val all: Seq[Q] = Seq(q40, q41, q42, q43, q44, q45, q46, q47, q53, q54,
-    q58, q59, q60, q68, q69, q70, q71, q74, q200, q201, q202, q203)
+    q58, q59, q60, q68, q69, q70, q71, q74, q200, q201, q202, q203, q212, q213)
 }
