@@ -64,12 +64,36 @@ object Bench {
     val names = SparkEntry.queries.keys.toSeq.sorted
     val failed = scala.collection.mutable.Set.empty[String]
     val times = scala.collection.mutable.Map.empty[String, List[Double]]
+    // Memory/spill telemetry (SCALE.md): per-task peakExecutionMemory max
+    // and spill-byte totals attributed to whichever query is running when
+    // the task ends. The listener bus is async, so a task finishing at a
+    // query boundary can land on the neighbor — millisecond-scale slop on
+    // multi-hundred-ms queries, disclosed rather than fought. Peak is the
+    // skew signal (one fat reducer ⇒ peak ≫ median task); spill > 0 means
+    // the working set outgrew execution memory at this sf.
+    val peakByQuery = scala.collection.mutable.Map.empty[String, Long]
+    val spillByQuery = scala.collection.mutable.Map.empty[String, Long]
+    val metricsLock = new Object
+    @volatile var currentQuery: String = null
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val q = currentQuery
+        val m = te.taskMetrics
+        if (q != null && m != null) metricsLock.synchronized {
+          peakByQuery(q) = math.max(peakByQuery.getOrElse(q, 0L), m.peakExecutionMemory)
+          spillByQuery(q) = spillByQuery.getOrElse(q, 0L) +
+            m.memoryBytesSpilled + m.diskBytesSpilled
+        }
+      }
+    })
     for (_ <- 1 to reps; name <- names if !failed(name)) {
+      currentQuery = name
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir).count()
       catch { case _: Throwable => failed += name }
       times(name) = ((System.nanoTime() - t0) / 1e9) :: times.getOrElse(name, Nil)
     }
+    currentQuery = null
     def median(xs: List[Double]): Double = {
       val s = xs.sorted
       if (s.isEmpty) 0.0
@@ -116,6 +140,16 @@ object Bench {
     // amortize the build across reps, and ONLY the cold column still
     // carries the traversal/build cost — compare cross-round totals on
     // min for steady-state serving, on cold for one-shot cost.
+    // memory block: peak task execution memory (MB, max over reps) per
+    // query, plus per-rep average spill MB for any query that spilled
+    val memJson = metricsLock.synchronized {
+      val peaks = names.map(n => "\"" + n + "\":" +
+        r2(peakByQuery.getOrElse(n, 0L) / 1048576.0)).mkString("{", ",", "}")
+      val spills = names.filter(n => spillByQuery.getOrElse(n, 0L) > 0)
+        .map(n => "\"" + n + "\":" + r2(spillByQuery(n) / 1048576.0 / reps))
+        .mkString("{", ",", "}")
+      s""""memory_peak_mb":$peaks,"spill_mb_per_rep":$spills"""
+    }
     val detail = s"""{"metric":"total","value":${r2(totalMin)},"unit":"sec",""" +
       s""""queries":${jmapLong(_.min)},"queries_median":${jmapLong(median)},""" +
       s""""queries_cold":${jmapLong(_.last)},""" +
@@ -124,6 +158,7 @@ object Bench {
       s""""setup_sec":${r2(setupSec)},""" +
       setupTimes.map { case (n, t) => "\"" + n + "\":" + r2(t) }
         .mkString("\"setup_steps\":{", ",", "},") +
+      s"""$memJson,""" +
       s""""failed":$failedJson,"sf":$sfNum}"""
     try {
       val p = java.nio.file.Paths.get("BENCH_DETAIL.json")

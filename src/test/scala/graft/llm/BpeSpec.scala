@@ -38,7 +38,7 @@ class BpeSpec extends AnyFunSuite {
     val unseen = Bpe.encodeWord("bananarama", merges)
     assert(unseen.nonEmpty && unseen.mkString === "bananarama</w>")
     val counts = Bpe.encode(spark, docs, merges).collect().head
-    assert(counts.getInt(1) <= 8, s"encoded token count ${counts.getInt(1)}")
+    assert(counts.getLong(1) <= 8, s"encoded token count ${counts.getLong(1)}")
   }
 
   test("encode counts tokens per doc with word-boundary markers intact") {
@@ -46,7 +46,7 @@ class BpeSpec extends AnyFunSuite {
     val docs = Seq((1L, "aa bb"), (2L, "aa aa aa")).toDF("doc_id", "text")
     val merges = Bpe.train(spark, Bpe.wordFrequencies(docs), 4)
     val out = Bpe.encode(spark, docs, merges).collect()
-      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(out(1L)._2 === 2 && out(2L)._2 === 3) // word counts
     assert(out(2L)._1 <= 3, "aa should merge to one token per occurrence")
   }
