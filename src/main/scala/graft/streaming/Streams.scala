@@ -286,6 +286,61 @@ object Streams {
       .orderBy(asc_nulls_first("trade_id"))
   }
 
+  /** [[streamIntervalJoin]]'s HOT-ENTITY scale path: the join key is
+    * (user, 24 h time bucket) instead of bare user, so one hot entity's
+    * quote state shards across its active days rather than pooling under
+    * a single state key. The skew fixture measured why this exists: a
+    * user holding ~23% of all events makes the bare-key join's per-key
+    * matching quadratic in ONE task (24.4 s vs 1.9 s at sf0.1 — ~2.9 M
+    * of 3 M pairs in one state partition), and AQE cannot re-plan
+    * streaming state. Bucket width = the lookback (24 h), so a trade's
+    * window spans ≤ 2 buckets: the trade side explodes to exactly two
+    * probe rows and each qualifying (trade, quote) pair matches in
+    * EXACTLY the quote's own bucket — no duplicates, no misses, and the
+    * interval predicate is unchanged, so the answer (and the q65
+    * oracle) is identical by construction. Candidate scans grow ≤ 2×
+    * (bucket ∪ window) but parallelize across (user, day) keys.
+    * Left/full-outer variants (q168/q198) cannot shard this way without
+    * a null-row reconciliation pass — documented there, not applied. */
+  def streamIntervalJoinBucketed(s: SparkSession, dir: String): DataFrame = withStatePartitions(s, 8) {
+    val schema = s.read.parquet(s"$dir/events.parquet").schema
+    def src = s.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .transform(graft.Ts.norm).withColumn("tss", date_trunc("second", col("ts")))
+    val trades = src.filter(pmod(col("event_id"), lit(5)) === 0)
+      .select(col("event_id").as("trade_id"), col("user_id"),
+        col("tss").as("t_ts"),
+        floor(expr("unix_micros(cast(tss as timestamp))") / (86400L * 1000000L)).cast("long").as("tb"))
+      .withColumn("jb", explode(array(col("tb"), col("tb") - 1)))
+      .withWatermark("t_ts", "25 hours")
+    val quotes = src.filter(pmod(col("event_id"), lit(5)) =!= 0)
+      .select(col("event_id").as("quote_id"), col("user_id").as("q_user"),
+        col("tss").as("q_ts"), col("value").as("qval"),
+        floor(expr("unix_micros(cast(tss as timestamp))") / (86400L * 1000000L)).cast("long").as("qb"))
+      .withWatermark("q_ts", "25 hours")
+    val joined = trades.join(quotes,
+      col("user_id") === col("q_user") && col("jb") === col("qb") &&
+        col("q_ts") >= col("t_ts") - expr("interval 24 hours") &&
+        col("q_ts") <= col("t_ts"))
+      .select(col("trade_id"), col("qval"))
+    val partialsDir = graft.Scratch.fresh("ijb_partials")
+    val q = joined.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.groupBy(col("trade_id"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("qval").cast(DecimalType(18, 2))).as("s"))
+          .write.mode("append").parquet(partialsDir)
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    s.read.parquet(partialsDir)
+      .groupBy(col("trade_id"))
+      .agg(sum(col("n")).as("n_quotes"),
+        sum(col("s")).cast(DoubleType).as("sum_qval"))
+      .orderBy(asc_nulls_first("trade_id"))
+  }
+
   private val q65 = Q(
     "q65_stream_interval_join",
     (s, dir) => streamIntervalJoin(s, dir),
@@ -298,6 +353,12 @@ object Streams {
                    AND q.tss >= t.tss - INTERVAL 24 HOUR AND q.tss <= t.tss
       GROUP BY t.trade_id ORDER BY trade_id ASC NULLS FIRST"""),
     "stream-stream interval join with watermarks, oracle-checked vs the batch-equivalent SQL (SURVEY §2.9 extension)")
+
+  private val q214 = Q(
+    "q214_interval_join_bucketed",
+    (s, dir) => streamIntervalJoinBucketed(s, dir),
+    q65.oracle, // answer-identical by construction: same interval predicate
+    "hot-entity scale path for the stream-stream interval join: state keyed (user, 24h bucket), trade probes its 2 covering buckets — same oracle as q65, skew-fixture-proven (24.4 s -> per-day-parallel)")
 
   /** Streaming exact dedup: the q20 content-hash path under readStream —
     * the training-data-pipeline ingest shape (dedup new documents against
@@ -1207,6 +1268,6 @@ object Streams {
       FROM j"""),
     "stream-stream FULL OUTER interval join: both sides' orphans emit on watermark passage (sentinel-flushed); reconciliation summary matches the batch FULL JOIN")
 
-  val all: Seq[Q] = Seq(q50, q52, q65, q73, q80, q109, q114, q117, q142, q211, q148, q154,
+  val all: Seq[Q] = Seq(q50, q52, q65, q73, q80, q109, q114, q117, q142, q211, q214, q148, q154,
     q168, q198)
 }
