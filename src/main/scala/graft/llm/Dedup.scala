@@ -701,7 +701,10 @@ object Dedup {
         JOIN cnts ca ON ca.doc_id = c.doc_a
         JOIN cnts cb ON cb.doc_id = c.doc_b),
       edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs WHERE 10*inter >= 7*uni),
-      ud AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+      -- MATERIALIZED: reach's recursive term re-evaluates inlined CTE
+      -- references PER ITERATION in DuckDB — without this the whole
+      -- pair-derivation chain re-runs every closure step
+      ud AS MATERIALIZED (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
       reach AS (SELECT doc_id AS src, doc_id AS dst FROM documents
                 UNION
                 SELECT r.src, ud.b FROM reach r JOIN ud ON ud.a = r.dst),

@@ -134,14 +134,18 @@ object Pipeline {
 
   private def q209OracleSql: String =
     s"""WITH RECURSIVE ${Dedup.dedupCompCtes},
-      kept AS (
+      kept AS MATERIALIZED (
         SELECT d.doc_id, d.source, d.n_chars, c.component,
                CASE WHEN ((c.component * 1315423911) % 1048573) % 10 < 8 THEN 'train'
                     WHEN ((c.component * 1315423911) % 1048573) % 10 = 8 THEN 'val'
                     ELSE 'test' END AS split
         FROM documents d
         JOIN comp c ON c.doc_id = d.doc_id AND c.doc_id = c.component),
-      sh AS (
+      -- MATERIALIZED: p's recursive term joins sh once per packing step;
+      -- inlined, the window (and the dedup chain under kept) would
+      -- re-evaluate at every iteration — the sf1 oracle went from
+      -- >30 min to seconds with these pinned
+      sh AS MATERIALIZED (
         SELECT doc_id, split, component, n_chars,
                split || '|' || source AS shard,
                row_number() OVER (PARTITION BY split || '|' || source

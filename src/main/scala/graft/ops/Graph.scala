@@ -149,7 +149,7 @@ object Graph {
       e AS (SELECT doc_id AS a, doc_id - 1 AS b FROM documents WHERE doc_id % 10 <> 0
             UNION ALL
             SELECT doc_id, doc_id - 3 FROM documents WHERE doc_id % 10 >= 5),
-      ud AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+      ud AS MATERIALIZED (SELECT a, b FROM e UNION SELECT b, a FROM e),
       reach AS (SELECT doc_id AS src, doc_id AS dst FROM documents
                 UNION
                 SELECT r.src, ud.b FROM reach r JOIN ud ON ud.a = r.dst),
@@ -185,7 +185,7 @@ object Graph {
       e AS (SELECT doc_id AS a, doc_id - 1 AS b FROM documents WHERE doc_id % 10 <> 0
             UNION ALL
             SELECT doc_id, doc_id - 3 FROM documents WHERE doc_id % 10 >= 5),
-      ud AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+      ud AS MATERIALIZED (SELECT a, b FROM e UNION SELECT b, a FROM e),
       reach AS (SELECT doc_id AS src, doc_id AS dst FROM documents
                 UNION
                 SELECT r.src, ud.b FROM reach r JOIN ud ON ud.a = r.dst),

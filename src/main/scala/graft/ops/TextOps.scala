@@ -391,7 +391,10 @@ object TextOps {
     (s, dir) =>
       packBySource(s, T(s, dir, "documents"), 4096L)
         .orderBy(asc_nulls_first("source"), asc_nulls_first("doc_id")),
-    Some("""WITH RECURSIVE d AS (
+    Some("""WITH RECURSIVE d AS MATERIALIZED (
+        -- MATERIALIZED: p's recursive term re-evaluates inlined CTEs per
+        -- packing step in DuckDB; pinning d turns O(iters x window) into
+        -- O(window) + O(iters) (the sf1 oracle-cost fix, round 10)
         SELECT source, doc_id, n_chars,
                row_number() OVER (PARTITION BY source ORDER BY doc_id ASC) AS rn
         FROM documents),
