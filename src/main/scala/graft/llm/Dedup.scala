@@ -1288,6 +1288,124 @@ object Dedup {
       ORDER BY probe_id ASC NULLS FIRST"""),
     "k-gram mod-p containment (Broder 1997 sampling): q92's JOIN+argmax shape under the DuckDB hash gate")
 
+  // ---- winnow SELECTION under the ORACLE gate (q92's second twin) -------
+
+  /** q93 gates q92's containment JOIN+argmax but swaps the gram SELECTION
+    * for mod-p sampling — the winnowing selection itself (window minimum,
+    * Schleimer–Wilkerson–Aiken 2003 §2.2, the reference dedup literature's
+    * fingerprinting guarantee) stayed outside the gate because the
+    * production hash is a 64-bit avalanche mix no SQL replays. q215
+    * closes that: the SAME sliding-window-minimum selection over q93's
+    * SQL-expressible Horner gram hash (base 257 mod 1000003, pure int32
+    * arithmetic in both engines). A document's fingerprint is the SET of
+    * window-minimum hash VALUES, so DuckDB replays the selection as
+    * `min(h) OVER (PARTITION BY doc ORDER BY pos ROWS BETWEEN CURRENT ROW
+    * AND w-1 FOLLOWING)` restricted to full-window start positions, then
+    * DISTINCT — which position attains a tied minimum never affects the
+    * value set, and the algorithm's adjacent-window dedupe is subsumed by
+    * the DISTINCT. Texts shorter than k gram-ify to the empty set on both
+    * sides (empty generate_series ↔ empty UDF array) and drop out of the
+    * containment join identically. Downstream: q92's exact containment
+    * pipeline shape (map-side fingerprint sets, fp equi-join with no
+    * broadcast hint, count/containment agg, per-probe argmax). */
+  private val modPWinnowUdf = udf((text: String) => {
+    val k = KgramLen
+    val w = WinnowW
+    if (text == null || text.length < k) Array.empty[Long]
+    else {
+      val n = text.length - k + 1
+      val hs = new Array[Long](n)
+      var i = 0
+      while (i < n) {
+        var h = 0L
+        var j = 0
+        while (j < k) { h = (h * 257 + text.charAt(i + j).toInt) % 1000003; j += 1 }
+        hs(i) = h
+        i += 1
+      }
+      val out = new java.util.LinkedHashSet[java.lang.Long]()
+      var j = 0
+      val lastWin = math.max(0, n - w)
+      while (j <= lastWin) {
+        var m = hs(j)
+        var t = j + 1
+        val end = math.min(j + w, n)
+        while (t < end) { if (hs(t) < m) m = hs(t); t += 1 }
+        out.add(m)
+        j += 1
+      }
+      val arr = new Array[Long](out.size)
+      val it = out.iterator()
+      var a = 0
+      while (it.hasNext) { arr(a) = it.next(); a += 1 }
+      arr
+    }
+  })
+
+  /** q92's pipeline with the SQL-replayable winnow: same probe derivation
+    * (240-char slice of every 50th doc), same scale shape. */
+  def winnowContainmentExact(docs: DataFrame): DataFrame = {
+    val probes = docs.filter(col("doc_id") % 50 === 0)
+      .select((col("doc_id") + 200000).as("probe_id"),
+        substring(col("text"), 11, 240).as("text"))
+    val pg = probes
+      .select(col("probe_id"), modPWinnowUdf(col("text")).as("fps"))
+      .withColumn("n_fp", size(col("fps")))
+      .select(col("probe_id"), col("n_fp"), explode(col("fps")).as("fp"))
+    val cg = docs.select(col("doc_id"), explode(modPWinnowUdf(col("text"))).as("fp"))
+    val scored = cg.join(pg, Seq("fp"))
+      .groupBy(col("probe_id"), col("doc_id"))
+      .agg(count(lit(1)).as("shared"), first(col("n_fp")).as("n_fp"))
+      .select(col("probe_id"), col("doc_id").as("matched_id"),
+        round(col("shared").cast(DoubleType) / col("n_fp"), 4).as("containment"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(desc_nulls_last("containment"), asc_nulls_first("matched_id"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+      .orderBy(asc_nulls_first("probe_id"))
+  }
+
+  /** Gram table (doc id, 1-based pos, Horner hash) for `src`; `idCol` is
+    * emitted as `id`. */
+  private def winnowGramSql(src: String, idCol: String): String =
+    s"""SELECT id, pos, n_gram, $hornerSql AS h FROM (
+          SELECT $idCol AS id, length(text) - ${KgramLen - 1} AS n_gram, pos,
+                 substr(text, pos, $KgramLen) AS g FROM (
+            SELECT $idCol, text,
+                   unnest(generate_series(1, length(text) - ${KgramLen - 1})) AS pos
+            FROM $src WHERE length(text) >= $KgramLen))"""
+
+  /** DISTINCT window-minimum fingerprint set over a gram table. */
+  private def winnowFpSql(grams: String): String =
+    s"""SELECT DISTINCT id, mh AS fp FROM (
+          SELECT id, pos, n_gram,
+                 min(h) OVER (PARTITION BY id ORDER BY pos
+                   ROWS BETWEEN CURRENT ROW AND ${WinnowW - 1} FOLLOWING) AS mh
+          FROM $grams)
+        WHERE pos <= greatest(1, n_gram - ${WinnowW - 1})"""
+
+  private val q215 = Q(
+    "q215_winnow_selection_oracle",
+    (s, dir) => winnowContainmentExact(T.spread(s, T(s, dir, "documents"))),
+    Some(s"""WITH probes AS (
+        SELECT doc_id + 200000 AS probe_id, substr(text, 11, 240) AS text
+        FROM documents WHERE doc_id % 50 = 0),
+      pgrams AS (${winnowGramSql("probes", "probe_id")}),
+      cgrams AS (${winnowGramSql("documents", "doc_id")}),
+      pfp AS (${winnowFpSql("pgrams")}),
+      cfp AS (${winnowFpSql("cgrams")}),
+      nf AS (SELECT id AS probe_id, COUNT(*) AS n_fp FROM pfp GROUP BY id),
+      sc AS (SELECT pfp.id AS probe_id, cfp.id AS doc_id, COUNT(*) AS shared
+             FROM cfp JOIN pfp USING (fp) GROUP BY pfp.id, cfp.id),
+      r AS (SELECT sc.probe_id, sc.doc_id AS matched_id,
+                   round(CAST(shared AS DOUBLE) / n_fp, 4) AS containment,
+                   row_number() OVER (PARTITION BY sc.probe_id
+                     ORDER BY round(CAST(shared AS DOUBLE) / n_fp, 4) DESC NULLS LAST,
+                              sc.doc_id ASC NULLS FIRST) AS rn
+            FROM sc JOIN nf ON sc.probe_id = nf.probe_id)
+      SELECT probe_id, matched_id, containment FROM r WHERE rn = 1
+      ORDER BY probe_id ASC NULLS FIRST"""),
+    "winnowing window-minimum selection (SWA 2003) under the DuckDB hash gate: mod-p gram hash, windowed-MIN replay, q92's containment pipeline")
+
   /** q94: the exact n-gram (3-shingle) Jaccard kernel — the verification
     * arithmetic inside [[minhashPairs]] — under the DuckDB oracle gate on
     * its own. Pairs are derived in-query so overlap is non-trivial: each
@@ -1599,5 +1717,5 @@ object Dedup {
     "prefix-filtering set-similarity join (PPJoin family): EXACT candidate generation (lossless-superset theorem), rarest-first prefixes bound the join; oracle answers all-pairs declaratively")
 
   val all: Seq[Q] = Seq(q24, q25, q26, q27, q30, q205, q206, q207, q208, q210, q92, q93, q94, q101, q135, q163,
-    q179)
+    q179, q215)
 }
