@@ -16,7 +16,7 @@ import org.apache.spark.sql.functions._
   * tree-reduction regardless of corpus size or cardinality. Guarantees:
   * estimate ≥ true count (one-sided), estimate ≤ true + εN with
   * probability 1−δ for w = ⌈e/ε⌉, d = ⌈ln 1/δ⌉. */
-object Sketches {
+object Sketches extends Serializable {
 
   final val Depth = 5     // δ ≈ e⁻⁵ < 1%
   final val Width = 2048  // ε ≈ e/2048 ≈ 0.13%
@@ -139,6 +139,136 @@ object Sketches {
       ORDER BY exact_n DESC NULLS LAST, token ASC NULLS FIRST"""),
     "count-min sketch + exact verify equals the true heavy-hitter set (one-sided-error guarantee under the hash gate)")
 
+  // ---- CMS counter arithmetic under the ORACLE gate (q216) --------------
+
+  /** q100 gates the heavy-hitter SET (the one-sided-error guarantee); the
+    * sketch's counter/estimate arithmetic itself stayed rows-only because
+    * Murmur row hashes aren't SQL-expressible. q216 closes that: the same
+    * d×w counter array and min-over-rows estimate (Cormode &
+    * Muthukrishnan 2005) over SQL-replayable hashes — token key x =
+    * Horner base 257 mod 1000003 over the whole token (DuckDB:
+    * list_reduce over ascii codes, seeded by the first char exactly like
+    * the Scala fold from 0), row buckets h_r(x) = ((a_r·x + b_r) mod p)
+    * mod w with LCG-derived a_r, b_r (max intermediate a_r·x < 10¹² —
+    * pure int64 on both engines). DuckDB rebuilds the counters as a
+    * GROUP BY (r, bucket) COUNT over all token occurrences and replays
+    * each candidate's estimate as the min over its d buckets — a wrong
+    * bucket index, a lost map-side partial, or a broken merge shifts a
+    * counter and breaks the hash. */
+  final val PMod = 1000003L
+  final val WidthP = 1024
+
+  def modPTokenHash(t: String): Long = {
+    var h = 0L
+    var i = 0
+    while (i < t.length) { h = (h * 257 + t.charAt(i).toInt) % PMod; i += 1 }
+    h
+  }
+
+  private def aR(r: Int): Long = (2654435761L * (r + 1)) % PMod
+  private def bR(r: Int): Long = (40503L * (r + 7)) % PMod
+
+  def modPBucket(r: Int, x: Long): Int = (((aR(r) * x + bR(r)) % PMod) % WidthP).toInt
+
+  /** Same typed-Aggregator shape as [[cmsAgg]] (map-side partial arrays,
+    * element-wise merge) with the mod-p hash family. */
+  val cmsModPAgg: Aggregator[String, Cms, Cms] =
+    new Aggregator[String, Cms, Cms] {
+      def zero: Cms = new Array[Long](Depth * WidthP)
+      def reduce(b: Cms, token: String): Cms = {
+        val x = modPTokenHash(token)
+        var r = 0
+        while (r < Depth) { b(r * WidthP + modPBucket(r, x)) += 1; r += 1 }
+        b
+      }
+      def merge(a: Cms, b: Cms): Cms = {
+        var i = 0
+        while (i < a.length) { a(i) += b(i); i += 1 }
+        a
+      }
+      def finish(b: Cms): Cms = b
+      def bufferEncoder: Encoder[Cms] = Encoders.kryo[Cms]
+      def outputEncoder: Encoder[Cms] = Encoders.kryo[Cms]
+    }
+
+  /** [[heavyHitters]] with the mod-p sketch, estimates kept in the output
+    * (the column q77 must declare engine-specific, here hash-gated). */
+  def heavyHittersModP(s: SparkSession, docs: DataFrame, threshold: Long): DataFrame = {
+    import s.implicits._
+    val tokens = docs.select(explode(split(col("text"), "\\s+")).as("token"))
+      .filter(length(col("token")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val cms = tokens.as[String].select(cmsModPAgg.toColumn).head()
+      val bc = s.sparkContext.broadcast(cms)
+      def est(t: String): Long = {
+        val x = modPTokenHash(t)
+        var min = Long.MaxValue
+        var r = 0
+        while (r < Depth) {
+          val c = bc.value(r * WidthP + modPBucket(r, x))
+          if (c < min) min = c
+          r += 1
+        }
+        min
+      }
+      val isCandidate = udf((t: String) => est(t) >= threshold)
+      val estimateUdf = udf((t: String) => est(t))
+      val verified = tokens.filter(isCandidate(col("token")))
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("exact_n"))
+        .filter(col("exact_n") >= threshold)
+        .withColumn("cms_estimate", estimateUdf(col("token")))
+        .orderBy(desc_nulls_last("exact_n"), asc_nulls_first("token"))
+      s.createDataFrame(
+        new java.util.ArrayList(java.util.Arrays.asList(verified.collect(): _*)),
+        verified.schema)
+    } finally { tokens.unpersist(); () }
+  }
+
+  /** DuckDB token-key hash: fold ascii codes through the Horner step; a
+    * single-char token short-circuits to its code on both engines (Scala
+    * fold from 0 vs list_reduce's first-element seed agree because
+    * 0·257 + c = c). */
+  private val tokenHashSql =
+    """list_reduce(list_transform(range(1, length(token) + 1),
+         i -> CAST(ascii(substr(token, CAST(i AS INTEGER), 1)) AS BIGINT)),
+       (a, c) -> (a * 257 + c) % 1000003)"""
+
+  private val q216 = Q(
+    "q216_cms_estimate_oracle",
+    (s, dir) => {
+      val docs = T(s, dir, "documents")
+      val n = docs.count()
+      heavyHittersModP(s, docs, math.max(10L, n / 2))
+    },
+    Some(s"""WITH tok AS (
+        SELECT token FROM (
+          SELECT unnest(string_split_regex(text, '\\s+')) AS token FROM documents)
+        WHERE length(token) > 0),
+      tx AS (SELECT token, $tokenHashSql AS x FROM tok),
+      rs AS (SELECT unnest(range(0, $Depth)) AS r),
+      ctr AS (
+        SELECT rs.r AS r,
+               ((((2654435761 * (rs.r + 1)) % $PMod) * x
+                  + ((40503 * (rs.r + 7)) % $PMod)) % $PMod) % $WidthP AS bucket,
+               COUNT(*) AS c
+        FROM tx CROSS JOIN rs
+        GROUP BY 1, 2),
+      cand AS (
+        SELECT token, any_value(x) AS x, COUNT(*) AS exact_n
+        FROM tx GROUP BY token
+        HAVING COUNT(*) >= greatest(10, (SELECT COUNT(*) // 2 FROM documents))),
+      est AS (
+        SELECT cand.token, cand.exact_n, MIN(ctr.c) AS cms_estimate
+        FROM cand JOIN ctr
+          ON ctr.bucket = ((((2654435761 * (ctr.r + 1)) % $PMod) * cand.x
+                             + ((40503 * (ctr.r + 7)) % $PMod)) % $PMod) % $WidthP
+        GROUP BY cand.token, cand.exact_n)
+      SELECT token, exact_n, cms_estimate FROM est
+      ORDER BY exact_n DESC NULLS LAST, token ASC NULLS FIRST"""),
+    "count-min counter/estimate arithmetic under the DuckDB hash gate: mod-p row hashes, GROUP-BY counter replay, min-over-rows estimates")
+
   /** Daily per-event-type HLL sketches over events — the PRE-AGGREGATED
     * distinct-counting table a warehouse maintains incrementally (one
     * sketch row per (day, type) partition; new days append, nothing is
@@ -183,5 +313,5 @@ object Sketches {
     None,
     "incremental distinct counting: daily HLL sketch table rolled up by sketch union; merged == direct (lossless merge law, spec-pinned), exact alongside")
 
-  val all: Seq[Q] = Seq(q77, q100, q162)
+  val all: Seq[Q] = Seq(q77, q100, q162, q216)
 }
