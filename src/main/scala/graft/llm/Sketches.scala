@@ -269,6 +269,89 @@ object Sketches extends Serializable {
       ORDER BY exact_n DESC NULLS LAST, token ASC NULLS FIRST"""),
     "count-min counter/estimate arithmetic under the DuckDB hash gate: mod-p row hashes, GROUP-BY counter replay, min-over-rows estimates")
 
+  // ---- HLL register arithmetic under the ORACLE gate (q217) -------------
+
+  /** q162 declares its HLL++ ESTIMATES engine-specific (DataSketches
+    * internals); q217 puts the REGISTER arithmetic — the part of
+    * HyperLogLog (Flajolet et al. 2007) that carries all the information
+    * — under the DuckDB hash gate with a SQL-replayable hash. Per event:
+    * h = (|user_id|·2654435761 + 12345) mod (2³¹−1) (|·| keeps h
+    * non-negative so `div`/`//` agree across engines), register = h mod
+    * 256, suffix w = h div 256 (< 2²³), rank ρ = trailing-zeros(w)+1 via
+    * the branch-free identity tz(w) = bit_count((w AND −w) − 1), capped
+    * at 24 for w = 0 — bit_count, AND, and unary minus are int64-exact
+    * in Spark AND DuckDB. The query maintains the register table twice:
+    * through the daily-sketch rollup (groupBy day then max-merge, the
+    * q162 incremental pattern) and directly — and reads both out as the
+    * INTEGER harmonic-sum numerator S = Σ 2²⁴⁻ρ (absent registers
+    * contribute 2²⁴), so the lossless-merge law AND the readout
+    * arithmetic are hash-gated without a float anywhere. The float HLL
+    * estimate is α·m²/S — a strictly monotone bijection of S given m, so
+    * gating (n_registers, S) gates the estimate itself. */
+  def hllRegistersExact(events: DataFrame): DataFrame = {
+    val rr = events.select(col("event_type"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        ((abs(col("user_id")) * lit(2654435761L) + lit(12345L)) % lit(2147483647L)).as("h"))
+      .select(col("event_type"), col("day"),
+        (col("h") % 256).as("register"), expr("h div 256").as("w"))
+      .select(col("event_type"), col("day"), col("register"),
+        when(col("w") === 0, lit(24L))
+          .otherwise(expr("cast(bit_count((w & -w) - 1) + 1 as bigint)")).as("rho"))
+    def readout(regs: DataFrame, nName: String, sName: String): DataFrame =
+      regs.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("np"),
+          sum(expr("shiftleft(cast(1 as bigint), cast(24 - r as int))")).as("ps"))
+        .select(col("event_type"), col("np").as(nName),
+          (col("ps") + (lit(256L) - col("np")) * lit(16777216L)).as(sName))
+    val daily = rr.groupBy(col("event_type"), col("day"), col("register"))
+      .agg(max(col("rho")).as("r"))
+    val merged = readout(
+      daily.groupBy(col("event_type"), col("register")).agg(max(col("r")).as("r")),
+      "n_regs_merged", "s_merged")
+    val direct = readout(
+      rr.groupBy(col("event_type"), col("register")).agg(max(col("rho")).as("r")),
+      "n_regs_direct", "s_direct")
+    val exact = events.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+    merged.join(direct, Seq("event_type")).join(exact, Seq("event_type"))
+      .select(col("event_type"), col("n_regs_merged"), col("s_merged"),
+        col("n_regs_direct"), col("s_direct"), col("exact_users"))
+      .orderBy(asc_nulls_first("event_type"))
+  }
+
+  private val q217 = Q(
+    "q217_hll_register_oracle",
+    (s, dir) => hllRegistersExact(T(s, dir, "events")),
+    Some("""WITH rr AS (
+        SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+               h % 256 AS register,
+               CASE WHEN h // 256 = 0 THEN 24
+                    ELSE bit_count(((h // 256) & -(h // 256)) - 1) + 1 END AS rho
+        FROM (SELECT event_type, ts,
+                (abs(user_id) * 2654435761 + 12345) % 2147483647 AS h
+              FROM events)),
+      daily AS (SELECT event_type, day, register, MAX(rho) AS r
+                FROM rr GROUP BY 1, 2, 3),
+      mreg AS (SELECT event_type, register, MAX(r) AS r
+               FROM daily GROUP BY 1, 2),
+      mo AS (SELECT event_type, COUNT(*) AS n_regs_merged,
+               CAST(SUM(CAST(1 AS BIGINT) << CAST(24 - r AS INTEGER))
+                 + (256 - COUNT(*)) * 16777216 AS BIGINT) AS s_merged
+             FROM mreg GROUP BY 1),
+      dreg AS (SELECT event_type, register, MAX(rho) AS r
+               FROM rr GROUP BY 1, 2),
+      dd AS (SELECT event_type, COUNT(*) AS n_regs_direct,
+               CAST(SUM(CAST(1 AS BIGINT) << CAST(24 - r AS INTEGER))
+                 + (256 - COUNT(*)) * 16777216 AS BIGINT) AS s_direct
+             FROM dreg GROUP BY 1),
+      ex AS (SELECT event_type, COUNT(DISTINCT user_id) AS exact_users
+             FROM events GROUP BY 1)
+      SELECT event_type, n_regs_merged, s_merged, n_regs_direct, s_direct,
+             exact_users
+      FROM mo JOIN dd USING (event_type) JOIN ex USING (event_type)
+      ORDER BY event_type ASC NULLS FIRST"""),
+    "HLL register maintenance, daily-rollup merge law, and integer harmonic-sum readout under the DuckDB hash gate")
+
   /** Daily per-event-type HLL sketches over events — the PRE-AGGREGATED
     * distinct-counting table a warehouse maintains incrementally (one
     * sketch row per (day, type) partition; new days append, nothing is
@@ -313,5 +396,5 @@ object Sketches extends Serializable {
     None,
     "incremental distinct counting: daily HLL sketch table rolled up by sketch union; merged == direct (lossless merge law, spec-pinned), exact alongside")
 
-  val all: Seq[Q] = Seq(q77, q100, q162, q216)
+  val all: Seq[Q] = Seq(q77, q100, q162, q216, q217)
 }
