@@ -161,6 +161,113 @@ object Ivf {
     None,
     "IVF approximate top-k: seed+Lloyd centroids computed once, nprobe probing (similarity scale path #2)")
 
+  // ---- IVF ROUTING under the ORACLE gate (q218) -------------------------
+
+  /** q31/q193 are rows-only because Lloyd-trained centroids and float
+    * cosine are engine-specific — but the IVF ROUTING decisions (assign
+    * each vector to its nearest list, route each query to its nprobe
+    * nearest lists, rank ONLY the probed candidates — Jégou et al. 2011's
+    * coarse quantizer) are pure argmin arithmetic. q218 runs that exact
+    * pipeline shape over a deterministic integer codebook both engines
+    * rebuild from scratch: centroid c[j][d] = ((j·64+d+1)·2654435761 mod
+    * (2³¹−1)) mod 2001 − 1000 (the q205 LCG family, same magnitude as the
+    * floor(x·1000)-quantized vectors), distances as exact int64 L2²
+    * (replayed in DuckDB via the |a|²−2a·b+|b|² dot identity — every dot
+    * ≤ 6.4·10⁷, double-exact), ties broken to the smaller list / vec id.
+    * A wrong assignment, a missed probe list, or a mis-ranked candidate
+    * shifts a row and breaks the hash. Same scale shape as q31: map-side
+    * assignment, probe equi-join on list_id, bounded per-query window. */
+  def ivfRoutingExact(emb: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents: Array[Array[Long]] = Array.tabulate(NumLists)(j =>
+      Array.tabulate(64)(d =>
+        (((j.toLong * 64 + d + 1) * 2654435761L) % 2147483647L) % 2001L - 1000L))
+    val assignUdf = udf((v: Seq[Long]) => {
+      var best = 0; var bd = Long.MaxValue
+      var j = 0
+      while (j < cents.length) {
+        val c = cents(j)
+        var s = 0L; var i = 0
+        val n = math.min(v.length, c.length)
+        while (i < n) { val t = v(i) - c(i); s += t * t; i += 1 }
+        if (s < bd) { bd = s; best = j } // strict < keeps the smaller j on ties
+        j += 1
+      }
+      best
+    })
+    val probeUdf = udf((v: Seq[Long]) => {
+      cents.indices.map { j =>
+        val c = cents(j)
+        var s = 0L; var i = 0
+        val n = math.min(v.length, c.length)
+        while (i < n) { val t = v(i) - c(i); s += t * t; i += 1 }
+        (j, s)
+      }.sortBy(t => (t._2, t._1)).take(2).map(_._1).toArray
+    })
+    val iv = emb.select(col("vec_id"),
+      expr("transform(sequence(1, 64), i -> cast(floor(coalesce(try_element_at(cast(embedding as array<double>), i), 0d) * 1000d) AS bigint))").as("v"))
+    val assigned = iv.select(col("vec_id"), col("v"), assignUdf(col("v")).as("list_id"))
+    val probes = iv.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        explode(probeUdf(col("v"))).as("list_id"))
+    val d2 = "cast(aggregate(zip_with(%s, %s, (x, y) -> (x - y) * (x - y)), 0L, (a, z) -> a + z) as bigint)"
+    val sc = assigned.join(probes, Seq("list_id"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("vid"), expr(d2.format("qv", "v")).as("dist2"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(asc_nulls_first("dist2"), asc_nulls_first("vid"))
+    sc.withColumn("rank", row_number().over(w).cast("long")).filter(col("rank") <= 5)
+      .select(col("qid"), col("rank"), col("vid"), col("dist2"))
+      .orderBy(asc_nulls_first("qid"), asc_nulls_first("rank"))
+  }
+
+  private val q218 = Q(
+    "q218_ivf_routing_oracle",
+    (s, dir) => ivfRoutingExact(T(s, dir, "embeddings")),
+    Some("""WITH base AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings),
+      iv AS (SELECT vec_id,
+               -- floor() is DOUBLE in DuckDB; values <= 1000 are exact
+               -- doubles and every dot below is < 2^53, so the BIGINT
+               -- casts of list_dot_product are exact (q205's layout)
+               list_transform(range(1, 65),
+                 i -> floor(coalesce(e[CAST(i AS INTEGER)], 0) * 1000)) AS v
+             FROM base),
+      cent AS (
+        SELECT j, list(CAST(c AS DOUBLE) ORDER BY d) AS cv FROM (
+          SELECT js.j, ds.d,
+                 (((js.j * 64 + ds.d + 1) * 2654435761) % 2147483647) % 2001 - 1000 AS c
+          FROM (SELECT unnest(range(0, 16)) AS j) js,
+               (SELECT unnest(range(0, 64)) AS d) ds)
+        GROUP BY j),
+      ad AS (
+        SELECT iv.vec_id, cent.j,
+               CAST(list_dot_product(iv.v, iv.v) AS BIGINT)
+                 - 2 * CAST(list_dot_product(iv.v, cent.cv) AS BIGINT)
+                 + CAST(list_dot_product(cent.cv, cent.cv) AS BIGINT) AS d2
+        FROM iv CROSS JOIN cent),
+      asg AS (SELECT vec_id, j AS list_id FROM ad
+              QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, j ASC) = 1),
+      qp AS (SELECT vec_id AS qid, j AS list_id FROM ad WHERE vec_id % 50 = 0
+             QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, j ASC) <= 2),
+      sc AS (
+        SELECT qp.qid, asg.vec_id AS vid,
+               CAST(list_dot_product(a.v, a.v) AS BIGINT)
+                 - 2 * CAST(list_dot_product(a.v, b.v) AS BIGINT)
+                 + CAST(list_dot_product(b.v, b.v) AS BIGINT) AS dist2
+        FROM qp JOIN asg USING (list_id)
+        JOIN iv a ON a.vec_id = qp.qid
+        JOIN iv b ON b.vec_id = asg.vec_id
+        WHERE asg.vec_id <> qp.qid),
+      r AS (SELECT qid, vid, dist2,
+              row_number() OVER (PARTITION BY qid ORDER BY dist2 ASC, vid ASC) AS rank
+            FROM sc)
+      SELECT qid, CAST(rank AS BIGINT) AS rank, vid, dist2
+      FROM r WHERE rank <= 5
+      ORDER BY qid ASC NULLS FIRST, rank ASC NULLS FIRST"""),
+    "IVF coarse-quantizer routing (assign, nprobe probe, probed-only ranking) under the DuckDB hash gate via an integer codebook")
+
   /** q105: the k-means UPDATE step — per-label mean vector — as a plain
     * distributed aggregation under the DuckDB oracle gate (the IVF
     * centroid build above runs this arithmetic driver-side over a bounded
@@ -669,5 +776,5 @@ object Ivf {
     ()
   }
 
-  val all: Seq[Q] = Seq(q31, q105, q107, q113, q120, q192, q193)
+  val all: Seq[Q] = Seq(q31, q105, q107, q113, q120, q192, q193, q218)
 }
