@@ -625,6 +625,36 @@ object Relational {
     None,
     "approximate percentile sketch, q11's scale path (accuracy-bound spec vs exact)")
 
+  /** q219: the Greenwald–Khanna sketch itself under the DuckDB hash gate.
+    * GK guarantees rank error ≤ n/accuracy; at accuracy 10⁷ ≥ n (true
+    * through sf1's ~6·10⁶-row lineitem) the permitted
+    * error is < 1 rank, so the sketch MUST return the exact discrete
+    * lower quantile — the same element DuckDB's quantile_disc selects
+    * (verified identical across both fixtures, all flags, all three
+    * quantiles, including an exact p·n integer boundary). q76 stays
+    * rows-only for the genuinely-approximate configuration; this row
+    * pins the sketch's insert/compress/merge/query path end to end —
+    * a rank slip of even one element anywhere breaks the hash. */
+  private val q219 = Q(
+    "q219_gk_exact_quantile_oracle",
+    (s, dir) =>
+      T(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("percentile_approx(l_extendedprice, 0.25, 10000000)").as("p25"),
+          expr("percentile_approx(l_extendedprice, 0.5, 10000000)").as("p50"),
+          expr("percentile_approx(l_extendedprice, 0.95, 10000000)").as("p95"),
+          count(lit(1)).as("n"))
+        .orderBy(asc_nulls_first("l_returnflag")),
+    Some("""SELECT l_returnflag,
+        quantile_disc(l_extendedprice, 0.25) AS p25,
+        quantile_disc(l_extendedprice, 0.5) AS p50,
+        quantile_disc(l_extendedprice, 0.95) AS p95,
+        COUNT(*) AS n
+      FROM lineitem GROUP BY l_returnflag
+      ORDER BY l_returnflag ASC NULLS FIRST"""),
+    "Greenwald-Khanna sketch at sub-rank accuracy equals the exact discrete quantile (q76's hash-gated twin)")
+
   /** q98: sliding TIME-RANGE window — per-user rolling 1-hour count/sum
     * (the rate/velocity feature a feature-engineering pipeline computes
     * per event). RANGE frames (all rows within the interval, peers
@@ -708,5 +738,5 @@ object Relational {
 
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q55, q56, q57, q62, q63,
-    q64, q67, q75, q76, q98, q102, q129)
+    q64, q67, q75, q76, q98, q102, q129, q219)
 }
