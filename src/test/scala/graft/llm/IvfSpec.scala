@@ -61,4 +61,32 @@ class IvfSpec extends AnyFunSuite {
       assert(rows.forall(_.getDouble(2) > 0.9))
     }
   }
+
+  test("q218: routing twin distances are the exact integer L2² and ranks are ordered") {
+    val emb = graft.T(spark, "/root/testdata/sf0.001", "embeddings")
+    val out = Ivf.ivfRoutingExact(emb).collect()
+    assert(out.nonEmpty)
+    // recompute each (qid, vid) distance brute-force from the raw vectors
+    val vecs = emb.collect().map { r =>
+      r.getLong(0) -> {
+        val e = r.getSeq[Float](1).map(_.toDouble)
+        Array.tabulate(64)(d => if (d < e.length) math.floor(e(d) * 1000d).toLong else 0L)
+      }
+    }.toMap
+    out.foreach { r =>
+      val (qid, vid, d2) = (r.getLong(0), r.getLong(2), r.getLong(3))
+      val (a, b) = (vecs(qid), vecs(vid))
+      val want = (0 until 64).map(i => (a(i) - b(i)) * (a(i) - b(i))).sum
+      assert(d2 === want, s"($qid,$vid): carried dist2 $d2 != exact $want")
+    }
+    // per query: ranks are 1..k with non-decreasing distance
+    out.groupBy(_.getLong(0)).foreach { case (qid, rows) =>
+      val sorted = rows.sortBy(_.getLong(1))
+      assert(sorted.map(_.getLong(1)).toSeq === (1L to sorted.length))
+      assert(sorted.sliding(2).forall {
+        case Array(x, y) => x.getLong(3) <= y.getLong(3)
+        case _ => true
+      }, s"query $qid: distances not ordered by rank")
+    }
+  }
 }

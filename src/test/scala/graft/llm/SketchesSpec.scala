@@ -53,4 +53,37 @@ class SketchesSpec extends AnyFunSuite {
         s"${r.getString(0)}: estimate $merged too far from exact $exact")
     }
   }
+
+  test("q216: mod-p CMS keeps the one-sided guarantee and the true heavy-hitter set") {
+    import spark.implicits._
+    val docs = (1L to 200L).map { i =>
+      val noise = s"w${i}a w${i}b w${i}c"
+      val taco = if (i % 2 == 0) " taco" else ""
+      (i, s"pizza $noise$taco")
+    }.toDF("doc_id", "text")
+    val hh = Sketches.heavyHittersModP(spark, docs, 90L).collect()
+    val byToken = hh.map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(byToken.keySet === Set("pizza", "taco"), byToken.keySet.toString)
+    assert(byToken("pizza")._1 === 200L && byToken("taco")._1 === 100L)
+    assert(hh.forall(r => r.getLong(2) >= r.getLong(1)),
+      "mod-p estimates must stay one-sided")
+  }
+
+  test("q217: HLL register rollup is lossless and registers bound the cardinality") {
+    val out = Sketches.hllRegistersExact(
+      graft.T(spark, "/root/testdata/sf0.001", "events")).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (nm, sm, nd, sd, exact) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(nm === nd && sm === sd,
+        s"${r.getString(0)}: daily-rollup registers must equal direct ($nm/$sm vs $nd/$sd)")
+      // a register only fills when some user hashes into it
+      assert(nm <= math.min(256L, exact), s"${r.getString(0)}: $nm registers > $exact users")
+      // readout numerator: 256 empty registers would give S = 256·2^24;
+      // every filled register strictly lowers its term
+      assert(sm < 256L * 16777216L || nm === 0L)
+      assert(sm >= 256L, "S has one positive term per register")
+    }
+  }
 }

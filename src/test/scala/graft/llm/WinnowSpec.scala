@@ -77,4 +77,21 @@ class WinnowSpec extends AnyFunSuite {
       assert(containment > 0.8, s"probe $probe containment $containment too low")
     }
   }
+
+  test("q215: the mod-p winnow twin recovers every excerpt's source too") {
+    // same qualitative recovery as q92's avalanche-hash path — the twin
+    // swaps only the gram hash, never the selection rule
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    def sentence() = Iterator.fill(12)("word" + rnd.nextInt(5000)).mkString(" ")
+    val docs = (0L until 200L).map(i => (i, Iterator.fill(8)(sentence()).mkString(". ")))
+      .toDF("doc_id", "text")
+    val out = Dedup.winnowContainmentExact(docs).collect()
+    assert(out.length === 4, s"expected 4 probe rows, got ${out.length}")
+    out.foreach { r =>
+      assert(r.getLong(1) === r.getLong(0) - 200000L,
+        s"probe ${r.getLong(0)} matched ${r.getLong(1)}")
+      assert(r.getDouble(2) > 0.8, s"containment ${r.getDouble(2)} too low")
+    }
+  }
 }

@@ -48,4 +48,18 @@ class RangeJoinSpec extends AnyFunSuite {
     assert(approx >= lo && approx <= hi,
       s"approx median $approx outside p45..p55 [$lo, $hi] (exact $exact)")
   }
+
+  test("q219: sub-rank accuracy makes percentile_approx an exact column element") {
+    // the discrete-quantile property the oracle twin relies on: at
+    // accuracy >= n the sketch's permitted rank error is < 1, so every
+    // returned quantile is an ACTUAL element of the column (quantile_disc
+    // semantics), not an interpolation
+    val df = graft.T(spark, "/root/testdata/sf0.001", "lineitem")
+    val values = df.select(col("l_extendedprice")).collect().map(_.getDouble(0)).toSet
+    for (p <- Seq(0.25, 0.5, 0.95)) {
+      val v = df.agg(expr(s"percentile_approx(l_extendedprice, $p, 10000000)"))
+        .collect().head.getDouble(0)
+      assert(values.contains(v), s"p=$p: $v is not an element of the column")
+    }
+  }
 }
