@@ -154,7 +154,11 @@ object Sketches extends Serializable {
     * GROUP BY (r, bucket) COUNT over all token occurrences and replays
     * each candidate's estimate as the min over its d buckets — a wrong
     * bucket index, a lost map-side partial, or a broken merge shifts a
-    * counter and breaks the hash. */
+    * counter and breaks the hash. The threshold is n/50 (vs q77/q100's
+    * n/2) so the gate keeps a non-empty candidate set on the word-salted
+    * sf1 stress fixture, where per-token counts stay at sf0.1 levels
+    * while n grows 10× — an empty set would replay the counters but
+    * compare nothing. */
   final val PMod = 1000003L
   final val WidthP = 1024
 
@@ -240,7 +244,7 @@ object Sketches extends Serializable {
     (s, dir) => {
       val docs = T(s, dir, "documents")
       val n = docs.count()
-      heavyHittersModP(s, docs, math.max(10L, n / 2))
+      heavyHittersModP(s, docs, math.max(10L, n / 50))
     },
     Some(s"""WITH tok AS (
         SELECT token FROM (
@@ -258,7 +262,7 @@ object Sketches extends Serializable {
       cand AS (
         SELECT token, any_value(x) AS x, COUNT(*) AS exact_n
         FROM tx GROUP BY token
-        HAVING COUNT(*) >= greatest(10, (SELECT COUNT(*) // 2 FROM documents))),
+        HAVING COUNT(*) >= greatest(10, (SELECT COUNT(*) // 50 FROM documents))),
       est AS (
         SELECT cand.token, cand.exact_n, MIN(ctr.c) AS cms_estimate
         FROM cand JOIN ctr
