@@ -384,6 +384,73 @@ object Ingest {
     None,
     "approximate ANALYZE: single scan, HLL++ NDV per column — the sketch-backed stats pass a CBO runs at 100 TB")
 
+  /** q220: q131's approximate-ANALYZE shape with the NDV sketch replaced
+    * by q217's SQL-replayable HLL registers, so the LAST engine-specific
+    * stats column gains a hash-gated sibling. Per profiled column the
+    * value is keyed as floor(v·100) (all three are 2-decimal columns —
+    * the key is exact in both engines), spread through the q217 hash
+    * (|k|·2654435761 + 12345 mod 2³¹−1), and folded into 256 registers
+    * with bit_count trailing-zero ranks; the output carries min/max/
+    * null-count (exact) plus the integer register state (n_regs, s_hll —
+    * the monotone readout numerator). Scale shape: the stack() unpivot
+    * triples rows MAP-SIDE only — the partial max-aggregate combines to
+    * ≤ 3·256 register rows per partition before the one narrow shuffle,
+    * which is exactly how a CBO sketches every column of a 100 TB table
+    * in one pass. */
+  private val q220 = Q(
+    "q220_stats_hll_oracle",
+    (s, dir) => {
+      val keyed = T(s, dir, "lineitem").select(expr(
+        """stack(3, 'l_quantity', l_quantity, 'l_extendedprice', l_extendedprice,
+           'l_discount', l_discount) AS (col_name, v)"""))
+      val base = keyed.groupBy(col("col_name")).agg(
+        min(col("v")).as("vmin"), max(col("v")).as("vmax"),
+        sum(col("v").isNull.cast(LongType)).as("n_nulls"))
+      val regs = keyed.filter(col("v").isNotNull)
+        .select(col("col_name"),
+          ((abs(floor(col("v") * 100).cast(LongType)) * lit(2654435761L) + lit(12345L))
+            % lit(2147483647L)).as("h"))
+        .select(col("col_name"), (col("h") % 256).as("register"), expr("h div 256").as("w"))
+        .select(col("col_name"), col("register"),
+          when(col("w") === 0, lit(24L))
+            .otherwise(expr("cast(bit_count((w & -w) - 1) + 1 as bigint)")).as("rho"))
+        .groupBy(col("col_name"), col("register")).agg(max(col("rho")).as("r"))
+      val hll = regs.groupBy(col("col_name"))
+        .agg(count(lit(1)).as("np"),
+          sum(expr("shiftleft(cast(1 as bigint), cast(24 - r as int))")).as("ps"))
+        .select(col("col_name"), col("np").as("n_regs"),
+          (col("ps") + (lit(256L) - col("np")) * lit(16777216L)).as("s_hll"))
+      base.join(hll, Seq("col_name"))
+        .select(col("col_name"), col("vmin"), col("vmax"), col("n_nulls"),
+          col("n_regs"), col("s_hll"))
+        .orderBy(asc_nulls_first("col_name"))
+    },
+    Some("""WITH keyed AS (
+        SELECT 'l_quantity' AS col_name, l_quantity AS v FROM lineitem
+        UNION ALL
+        SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+        UNION ALL
+        SELECT 'l_discount', l_discount FROM lineitem),
+      base AS (SELECT col_name, min(v) AS vmin, max(v) AS vmax,
+                 CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls
+               FROM keyed GROUP BY col_name),
+      rr AS (SELECT col_name, h % 256 AS register,
+               CASE WHEN h // 256 = 0 THEN 24
+                    ELSE bit_count(((h // 256) & -(h // 256)) - 1) + 1 END AS rho
+             FROM (SELECT col_name,
+                     (abs(CAST(floor(v * 100) AS BIGINT)) * 2654435761 + 12345)
+                       % 2147483647 AS h
+                   FROM keyed WHERE v IS NOT NULL)),
+      reg AS (SELECT col_name, register, MAX(rho) AS r FROM rr GROUP BY 1, 2),
+      hll AS (SELECT col_name, COUNT(*) AS n_regs,
+                CAST(SUM(CAST(1 AS BIGINT) << CAST(24 - r AS INTEGER))
+                  + (256 - COUNT(*)) * 16777216 AS BIGINT) AS s_hll
+              FROM reg GROUP BY 1)
+      SELECT col_name, vmin, vmax, n_nulls, n_regs, s_hll
+      FROM base JOIN hll USING (col_name)
+      ORDER BY col_name ASC NULLS FIRST"""),
+    "approximate ANALYZE with hash-gated NDV state: q131's single-scan stats pass over q217's replayable HLL registers")
+
   /** q127: JSON-lines sink + source round trip — the ingest format most
     * raw feeds arrive in (q88 is the ORC sibling). Writes a lineitem
     * projection as gzipped JSON lines, reads it back through Spark's
@@ -1049,5 +1116,5 @@ object Ingest {
   }
 
   val all: Seq[Q] = Seq(q51, q88, q108, q115, q121, q122, q126, q127, q131, q136,
-    q143, q161, q173, q186, q187, q188, q190, q194, q195, q197, q199)
+    q143, q161, q173, q186, q187, q188, q190, q194, q195, q197, q199, q220)
 }

@@ -29,4 +29,23 @@ class TableStatsApproxSpec extends AnyFunSuite {
       assert(err <= 0.10, s"$name ndv: approx ${a.getLong(3)} vs exact ${e.getLong(3)} (err $err)")
     }
   }
+
+  test("q220: register-state stats agree with exact min/max/nulls and bound NDV") {
+    val exact = SparkEntry.queries("q126_table_stats")(spark, sf)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val gated = SparkEntry.queries("q220_stats_hll_oracle")(spark, sf)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(gated.keySet === exact.keySet)
+    for ((name, g) <- gated) {
+      val e = exact(name)
+      assert(g.getDouble(1) === e.getDouble(1), s"$name vmin")
+      assert(g.getDouble(2) === e.getDouble(2), s"$name vmax")
+      assert(g.getLong(3) === e.getLong(4), s"$name n_nulls")
+      // a register fills only when some distinct key hashes into it —
+      // and floor(v*100) is injective on these 2-decimal columns
+      assert(g.getLong(4) <= math.min(256L, e.getLong(3)),
+        s"$name: ${g.getLong(4)} registers > ndv ${e.getLong(3)}")
+      assert(g.getLong(5) < 256L * 16777216L, s"$name: empty register state")
+    }
+  }
 }
