@@ -268,6 +268,162 @@ object Ivf {
       ORDER BY qid ASC NULLS FIRST, rank ASC NULLS FIRST"""),
     "IVF coarse-quantizer routing (assign, nprobe probe, probed-only ranking) under the DuckDB hash gate via an integer codebook")
 
+  // ---- IVF-PQ ADC under the ORACLE gate (q221) --------------------------
+
+  /** q218 gated the coarse-quantizer ROUTING of q193; q221 gates the rest
+    * of the IVF-PQ search (Jégou et al. 2011 §IV; the q193 shape): PQ
+    * ENCODE (per-subspace argmin over the codebook) and ASYMMETRIC
+    * DISTANCE scoring (per-query lookup table, candidate cost = G table
+    * lookups instead of a full dot product) — over a deterministic
+    * integer codebook both engines rebuild from scratch, composed with
+    * q218's routing so the WHOLE q193 pipeline shape (route → encode →
+    * LUT → sum → top-k) sits under the hash gate. book[g][c][d] =
+    * (((g·16+c)·16+d+1)·2654435761 mod (2³¹−1)) mod 2001 − 1000 (the
+    * q218 LCG family; G=4 groups × C=16 codes × S=16 dims). All
+    * distances are exact int64 (|sub·book| ≤ 16·10⁶ < 2⁵³, per-group d²
+    * ≤ 6.4·10⁷, ADC sum ≤ 2.56·10⁸); ties break to the smaller code /
+    * vec id, so a wrong code assignment, a wrong LUT entry, or a
+    * mis-summed ADC shifts a row and breaks the hash.
+    *
+    * Scale shape is q193's exactly: encode and LUT build are map-side
+    * (closure-captured books), candidates come ONLY from probed lists via
+    * the list_id equi-join, the LUT join carries (qid, g, c, d²) scalars
+    * and AQE broadcasts the bounded query side, and the per-query window
+    * is rank ≤ 5. The shuffles carry ids and 4-code arrays, never
+    * vectors. */
+  def ivfPqAdcExact(emb: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents: Array[Array[Long]] = Array.tabulate(NumLists)(j =>
+      Array.tabulate(64)(d =>
+        (((j.toLong * 64 + d + 1) * 2654435761L) % 2147483647L) % 2001L - 1000L))
+    val books: Array[Array[Array[Long]]] = Array.tabulate(4)(g =>
+      Array.tabulate(16)(c => Array.tabulate(16)(d =>
+        ((((g * 16 + c).toLong * 16 + d + 1) * 2654435761L) % 2147483647L) % 2001L - 1000L)))
+    val assignUdf = udf((v: Seq[Long]) => {
+      var best = 0; var bd = Long.MaxValue
+      var j = 0
+      while (j < cents.length) {
+        val c = cents(j)
+        var s = 0L; var i = 0
+        val n = math.min(v.length, c.length)
+        while (i < n) { val t = v(i) - c(i); s += t * t; i += 1 }
+        if (s < bd) { bd = s; best = j }
+        j += 1
+      }
+      best
+    })
+    val probeUdf = udf((v: Seq[Long]) => {
+      cents.indices.map { j =>
+        val c = cents(j)
+        var s = 0L; var i = 0
+        val n = math.min(v.length, c.length)
+        while (i < n) { val t = v(i) - c(i); s += t * t; i += 1 }
+        (j, s)
+      }.sortBy(t => (t._2, t._1)).take(2).map(_._1).toArray
+    })
+    def subD2(v: Seq[Long], g: Int, c: Int): Long = {
+      var s = 0L; var d = 0
+      while (d < 16) { val t = v(g * 16 + d) - books(g)(c)(d); s += t * t; d += 1 }
+      s
+    }
+    val encodeUdf = udf((v: Seq[Long]) => Array.tabulate(4) { g =>
+      var best = 0; var bd = Long.MaxValue
+      var c = 0
+      while (c < 16) {
+        val s = subD2(v, g, c)
+        if (s < bd) { bd = s; best = c } // strict < keeps the smaller c on ties
+        c += 1
+      }
+      best
+    })
+    val lutUdf = udf((v: Seq[Long]) =>
+      (for { g <- 0 until 4; c <- 0 until 16 } yield (g, c, subD2(v, g, c))).toArray)
+    val iv = emb.select(col("vec_id"),
+      expr("transform(sequence(1, 64), i -> cast(floor(coalesce(try_element_at(cast(embedding as array<double>), i), 0d) * 1000d) AS bigint))").as("v"))
+    val assigned = iv.select(col("vec_id"),
+      assignUdf(col("v")).as("list_id"), encodeUdf(col("v")).as("codes"))
+    val qiv = iv.filter(col("vec_id") % 50 === 0)
+    val probes = qiv.select(col("vec_id").as("qid"),
+      explode(probeUdf(col("v"))).as("list_id"))
+    val lut = qiv.select(col("vec_id").as("qid"), explode(lutUdf(col("v"))).as("e"))
+      .select(col("qid"), col("e._1").as("g"), col("e._2").as("c"),
+        col("e._3").as("lutd2"))
+    val cand = assigned.join(probes, Seq("list_id"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("vid"),
+        posexplode(col("codes")).as(Seq("g", "c")))
+      .join(lut, Seq("qid", "g", "c"))
+      .groupBy(col("qid"), col("vid")).agg(sum(col("lutd2")).as("adc_d2"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(asc_nulls_first("adc_d2"), asc_nulls_first("vid"))
+    cand.withColumn("rank", row_number().over(w).cast("long")).filter(col("rank") <= 5)
+      .select(col("qid"), col("rank"), col("vid"), col("adc_d2"))
+      .orderBy(asc_nulls_first("qid"), asc_nulls_first("rank"))
+  }
+
+  private val q221 = Q(
+    "q221_pq_adc_oracle",
+    (s, dir) => ivfPqAdcExact(T(s, dir, "embeddings")),
+    Some("""WITH base AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings),
+      iv AS (SELECT vec_id,
+               list_transform(range(1, 65),
+                 i -> floor(coalesce(e[CAST(i AS INTEGER)], 0) * 1000)) AS v
+             FROM base),
+      cent AS (
+        SELECT j, list(CAST(c AS DOUBLE) ORDER BY d) AS cv FROM (
+          SELECT js.j, ds.d,
+                 (((js.j * 64 + ds.d + 1) * 2654435761) % 2147483647) % 2001 - 1000 AS c
+          FROM (SELECT unnest(range(0, 16)) AS j) js,
+               (SELECT unnest(range(0, 64)) AS d) ds)
+        GROUP BY j),
+      ad AS (
+        SELECT iv.vec_id, cent.j,
+               CAST(list_dot_product(iv.v, iv.v) AS BIGINT)
+                 - 2 * CAST(list_dot_product(iv.v, cent.cv) AS BIGINT)
+                 + CAST(list_dot_product(cent.cv, cent.cv) AS BIGINT) AS d2
+        FROM iv CROSS JOIN cent),
+      asg AS (SELECT vec_id, j AS list_id FROM ad
+              QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, j ASC) = 1),
+      qp AS (SELECT vec_id AS qid, j AS list_id FROM ad WHERE vec_id % 50 = 0
+             QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, j ASC) <= 2),
+      books AS (
+        SELECT g, c, list(CAST(b AS DOUBLE) ORDER BY d) AS bv FROM (
+          SELECT gs.g, cs.c, ds.d,
+                 ((((gs.g * 16 + cs.c) * 16 + ds.d + 1) * 2654435761) % 2147483647) % 2001 - 1000 AS b
+          FROM (SELECT unnest(range(0, 4)) AS g) gs,
+               (SELECT unnest(range(0, 16)) AS c) cs,
+               (SELECT unnest(range(0, 16)) AS d) ds)
+        GROUP BY g, c),
+      subs AS (
+        SELECT vec_id, gs.g,
+               list_slice(v, gs.g * 16 + 1, gs.g * 16 + 16) AS sub
+        FROM iv, (SELECT unnest(range(0, 4)) AS g) gs),
+      sd AS (
+        SELECT s.vec_id, s.g, b.c,
+               CAST(list_dot_product(s.sub, s.sub) AS BIGINT)
+                 - 2 * CAST(list_dot_product(s.sub, b.bv) AS BIGINT)
+                 + CAST(list_dot_product(b.bv, b.bv) AS BIGINT) AS d2
+        FROM subs s JOIN books b USING (g)),
+      enc AS (SELECT vec_id, g, c FROM sd
+              QUALIFY row_number() OVER (PARTITION BY vec_id, g ORDER BY d2 ASC, c ASC) = 1),
+      lut AS (SELECT vec_id AS qid, g, c, d2 AS lutd2 FROM sd WHERE vec_id % 50 = 0),
+      adc AS (
+        SELECT qp.qid, asg.vec_id AS vid, CAST(SUM(lut.lutd2) AS BIGINT) AS adc_d2
+        FROM qp JOIN asg USING (list_id)
+        JOIN enc ON enc.vec_id = asg.vec_id
+        JOIN lut ON lut.qid = qp.qid AND lut.g = enc.g AND lut.c = enc.c
+        WHERE asg.vec_id <> qp.qid
+        GROUP BY 1, 2),
+      r AS (SELECT qid, vid, adc_d2,
+              row_number() OVER (PARTITION BY qid ORDER BY adc_d2 ASC, vid ASC) AS rank
+            FROM adc)
+      SELECT qid, CAST(rank AS BIGINT) AS rank, vid, adc_d2
+      FROM r WHERE rank <= 5
+      ORDER BY qid ASC NULLS FIRST, rank ASC NULLS FIRST"""),
+    "IVF-PQ asymmetric-distance search (encode argmin, per-query LUT, routed candidates, top-k) under the DuckDB hash gate via integer codebooks")
+
   /** q105: the k-means UPDATE step — per-label mean vector — as a plain
     * distributed aggregation under the DuckDB oracle gate (the IVF
     * centroid build above runs this arithmetic driver-side over a bounded
@@ -776,5 +932,5 @@ object Ivf {
     ()
   }
 
-  val all: Seq[Q] = Seq(q31, q105, q107, q113, q120, q192, q193, q218)
+  val all: Seq[Q] = Seq(q31, q105, q107, q113, q120, q192, q193, q218, q221)
 }

@@ -163,5 +163,80 @@ object Multimodal {
     None,
     "multimodal resize-to-geometry + evenly-spaced frame sampling, exploded (doc, frame) serving shape (builder-prompt multimodal surface)")
 
-  val all: Seq[Q] = Seq(q48, q153)
+  // ---- frame slicing under the ORACLE gate (q222) ----------------------
+
+  /** q222's kernel: [[sampleFrames]]' slicing arithmetic — the SAME
+    * floor-division frame length and min-clamped [from, until) bounds —
+    * replayed over the text's code points, with the histogram kept as
+    * INTEGER bucket counts instead of the normalized doubles the media
+    * path emits. q48/q153 stay rows-only because container bytes have no
+    * SQL representation; this twin puts the slicing/binning DECISIONS
+    * (frame boundaries, mod-8 bucketing, empty-tail frames) under the
+    * DuckDB hash gate, where a one-off boundary or a wrong bucket shifts
+    * a count and breaks the hash. Code points (not UTF-16 units) so the
+    * arithmetic matches DuckDB's character semantics on any input. */
+  def charFrameCounts(text: String, n: Int): Seq[(Int, Int, Array[Long])] = {
+    val cps = text.codePoints().toArray
+    val len = math.max(1, cps.length / n)
+    (0 until n).map { i =>
+      val from = math.min(i * len, cps.length)
+      val until = math.min(from + len, cps.length)
+      val h = new Array[Long](8)
+      var j = from
+      while (j < until) { h(math.floorMod(cps(j), 8)) += 1L; j += 1 }
+      (i, until - from, h)
+    }
+  }
+
+  /** Map-only like q153's frame leg: one UDF pass per row, explode to the
+    * (doc, frame) serving shape; the only exchange is the final sort. The
+    * every-10th probe slice bounds the oracle's char-unnest replay. */
+  private val q222 = Q(
+    "q222_frame_slice_oracle",
+    (s, dir) => {
+      val fr = udf((t: String) => charFrameCounts(t, 4))
+      val base = T(s, dir, "documents").filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), explode(fr(col("text"))).as("f"))
+      val cols = Seq(col("doc_id"),
+        col("f._1").cast("long").as("frame"),
+        col("f._2").cast("long").as("frame_chars")) ++
+        (0 until 8).map(k => element_at(col("f._3"), k + 1).as(s"c$k"))
+      base.select(cols: _*)
+        .orderBy(asc_nulls_first("doc_id"), asc_nulls_first("frame"))
+    },
+    Some("""WITH d AS (
+        SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n
+        FROM documents WHERE doc_id % 10 = 0),
+      f AS (
+        SELECT doc_id, text, n, fs.frame,
+               least(fs.frame * greatest(1, n // 4), n) AS f0,
+               least(fs.frame * greatest(1, n // 4) + greatest(1, n // 4), n) AS u0
+        FROM d, (SELECT unnest(range(0, 4)) AS frame) fs),
+      ch AS (
+        SELECT doc_id, frame,
+               unnest(range(f0 + 1, u0 + 1)) AS i, text
+        FROM f),
+      cnt AS (
+        SELECT doc_id, frame,
+               ord(substr(text, CAST(i AS INTEGER), 1)) % 8 AS b,
+               count(*) AS c
+        FROM ch GROUP BY 1, 2, 3),
+      out AS (
+        SELECT f.doc_id, f.frame, f.u0 - f.f0 AS frame_chars,
+               CAST(coalesce(MAX(CASE WHEN b = 0 THEN c END), 0) AS BIGINT) AS c0,
+               CAST(coalesce(MAX(CASE WHEN b = 1 THEN c END), 0) AS BIGINT) AS c1,
+               CAST(coalesce(MAX(CASE WHEN b = 2 THEN c END), 0) AS BIGINT) AS c2,
+               CAST(coalesce(MAX(CASE WHEN b = 3 THEN c END), 0) AS BIGINT) AS c3,
+               CAST(coalesce(MAX(CASE WHEN b = 4 THEN c END), 0) AS BIGINT) AS c4,
+               CAST(coalesce(MAX(CASE WHEN b = 5 THEN c END), 0) AS BIGINT) AS c5,
+               CAST(coalesce(MAX(CASE WHEN b = 6 THEN c END), 0) AS BIGINT) AS c6,
+               CAST(coalesce(MAX(CASE WHEN b = 7 THEN c END), 0) AS BIGINT) AS c7
+        FROM f LEFT JOIN cnt USING (doc_id, frame)
+        GROUP BY 1, 2, 3)
+      SELECT doc_id, frame, frame_chars, c0, c1, c2, c3, c4, c5, c6, c7
+      FROM out
+      ORDER BY doc_id ASC NULLS FIRST, frame ASC NULLS FIRST"""),
+    "frame-sampling slice arithmetic (floor-division bounds, mod-8 binning, empty tails) under the DuckDB hash gate in integer char space")
+
+  val all: Seq[Q] = Seq(q48, q153, q222)
 }

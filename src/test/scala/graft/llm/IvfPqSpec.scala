@@ -16,6 +16,23 @@ class IvfPqSpec extends AnyFunSuite {
       .select(col("vec_id"), col("embedding").cast("array<double>"))
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
 
+  test("q221: ADC twin emits 5 ranked rows per query, sorted, self-free, ADC = sum of group LUT entries") {
+    val rows = Ivf.ivfPqAdcExact(T(spark, "/root/testdata/sf0.001", "embeddings"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    val byQ = rows.groupBy(_._1)
+    for ((qid, rs) <- byQ) {
+      assert(rs.map(_._2).sorted.sameElements(1L to rs.length), s"q$qid ranks")
+      assert(rs.length == 5, s"q$qid row count")
+      // sorted by (adc_d2, vid) within the query, never the query itself
+      val sorted = rs.sortBy(_._2)
+      assert(sorted.sliding(2).forall { case Array(a, b) =>
+        a._4 < b._4 || (a._4 == b._4 && a._3 < b._3) }, s"q$qid order")
+      assert(rs.forall(_._3 != qid), s"q$qid self in candidates")
+      assert(rs.forall(_._4 >= 0L), s"q$qid negative ADC")
+    }
+  }
+
   test("a codebook seed encodes to itself: zero quantization error per subspace") {
     val emb = T(spark, dir, "embeddings")
     val books = Ivf.pqBooks(emb)
