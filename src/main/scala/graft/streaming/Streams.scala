@@ -300,8 +300,10 @@ object Streams {
     * interval predicate is unchanged, so the answer (and the q65
     * oracle) is identical by construction. Candidate scans grow ≤ 2×
     * (bucket ∪ window) but parallelize across (user, day) keys.
-    * Left/full-outer variants (q168/q198) cannot shard this way without
-    * a null-row reconciliation pass — documented there, not applied. */
+    * Left/full-outer variants shard the same way once the spurious
+    * per-bucket null rows are reconciled downstream — see
+    * [[streamLeftOuterJoinBucketed]] / [[streamFullOuterJoinBucketed]]
+    * (q223/q224). */
   def streamIntervalJoinBucketed(s: SparkSession, dir: String): DataFrame = withStatePartitions(s, 8) {
     val schema = s.read.parquet(s"$dir/events.parquet").schema
     def src = s.readStream.schema(schema)
@@ -1268,6 +1270,178 @@ object Streams {
       FROM j"""),
     "stream-stream FULL OUTER interval join: both sides' orphans emit on watermark passage (sentinel-flushed); reconciliation summary matches the batch FULL JOIN")
 
+  /** q223: [[streamLeftOuterJoin]]'s HOT-ENTITY scale path — the q214
+    * (user, 24 h bucket) state sharding applied to the LEFT OUTER
+    * interval join. The bucketing is sound for the inner matches for the
+    * q214 reason (a pair matches in exactly the quote's own bucket), but
+    * an exploded trade now holds TWO left-side state rows, so a bucket
+    * with no qualifying quote emits a spurious null row even when the
+    * OTHER bucket matched. The reconciliation is the aggregation the
+    * query already publishes: per-trade `count(qval)` / `sum(qval)`
+    * ignore nulls, so a matched trade's stray null row contributes
+    * nothing and a globally unmatched trade's two null rows still read
+    * (0, NULL) — LEFT JOIN aggregate semantics hold with zero extra
+    * passes. Answer-identical to q168's oracle by construction;
+    * skew-fixture-measured at the definition of [[streamIntervalJoinBucketed]]. */
+  def streamLeftOuterJoinBucketed(s: SparkSession, dir: String): DataFrame = withStatePartitions(s, 4) {
+    val src0 = s"$dir/events.parquet"
+    val schema = s.read.parquet(src0).schema
+    val stage = java.nio.file.Paths.get(graft.Scratch.fresh("lojb_stage"))
+    java.nio.file.Files.createSymbolicLink(
+      stage.resolve("events.parquet"), java.nio.file.Paths.get(src0))
+    def src = s.readStream.schema(schema).parquet(stage.toString)
+      .transform(graft.Ts.norm).withColumn("tss", date_trunc("second", col("ts")))
+    val dayBucket = floor(expr("unix_micros(cast(tss as timestamp))") / (86400L * 1000000L)).cast("long")
+    val trades = src.filter(pmod(col("event_id"), lit(5)) === 0)
+      .select(col("event_id").as("trade_id"), col("user_id"),
+        col("tss").as("t_ts"), dayBucket.as("tb"))
+      .withColumn("jb", explode(array(col("tb"), col("tb") - 1)))
+      .withWatermark("t_ts", "25 hours")
+    val quotes = src.filter(pmod(col("event_id"), lit(5)) =!= 0 && col("value") >= 8.0)
+      .select(col("event_id").as("quote_id"), col("user_id").as("q_user"),
+        col("tss").as("q_ts"), col("value").as("qval"), dayBucket.as("qb"))
+      .withWatermark("q_ts", "25 hours")
+    val joined = trades.join(quotes,
+      col("user_id") === col("q_user") && col("jb") === col("qb") &&
+        col("q_ts") >= col("t_ts") - expr("interval 24 hours") &&
+        col("q_ts") <= col("t_ts"),
+      "leftOuter")
+      .select(col("trade_id"), col("qval"))
+    val partialsDir = graft.Scratch.fresh("lojb_partials")
+    val q = joined.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.groupBy(col("trade_id"))
+          .agg(count(col("qval")).as("n"),
+            sum(col("qval").cast(DecimalType(18, 2))).as("s"))
+          .write.mode("append").parquet(partialsDir)
+        ()
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      val maxTs = graft.Ts.maxNanos(s, src0)
+      for (i <- 1 to 2) {
+        val farNs = maxTs + (4000L + i) * 3600L * 1000000000L
+        val sentinel = s.range(2).select(schema.fields.map { f =>
+          f.name match {
+            case "event_id" => when(col("id") === 0, lit(-5L)).otherwise(lit(-1L)).as("event_id")
+            case "ts" => graft.Ts.litNanos(schema, farNs).as("ts")
+            case "user_id" => lit(-1L).as("user_id")
+            case "value" => lit(9.99).as("value")
+            case other => lit(null).cast(f.dataType).as(other)
+          }
+        }: _*)
+        sentinel.write.mode("append").parquet(stage.toString)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    s.read.parquet(partialsDir)
+      .filter(col("trade_id") >= 0)
+      .groupBy(col("trade_id"))
+      .agg(sum(col("n")).cast(LongType).as("n_quotes"),
+        sum(col("s")).cast(DoubleType).as("sum_qval"))
+      .orderBy(asc_nulls_first("trade_id"))
+  }
+
+  private val q223 = Q(
+    "q223_left_outer_join_bucketed",
+    (s, dir) => streamLeftOuterJoinBucketed(s, dir),
+    q168.oracle, // answer-identical: nulls are absorbed by count/sum per trade
+    "hot-entity scale path for the stream LEFT OUTER interval join: (user, 24h bucket) state keys, per-bucket null rows reconciled by the null-skipping per-trade aggregate — same oracle as q168")
+
+  /** q224: [[streamFullOuterJoin]] under the q214 bucketing. Quote-side
+    * orphan semantics survive sharding EXACTLY (a quote lives in one
+    * bucket and every potential pair materializes in that bucket, so
+    * null-trade rows are true orphans); the trade side needs the
+    * reconciliation: an exploded trade emits a null-quote row per
+    * matchless BUCKET, so "unmatched trade" must be decided on the
+    * trade's TOTAL match count, not row-shape. The per-batch partials
+    * are therefore trade-KEYED (trade_id, matches, matched value) plus a
+    * global quote-orphan row; the final pass counts trades whose summed
+    * matches are zero. One extra trade-cardinality aggregation — the
+    * reconciliation pass the bare-key variant documents — buys per-day
+    * state parallelism under hot entities. */
+  def streamFullOuterJoinBucketed(s: SparkSession, dir: String): DataFrame = withStatePartitions(s, 4) {
+    val src0 = s"$dir/events.parquet"
+    val schema = s.read.parquet(src0).schema
+    val stage = java.nio.file.Paths.get(graft.Scratch.fresh("fojb_stage"))
+    java.nio.file.Files.createSymbolicLink(
+      stage.resolve("events.parquet"), java.nio.file.Paths.get(src0))
+    def src = s.readStream.schema(schema).parquet(stage.toString)
+      .transform(graft.Ts.norm).withColumn("tss", date_trunc("second", col("ts")))
+    val dayBucket = floor(expr("unix_micros(cast(tss as timestamp))") / (86400L * 1000000L)).cast("long")
+    val trades = src.filter(pmod(col("event_id"), lit(5)) === 0)
+      .select(col("event_id").as("trade_id"), col("user_id"),
+        col("tss").as("t_ts"), dayBucket.as("tb"))
+      .withColumn("jb", explode(array(col("tb"), col("tb") - 1)))
+      .withWatermark("t_ts", "25 hours")
+    val quotes = src.filter(pmod(col("event_id"), lit(5)) =!= 0 && col("value") >= 8.0)
+      .select(col("event_id").as("quote_id"), col("user_id").as("q_user"),
+        col("tss").as("q_ts"), col("value").as("qval"), dayBucket.as("qb"))
+      .withWatermark("q_ts", "25 hours")
+    val joined = trades.join(quotes,
+      col("user_id") === col("q_user") && col("jb") === col("qb") &&
+        col("q_ts") >= col("t_ts") - expr("interval 24 hours") &&
+        col("q_ts") <= col("t_ts"),
+      "fullOuter")
+      .select(col("trade_id"), col("quote_id"), col("qval"))
+    val tDir = graft.Scratch.fresh("fojb_tpart")
+    val qDir = graft.Scratch.fresh("fojb_qpart")
+    val q = joined.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val b = batch.persist() // two consumers; don't re-run the join
+        try {
+          b.filter(col("trade_id").isNotNull && col("trade_id") >= 0)
+            .groupBy(col("trade_id"))
+            .agg(count(col("quote_id")).as("n"),
+              sum(col("qval").cast(DecimalType(18, 2))).as("s"))
+            .write.mode("append").parquet(tDir)
+          b.filter(col("trade_id").isNull && col("quote_id") >= 0)
+            .agg(count(lit(1)).as("uq"),
+              sum(col("qval").cast(DecimalType(18, 2))).as("ov"))
+            .write.mode("append").parquet(qDir)
+        } finally { b.unpersist(); () }
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      val maxTs = graft.Ts.maxNanos(s, src0)
+      for (i <- 1 to 2) {
+        val farNs = maxTs + (4000L + i) * 3600L * 1000000000L
+        val sentinel = s.range(2).select(schema.fields.map { f =>
+          f.name match {
+            case "event_id" => when(col("id") === 0, lit(-5L)).otherwise(lit(-1L)).as("event_id")
+            case "ts" => graft.Ts.litNanos(schema, farNs).as("ts")
+            case "user_id" => lit(-1L).as("user_id")
+            case "value" => lit(9.99).as("value")
+            case other => lit(null).cast(f.dataType).as(other)
+          }
+        }: _*)
+        sentinel.write.mode("append").parquet(stage.toString)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val perTrade = s.read.parquet(tDir)
+      .groupBy(col("trade_id"))
+      .agg(sum(col("n")).as("n"), sum(col("s")).as("s"))
+    val tAgg = perTrade.agg(
+      sum(col("n")).as("n_pairs"),
+      sum(when(col("n") === 0, 1L).otherwise(0L)).as("n_unmatched_trades"),
+      sum(col("s")).cast(DoubleType).as("matched_value"))
+    val qAgg = s.read.parquet(qDir).agg(
+      sum(col("uq")).as("n_unmatched_quotes"),
+      sum(col("ov")).cast(DoubleType).as("orphan_value"))
+    tAgg.crossJoin(qAgg) // two 1-row aggregates
+      .select(col("n_pairs"), col("n_unmatched_trades"), col("n_unmatched_quotes"),
+        col("matched_value"), col("orphan_value"))
+  }
+
+  private val q224 = Q(
+    "q224_full_outer_join_bucketed",
+    (s, dir) => streamFullOuterJoinBucketed(s, dir),
+    q198.oracle, // answer-identical: trade-keyed partials decide orphanhood on total matches
+    "hot-entity scale path for the stream FULL OUTER interval join: (user, 24h bucket) state keys + trade-keyed reconciliation partials — same oracle as q198")
+
   val all: Seq[Q] = Seq(q50, q52, q65, q73, q80, q109, q114, q117, q142, q211, q214, q148, q154,
-    q168, q198)
+    q168, q198, q223, q224)
 }
