@@ -1324,9 +1324,14 @@ object Analytics {
     * div — no float). This is the Markov-chain summary behind funnel
     * diagnostics and session modeling. `lead` orders by (ts, event_id)
     * so colliding per-user timestamps cannot make it nondeterministic,
-    * and the oracle mirrors the SAME tie-break DECLARATIVELY — the
-    * successor is the lexicographic min of later (ts_us, event_id) — so
-    * both engines stay hash-identical even on a fixture with ties. */
+    * and the oracle mirrors the SAME tie-break through a different
+    * mechanism — ROW_NUMBER over (ts_us, event_id) and an rn+1
+    * self-join (the successor is the next row in that total order) —
+    * so both engines stay hash-identical even on a fixture with ties.
+    * The rn+1 equi-join keeps the oracle LINEAR per user; the earlier
+    * correlated min-of-later-rows form went quadratic on the skew
+    * fixture's 23k-event hot user (DuckDB could not decorrelate the
+    * row-value comparison) and timed out the gate. */
   private val q177 = Q(
     "q177_transition_matrix",
     (s, dir) => {
@@ -1344,22 +1349,19 @@ object Analytics {
         .select(col("from_type"), col("to_type"), col("n"), col("rate_bp"))
         .orderBy(asc_nulls_first("from_type"), asc_nulls_first("to_type"))
     },
-    Some("""WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type FROM events),
-      nxt AS (SELECT a.event_type AS from_type,
-                (SELECT b.event_type FROM e b
-                 WHERE b.user_id = a.user_id
-                   AND (b.ts_us, b.event_id) > (a.ts_us, a.event_id)
-                 ORDER BY b.ts_us ASC, b.event_id ASC LIMIT 1) AS to_type
-              FROM e a
-              WHERE EXISTS (SELECT 1 FROM e b WHERE b.user_id = a.user_id
-                              AND (b.ts_us, b.event_id) > (a.ts_us, a.event_id))),
-      t AS (SELECT from_type, to_type, COUNT(*) AS n FROM nxt GROUP BY 1, 2)
+    Some("""WITH e AS (SELECT user_id, event_type,
+                ROW_NUMBER() OVER (PARTITION BY user_id
+                                   ORDER BY epoch_us(ts) ASC, event_id ASC) AS rn
+              FROM events),
+      t AS (SELECT a.event_type AS from_type, b.event_type AS to_type, COUNT(*) AS n
+            FROM e a JOIN e b ON b.user_id = a.user_id AND b.rn = a.rn + 1
+            GROUP BY 1, 2)
       SELECT from_type, to_type, n,
              CAST((10000 * n) // (SELECT SUM(n) FROM t t2 WHERE t2.from_type = t.from_type) AS BIGINT)
                AS rate_bp
       FROM t
       ORDER BY from_type ASC NULLS FIRST, to_type ASC NULLS FIRST"""),
-    "Markov transition matrix: lead() on one user-keyed window, per-from rates in integer bp; oracle finds successors declaratively (min later timestamp)")
+    "Markov transition matrix: lead() on one user-keyed window, per-from rates in integer bp; oracle pairs successors via a tie-broken row_number rn+1 self-join")
 
   /** q178: OLS trend line over the monthly revenue series — the
     * least-squares slope every dashboard's "trend" arrow computes, done
@@ -1603,10 +1605,12 @@ object Analytics {
     * Σ(cents·dt) stays under 3e17 on this data, and the ×1000
     * quantization — which WOULD overflow — is assembled quotient+
     * remainder (1000·(Σ div W) + (1000·(Σ mod W)) div W, q182's trick);
-    * one user-keyed window provides the successor. The oracle finds
-    * successors declaratively — lexicographic min of later
-    * (ts_us, event_id), q177's tie-broken pattern, so tied timestamps
-    * cannot split the engines — and replays the same integer quotient. */
+    * one user-keyed window provides the successor. The oracle pairs
+    * each event with its successor via q177's tie-broken ROW_NUMBER
+    * rn+1 self-join — same (ts_us, event_id) total order, so tied
+    * timestamps cannot split the engines, and linear per user where
+    * the earlier correlated form was quadratic under a hot key — and
+    * replays the same integer quotient. */
   private val q184 = Q(
     "q184_twap",
     (s, dir) => {
@@ -1627,23 +1631,20 @@ object Analytics {
         .orderBy(asc_nulls_first("user_id"))
     },
     Some("""WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
-               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY epoch_us(ts) ASC, event_id ASC) AS rn
              FROM events),
-      iv AS (SELECT a.user_id, a.cents,
-               (SELECT b.ts_us FROM e b
-                WHERE b.user_id = a.user_id
-                  AND (b.ts_us, b.event_id) > (a.ts_us, a.event_id)
-                ORDER BY b.ts_us ASC, b.event_id ASC LIMIT 1) - a.ts_us AS dt
-             FROM e a),
-      g AS (SELECT user_id, COUNT(*) AS n_intervals,
-              CAST(SUM(dt) AS BIGINT) AS sum_dt,
-              CAST(SUM(cents * dt) AS BIGINT) AS sum_cdt
-            FROM iv WHERE dt IS NOT NULL GROUP BY 1)
+      g AS (SELECT a.user_id, COUNT(*) AS n_intervals,
+              CAST(SUM(b.ts_us - a.ts_us) AS BIGINT) AS sum_dt,
+              CAST(SUM(a.cents * (b.ts_us - a.ts_us)) AS BIGINT) AS sum_cdt
+            FROM e a JOIN e b ON b.user_id = a.user_id AND b.rn = a.rn + 1
+            GROUP BY 1)
       SELECT user_id, n_intervals,
              CAST(1000 * (sum_cdt // sum_dt) + (1000 * (sum_cdt % sum_dt)) // sum_dt
                AS BIGINT) AS twap_millicents
       FROM g ORDER BY user_id ASC NULLS FIRST"""),
-    "time-weighted average over irregular samples: one user-keyed lead() window, exact int64 quotient+remainder quantization; oracle finds intervals declaratively")
+    "time-weighted average over irregular samples: one user-keyed lead() window, exact int64 quotient+remainder quantization; oracle pairs intervals via a row_number rn+1 self-join")
 
   /** q185: ordered string aggregation — the digest/fingerprint column
     * (sorted part list per order) that feeds diffing, caching keys, and
