@@ -400,5 +400,210 @@ object Sketches extends Serializable {
     None,
     "incremental distinct counting: daily HLL sketch table rolled up by sketch union; merged == direct (lossless merge law, spec-pinned), exact alongside")
 
-  val all: Seq[Q] = Seq(q77, q100, q162, q216, q217)
+  // ---- KMV / theta sketch: distinct-count SET OPERATIONS (q225) ---------
+
+  /** HLL (q67/q162/q217) answers |A| and |A∪B| (register max-merge) but
+    * fundamentally cannot estimate |A∩B| or |A∖B| — registers carry no
+    * membership. The K-minimum-values / theta sketch (Bar-Yossef et al.
+    * 2002; Dasgupta et al., "Theta Sketch Framework", 2016 — the Apache
+    * DataSketches theta design) does: keep the K smallest distinct hash
+    * values per set; θ = the K-th smallest (p when |S| < K); for any two
+    * sketches degrade to θ = min(θ_A, θ_B) and count retained values
+    * below θ — |{V_A ∪ V_B < θ}|, |{V_A ∩ V_B < θ}|, |{V_A ∖ V_B < θ}| —
+    * each scaled by p/θ is an unbiased estimate of the corresponding set
+    * size. The audience-overlap workhorse (Druid/Presto/BigQuery all ship
+    * it) and a per-source corpus-overlap estimator for training-data
+    * curation (q149's exact overlap, sketch-sized).
+    *
+    * Everything here is integer-exact and SQL-replayable, so the WHOLE
+    * operator — hash, bounded sketch maintenance, merge, θ degrade,
+    * retained-value set ops, p/θ scaling — sits under the DuckDB hash
+    * gate directly (no separate mod-p twin needed): h(u) = (2654435761·u
+    * + 98765) mod (2³¹−1) is injective for 0 ≤ u < p (coefficient ≢ 0 mod
+    * p), products stay < 2⁶³ for u < 2³¹ (guarded loudly, the q205
+    * pattern), and estimates use floor division — `div` / `//` agree for
+    * non-negative operands.
+    *
+    * Scale shape: membership (one map-side-combinable groupBy), then a
+    * typed Aggregator whose state is ≤ K longs per set — partials absorb
+    * map-side, merge is a two-pointer K-cap — so the shuffle carries
+    * n_sets × K longs regardless of corpus size. The pair table is built
+    * from COLLECTED sketches: n_types² × K longs, sketch-sized by
+    * construction (collecting sketches to the coordinator is the point
+    * of a sketch — same bounded-collect rationale as q77/q40). Exact
+    * counts ride along (q162's pattern) to expose the estimation error;
+    * a deployment drops them. */
+  final val KmvK = 64
+  final val KmvP = 2147483647L // 2^31 − 1, prime
+
+  /** Sorted-distinct insert, capped at [[KmvK]] smallest. */
+  def kmvInsert(buf: Array[Long], h: Long): Array[Long] = {
+    val i = java.util.Arrays.binarySearch(buf, h)
+    if (i >= 0) buf // already present
+    else {
+      val at = -i - 1
+      if (buf.length < KmvK) {
+        val out = new Array[Long](buf.length + 1)
+        System.arraycopy(buf, 0, out, 0, at)
+        out(at) = h
+        System.arraycopy(buf, at, out, at + 1, buf.length - at)
+        out
+      } else if (at >= KmvK) buf // h ≥ current K-th smallest
+      else {
+        val out = new Array[Long](KmvK)
+        System.arraycopy(buf, 0, out, 0, at)
+        out(at) = h
+        System.arraycopy(buf, at, out, at + 1, KmvK - at - 1)
+        out
+      }
+    }
+  }
+
+  /** Two-pointer distinct merge of sorted arrays, keep K smallest. */
+  def kmvMerge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    val out = new Array[Long](math.min(KmvK, a.length + b.length))
+    var i = 0; var j = 0; var n = 0
+    while (n < out.length && (i < a.length || j < b.length)) {
+      val take =
+        if (i >= a.length) { val v = b(j); j += 1; v }
+        else if (j >= b.length) { val v = a(i); i += 1; v }
+        else if (a(i) < b(j)) { val v = a(i); i += 1; v }
+        else if (b(j) < a(i)) { val v = b(j); j += 1; v }
+        else { val v = a(i); i += 1; j += 1; v }
+      if (n == 0 || out(n - 1) != take) { out(n) = take; n += 1 }
+    }
+    if (n == out.length) out else java.util.Arrays.copyOf(out, n)
+  }
+
+  /** θ and retained-value view of a raw K-cap array: full (|S| < K) ⇒
+    * θ = p, all values retained; capped ⇒ θ = K-th smallest, K−1 values
+    * below it retained. One formula then serves both branches:
+    * estimate = n_retained · p div θ (θ = p ⇒ exact count). */
+  def kmvTheta(buf: Array[Long]): Long =
+    if (buf.length < KmvK) KmvP else buf(KmvK - 1)
+
+  val kmvAgg: Aggregator[Long, Array[Long], Array[Long]] =
+    new Aggregator[Long, Array[Long], Array[Long]] {
+      def zero: Array[Long] = Array.emptyLongArray
+      def reduce(b: Array[Long], h: Long): Array[Long] = kmvInsert(b, h)
+      def merge(a: Array[Long], b: Array[Long]): Array[Long] = kmvMerge(a, b)
+      def finish(b: Array[Long]): Array[Long] = b
+      def bufferEncoder: Encoder[Array[Long]] = Encoders.kryo[Array[Long]]
+      def outputEncoder: Encoder[Array[Long]] = Encoders.kryo[Array[Long]]
+    }
+
+  /** q225: per-event-type ACTIVE-user sets (odd per-(type,user) event
+    * count — a deterministic membership predicate chosen to produce
+    * non-degenerate partial overlaps on the fixture; the sketch is
+    * agnostic to what defines the set), theta sketches per set, and for
+    * every type pair the degraded-θ retained counts, the p/θ-scaled
+    * distinct estimates for ∩ / ∪ / ∖, and the exact values alongside.
+    * DuckDB replays the identical sketch: rank distinct hashes per set,
+    * keep K smallest, same θ / retained-set / floor-division arithmetic. */
+  private val q225 = Q(
+    "q225_kmv_theta_setops",
+    (s, dir) => {
+      import s.implicits._
+      val memb = T(s, dir, "events")
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(count(lit(1)).as("c"))
+        .filter(col("c") % 2 === 1)
+        // |u| < 2³¹ keeps 2654435761·u < 2⁶³ on both engines; fail loudly
+        // (q205's guard pattern) instead of diverging silently
+        .filter(assert_true(abs(col("user_id")) < lit(2147483648L),
+          lit("user_id magnitude >= 2^31: kmv hash product would overflow int64")).isNull)
+        .select(col("event_type"), col("user_id"),
+          ((lit(2654435761L) * abs(col("user_id")) + lit(98765L)) % lit(KmvP)).as("h"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val sketches = memb.select(col("event_type"), col("h"))
+          .as[(String, Long)]
+          .groupByKey(_._1).mapValues(_._2)
+          .agg(kmvAgg.toColumn.name("sk"))
+          .collect().toMap
+        val types = sketches.keys.toSeq.sorted
+        val pairRows = for {
+          ai <- types.indices; bi <- (ai + 1) until types.length
+        } yield {
+          val (ta, tb) = (types(ai), types(bi))
+          val (va, vb) = (sketches(ta), sketches(tb))
+          val theta = math.min(kmvTheta(va), kmvTheta(vb))
+          val ra = va.filter(_ < theta).toSet
+          val rb = vb.filter(_ < theta).toSet
+          val nInter = (ra & rb).size.toLong
+          val nUnion = (ra | rb).size.toLong
+          val nDiff = (ra -- rb).size.toLong
+          (ta, tb, theta, nInter, nUnion, nDiff,
+            nInter * KmvP / theta, nUnion * KmvP / theta, nDiff * KmvP / theta)
+        }
+        val pairDf = pairRows.toDF("ta", "tb", "theta",
+          "n_inter", "n_union", "n_diff_ab",
+          "est_inter", "est_union", "est_diff_ab")
+        val sizes = memb.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"))
+        val inter = memb.select(col("event_type").as("ta"), col("user_id"))
+          .join(memb.select(col("event_type").as("tb"), col("user_id")), Seq("user_id"))
+          .filter(col("ta") < col("tb"))
+          .groupBy(col("ta"), col("tb")).agg(count(lit(1)).as("xi"))
+        pairDf
+          .join(broadcast(inter), Seq("ta", "tb"), "left")
+          .join(broadcast(sizes.select(col("event_type").as("ta"), col("n").as("na"))), Seq("ta"))
+          .join(broadcast(sizes.select(col("event_type").as("tb"), col("n").as("nb"))), Seq("tb"))
+          .select(col("ta"), col("tb"), col("theta"),
+            col("n_inter"), col("n_union"), col("n_diff_ab"),
+            col("est_inter"), col("est_union"), col("est_diff_ab"),
+            coalesce(col("xi"), lit(0L)).as("exact_inter"),
+            (col("na") + col("nb") - coalesce(col("xi"), lit(0L))).as("exact_union"),
+            (col("na") - coalesce(col("xi"), lit(0L))).as("exact_diff_ab"))
+          .orderBy(asc_nulls_first("ta"), asc_nulls_first("tb"))
+      } finally { memb.unpersist(); () }
+    },
+    Some(s"""WITH m AS (
+        SELECT event_type AS t, user_id AS u FROM events
+        GROUP BY 1, 2 HAVING COUNT(*) % 2 = 1),
+      hx AS (SELECT t, u, (2654435761 * abs(u) + 98765) % $KmvP AS h FROM m),
+      r AS (SELECT t, h, row_number() OVER (PARTITION BY t ORDER BY h) AS rn,
+                   COUNT(*) OVER (PARTITION BY t) AS cnt
+            FROM hx),
+      th AS (SELECT t, CASE WHEN max(cnt) >= $KmvK
+                            THEN max(CASE WHEN rn = $KmvK THEN h END)
+                            ELSE $KmvP END AS theta
+             FROM r WHERE rn <= $KmvK GROUP BY t),
+      v AS (SELECT r.t, r.h FROM r JOIN th USING (t)
+            WHERE r.rn <= $KmvK AND r.h < th.theta),
+      pairs AS (SELECT a.t AS ta, b.t AS tb, least(a.theta, b.theta) AS theta
+                FROM th a JOIN th b ON a.t < b.t),
+      pv AS (SELECT p.ta, p.tb, p.theta, v.h,
+                    max(CASE WHEN v.t = p.ta THEN 1 ELSE 0 END) AS in_a,
+                    max(CASE WHEN v.t = p.tb THEN 1 ELSE 0 END) AS in_b
+             FROM pairs p JOIN v ON v.t IN (p.ta, p.tb) AND v.h < p.theta
+             GROUP BY 1, 2, 3, 4),
+      ag AS (SELECT ta, tb, theta,
+                    CAST(SUM(in_a * in_b) AS BIGINT) AS n_inter,
+                    CAST(COUNT(*) AS BIGINT) AS n_union,
+                    CAST(SUM(in_a * (1 - in_b)) AS BIGINT) AS n_diff_ab
+             FROM pv GROUP BY 1, 2, 3),
+      sizes AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS n FROM m GROUP BY t),
+      ex AS (SELECT a.t AS ta, b.t AS tb, CAST(COUNT(*) AS BIGINT) AS xi
+             FROM m a JOIN m b ON a.u = b.u AND a.t < b.t
+             GROUP BY 1, 2)
+      SELECT p.ta, p.tb, p.theta,
+             COALESCE(ag.n_inter, 0) AS n_inter,
+             COALESCE(ag.n_union, 0) AS n_union,
+             COALESCE(ag.n_diff_ab, 0) AS n_diff_ab,
+             COALESCE(ag.n_inter, 0) * $KmvP // p.theta AS est_inter,
+             COALESCE(ag.n_union, 0) * $KmvP // p.theta AS est_union,
+             COALESCE(ag.n_diff_ab, 0) * $KmvP // p.theta AS est_diff_ab,
+             COALESCE(ex.xi, 0) AS exact_inter,
+             sa.n + sb.n - COALESCE(ex.xi, 0) AS exact_union,
+             sa.n - COALESCE(ex.xi, 0) AS exact_diff_ab
+      FROM pairs p
+      LEFT JOIN ag ON ag.ta = p.ta AND ag.tb = p.tb
+      LEFT JOIN ex ON ex.ta = p.ta AND ex.tb = p.tb
+      JOIN sizes sa ON sa.t = p.ta
+      JOIN sizes sb ON sb.t = p.tb
+      ORDER BY p.ta ASC NULLS FIRST, p.tb ASC NULLS FIRST"""),
+    "KMV/theta sketch distinct set operations (intersection/union/difference estimates HLL cannot do), fully integer-exact under the DuckDB hash gate")
+
+  val all: Seq[Q] = Seq(q77, q100, q162, q216, q217, q225)
 }

@@ -86,4 +86,62 @@ class SketchesSpec extends AnyFunSuite {
       assert(sm >= 256L, "S has one positive term per register")
     }
   }
+
+  test("KMV kernel: insert/merge keep the K smallest distinct values, any split order") {
+    val rnd = new scala.util.Random(42)
+    val values = Array.fill(500)(rnd.nextLong(Sketches.KmvP)).distinct
+    val expect = values.sorted.take(Sketches.KmvK)
+    val direct = values.foldLeft(Array.emptyLongArray)(Sketches.kmvInsert)
+    assert(direct.toSeq === expect.toSeq)
+    // partition into odd chunk sizes and merge in a scrambled order —
+    // the Aggregator's map-side partials take exactly this path
+    val chunks = values.grouped(37).toSeq
+    val partials = rnd.shuffle(chunks).map(_.foldLeft(Array.emptyLongArray)(Sketches.kmvInsert))
+    val merged = partials.foldLeft(Array.emptyLongArray)(Sketches.kmvMerge)
+    assert(merged.toSeq === expect.toSeq, "merge must equal the single-pass sketch")
+    // duplicates never double-insert
+    val dup = Sketches.kmvInsert(Sketches.kmvInsert(Array.emptyLongArray, 7L), 7L)
+    assert(dup.toSeq === Seq(7L))
+  }
+
+  test("KMV estimate: exact below K, within KMV error above K") {
+    // below K: theta = p and n·p/θ is the exact count
+    val small = (1L to 20L).map(u => (2654435761L * u + 98765L) % Sketches.KmvP)
+      .foldLeft(Array.emptyLongArray)(Sketches.kmvInsert)
+    assert(Sketches.kmvTheta(small) === Sketches.KmvP)
+    assert(small.length.toLong * Sketches.KmvP / Sketches.kmvTheta(small) === 20L)
+    // above K: relative error within 6/√(K−2) (≈ 6σ of the KMV estimator)
+    val n = 20000
+    val big = (1L to n.toLong).map(u => (2654435761L * u + 98765L) % Sketches.KmvP)
+      .foldLeft(Array.emptyLongArray)(Sketches.kmvInsert)
+    val theta = Sketches.kmvTheta(big)
+    assert(theta < Sketches.KmvP)
+    val est = big.count(_ < theta).toLong * Sketches.KmvP / theta
+    val relErr = math.abs(est - n).toDouble / n
+    assert(relErr < 6.0 / math.sqrt(Sketches.KmvK - 2.0),
+      s"KMV estimate $est vs true $n (relErr $relErr)")
+  }
+
+  test("q225: set-op estimates agree with exacts below K and obey set algebra") {
+    val out = graft.SparkEntry.queries("q225_kmv_theta_setops")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val theta = r.getLong(2)
+      val (nI, nU, nD) = (r.getLong(3), r.getLong(4), r.getLong(5))
+      val (eI, eU, eD) = (r.getLong(6), r.getLong(7), r.getLong(8))
+      val (xI, xU, xD) = (r.getLong(9), r.getLong(10), r.getLong(11))
+      assert(nI + nD <= nU, "retained sets: |A∩B| + |A∖B| = |A| ≤ |A∪B|")
+      if (theta === Sketches.KmvP) {
+        // both sketches exact ⇒ estimates are the true set sizes
+        assert(eI === xI && eU === xU && eD === xD,
+          s"${r.getString(0)}/${r.getString(1)}: exact branch must match ($eI/$eU/$eD vs $xI/$xU/$xD)")
+      } else {
+        // capped: estimates within KMV error of the exact sizes (union is
+        // the largest set and the tightest relative bound)
+        assert(math.abs(eU - xU).toDouble / math.max(1L, xU) <
+          6.0 / math.sqrt(Sketches.KmvK - 2.0))
+      }
+    }
+  }
 }
