@@ -34,7 +34,8 @@ object Bench {
     for (w <- Seq("q40_flagship_report", "q28_cosine_topk",
         "q50_stream_tumbling", "q142_stream_incremental_dedup",
         "q168_stream_left_outer_join", "q154_watermark_late_audit",
-        "q148_stream_drift", "q101_dedup_pipeline", "q132_training_shards",
+        "q148_stream_drift", "q226_stream_kmv_distinct",
+        "q101_dedup_pipeline", "q132_training_shards",
         "q156_pagerank", "q126_table_stats", "q151_curriculum_order"))
       try SparkEntry.queries(w)(spark, warmDir).count()
       catch { case _: Throwable => () }

@@ -492,6 +492,22 @@ object Sketches extends Serializable {
       def outputEncoder: Encoder[Array[Long]] = Encoders.kryo[Array[Long]]
     }
 
+  /** [[kmvAgg]] with row-native (array<bigint>) encoders instead of kryo
+    * blobs, so the sketch can live inside a STREAMING aggregation's state
+    * store and read back from a memory sink as a plain Seq[Long]
+    * (q226's daily sketch rows). Same kernel, same laws. */
+  val kmvAggRows: Aggregator[Long, Array[Long], Array[Long]] =
+    new Aggregator[Long, Array[Long], Array[Long]] {
+      def zero: Array[Long] = Array.emptyLongArray
+      def reduce(b: Array[Long], h: Long): Array[Long] = kmvInsert(b, h)
+      def merge(a: Array[Long], b: Array[Long]): Array[Long] = kmvMerge(a, b)
+      def finish(b: Array[Long]): Array[Long] = b
+      def bufferEncoder: Encoder[Array[Long]] =
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+      def outputEncoder: Encoder[Array[Long]] =
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    }
+
   /** q225: per-event-type ACTIVE-user sets (odd per-(type,user) event
     * count — a deterministic membership predicate chosen to produce
     * non-degenerate partial overlaps on the fixture; the sketch is

@@ -1442,6 +1442,96 @@ object Streams {
     q198.oracle, // answer-identical: trade-keyed partials decide orphanhood on total matches
     "hot-entity scale path for the stream FULL OUTER interval join: (user, 24h bucket) state keys + trade-keyed reconciliation partials — same oracle as q198")
 
+  /** Streaming mergeable distinct-count sketch — the streaming face of the
+    * q225 KMV/theta family in the q162 daily-rollup shape: the stream
+    * maintains ONE ≤K-long sketch per (event_type, day) inside the state
+    * store (bounded state no matter how many users a day brings — this is
+    * what replaces streaming countDistinct, whose state is user-sized),
+    * and the readout merges day sketches per type into θ, the retained
+    * count, and the p/θ distinct estimate. The daily rollup is LOSSLESS
+    * by the theta merge property (every global K-smallest value is within
+    * its day's K-smallest, so K-smallest-of-union-of-parts = K-smallest-
+    * of-union), which is exactly what the oracle exploits: DuckDB replays
+    * the sketch DIRECTLY over all events — a lost daily partial, a
+    * double-inserted cross-day duplicate, or a broken cap merge shifts θ
+    * or the retained count and breaks the hash. Exact distinct rides
+    * along (q162's pattern) to expose the estimation error. */
+  def streamKmvDistinct(s: SparkSession, dir: String): DataFrame = withStatePartitions(s, 8) {
+    import graft.llm.Sketches
+    val schema = s.read.parquet(s"$dir/events.parquet").schema
+    val stream = s.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .transform(graft.Ts.norm)
+    val kmvU = udaf(Sketches.kmvAggRows, org.apache.spark.sql.Encoders.scalaLong)
+    val daily = stream
+      .filter(assert_true(abs(col("user_id")) < lit(2147483648L),
+        lit("user_id magnitude >= 2^31: kmv hash product would overflow int64")).isNull)
+      .select(col("event_type"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        ((lit(2654435761L) * abs(col("user_id")) + lit(98765L))
+          % lit(Sketches.KmvP)).as("h"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(kmvU(col("h")).as("sk"))
+    val name = s"stream_kmv_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = daily.writeStream.outputMode("complete")
+      .format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    // n_types × n_days sketch rows, ≤ K longs each — sketch-sized by
+    // construction (the q225 bounded-collect rationale)
+    val rows = s.table(name).collect()
+    val merged = rows.groupBy(_.getString(0)).toSeq.map { case (t, rs) =>
+      val sk = rs.map(_.getAs[scala.collection.Seq[Long]]("sk").toArray)
+        .foldLeft(Array.emptyLongArray)(Sketches.kmvMerge)
+      val theta = Sketches.kmvTheta(sk)
+      val nRet = sk.count(_ < theta).toLong
+      (t, rs.length.toLong, theta, nRet, nRet * Sketches.KmvP / theta)
+    }
+    import s.implicits._
+    val est = merged.toDF("event_type", "n_days", "theta", "n_retained", "est_distinct")
+    val exact = T(s, dir, "events").groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+    est.join(broadcast(exact), Seq("event_type"))
+      .select(col("event_type"), col("n_days"), col("theta"), col("n_retained"),
+        col("est_distinct"), col("exact_users"))
+      .orderBy(asc_nulls_first("event_type"))
+  }
+
+  private val q226 = Q(
+    "q226_stream_kmv_distinct",
+    (s, dir) => streamKmvDistinct(s, dir),
+    Some(s"""WITH hx AS (
+        SELECT DISTINCT event_type AS t,
+               (2654435761 * abs(user_id) + 98765) % ${graft.llm.Sketches.KmvP} AS h
+        FROM events),
+      r AS (SELECT t, h, row_number() OVER (PARTITION BY t ORDER BY h) AS rn,
+                   COUNT(*) OVER (PARTITION BY t) AS cnt
+            FROM hx),
+      th AS (SELECT t, CASE WHEN max(cnt) >= ${graft.llm.Sketches.KmvK}
+                            THEN max(CASE WHEN rn = ${graft.llm.Sketches.KmvK} THEN h END)
+                            ELSE ${graft.llm.Sketches.KmvP} END AS theta
+             FROM r WHERE rn <= ${graft.llm.Sketches.KmvK} GROUP BY t),
+      vc AS (SELECT r.t, CAST(COUNT(*) AS BIGINT) AS n_retained
+             FROM r JOIN th USING (t)
+             WHERE r.rn <= ${graft.llm.Sketches.KmvK} AND r.h < th.theta
+             GROUP BY r.t),
+      dy AS (SELECT event_type AS t,
+               CAST(COUNT(DISTINCT strftime(ts, '%Y-%m-%d')) AS BIGINT) AS n_days
+             FROM events GROUP BY 1),
+      ex AS (SELECT event_type AS t,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users
+             FROM events GROUP BY 1)
+      SELECT th.t AS event_type, dy.n_days, th.theta,
+             COALESCE(vc.n_retained, 0) AS n_retained,
+             COALESCE(vc.n_retained, 0) * ${graft.llm.Sketches.KmvP} // th.theta AS est_distinct,
+             ex.exact_users
+      FROM th
+      JOIN dy ON dy.t = th.t
+      JOIN ex ON ex.t = th.t
+      LEFT JOIN vc ON vc.t = th.t
+      ORDER BY event_type ASC NULLS FIRST"""),
+    "streaming KMV distinct sketch: bounded per-(type,day) state, lossless daily rollup merge, hash-gated against a direct DuckDB sketch replay")
+
   val all: Seq[Q] = Seq(q50, q52, q65, q73, q80, q109, q114, q117, q142, q211, q214, q148, q154,
-    q168, q198, q223, q224)
+    q168, q198, q223, q224, q226)
 }

@@ -144,4 +144,31 @@ class SketchesSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("q226: streaming daily KMV rollup equals the direct batch sketch") {
+    val dir = "/root/testdata/sf0.001"
+    val out = graft.SparkEntry.queries("q226_stream_kmv_distinct")(spark, dir).collect()
+    assert(out.nonEmpty)
+    // direct sketch per type from the batch table — the stream's daily
+    // rollup must land on the identical (theta, n_retained) state
+    val direct = graft.T(spark, dir, "events")
+      .select(org.apache.spark.sql.functions.col("event_type"),
+        org.apache.spark.sql.functions.col("user_id"))
+      .distinct().collect()
+      .groupBy(_.getString(0))
+      .map { case (t, rs) =>
+        val sk = rs.map(r => (2654435761L * math.abs(r.getLong(1)) + 98765L) % Sketches.KmvP)
+          .foldLeft(Array.emptyLongArray)(Sketches.kmvInsert)
+        t -> sk
+      }
+    out.foreach { r =>
+      val t = r.getString(0)
+      val sk = direct(t)
+      assert(r.getLong(2) === Sketches.kmvTheta(sk), s"$t theta")
+      assert(r.getLong(3) === sk.count(_ < Sketches.kmvTheta(sk)).toLong, s"$t n_retained")
+      // exact branch at this sf: estimate == exact distinct
+      if (r.getLong(2) === Sketches.KmvP)
+        assert(r.getLong(4) === r.getLong(5), s"$t exact-branch estimate")
+    }
+  }
 }
