@@ -238,5 +238,201 @@ object Multimodal {
       ORDER BY doc_id ASC NULLS FIRST, frame ASC NULLS FIRST"""),
     "frame-sampling slice arithmetic (floor-division bounds, mod-8 binning, empty tails) under the DuckDB hash gate in integer char space")
 
-  val all: Seq[Q] = Seq(q48, q153, q222)
+  // ---- perceptual-hash (dHash) image near-dup under the ORACLE gate ----
+
+  /** The whole corpus wrapped as real BMP containers — the "image corpus"
+    * input for perceptual dedup. [[mediaTable]]'s 1/3 img split exercises
+    * codec DISPATCH; dedup wants every row in one modality, as an image
+    * pipeline's dedup stage sees it. */
+  def imageTable(s: SparkSession, dir: String): Dataset[MediaRow] = {
+    import s.implicits._
+    T.spread(s, T(s, dir, "documents").select(col("doc_id"), col("text")))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        MediaRow(id, "img", Codecs.wrapBmp(text.getBytes("UTF-8"), 16))
+      }
+  }
+
+  /** 64-bit difference hash (dHash — Krawetz, "Kinds of Like That", 2013:
+    * downscale to a 9×8 grid, emit one bit per horizontally-adjacent cell
+    * pair) kept as FOUR 16-bit chunks instead of one packed int64: the
+    * chunks are simultaneously the LSH bands (pigeonhole: two hashes
+    * within Hamming distance 3 agree on ≥1 of 4 chunks, so the chunk
+    * bucket join is COMPLETE for ham ≤ 3 — q26/q207's SimHash argument)
+    * and sign-safe in every engine (values 0..65535, shifts ≤ 15).
+    *
+    * Grid cells are flat floor-division slices of the decoded content
+    * (q222's frame arithmetic with n=72), cell value = floor mean code
+    * point; all-integer, so DuckDB replays the exact hash. */
+  def dhashChunks(cps: Array[Int]): Array[Long] = {
+    val n = cps.length
+    val L = math.max(1, n / 72)
+    val avg = new Array[Long](72)
+    var k = 0
+    while (k < 72) {
+      val f = math.min(k * L, n); val u = math.min(f + L, n)
+      if (u > f) {
+        var s = 0L; var i = f
+        while (i < u) { s += cps(i); i += 1 }
+        avg(k) = s / (u - f)
+      }
+      k += 1
+    }
+    val ch = new Array[Long](4)
+    var b = 0
+    while (b < 64) {
+      val k1 = b + b / 8 // grid (r, c) = (b/8, b%8) flattens to r*9+c = b + b/8
+      if (avg(k1) < avg(k1 + 1)) ch(b / 16) |= (1L << (b % 16))
+      b += 1
+    }
+    ch
+  }
+
+  /** Decode each BMP for real (container parse, pixel payload extraction,
+    * encoder row-padding stripped — BMP stores a padded pixel grid, not a
+    * payload length) and hash it map-side: the binary column never
+    * shuffles, only (doc_id, 4×16-bit chunk) scalars do. Sub-grid-size
+    * images (< 72 content units) are excluded — a perceptual hash of a
+    * near-empty grid is all-degenerate bits, the classic pHash min-size
+    * guard. */
+  def dhashFrame(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        Codecs.parseBmp(r.media).flatMap { bmp =>
+          var end = r.media.length
+          while (end > bmp.dataOffset && r.media(end - 1) == 0) end -= 1
+          val text = new String(r.media, bmp.dataOffset, end - bmp.dataOffset, "UTF-8")
+          val cps = text.codePoints().toArray
+          if (cps.length >= 72) {
+            val ch = dhashChunks(cps)
+            Some((r.doc_id, ch(0), ch(1), ch(2), ch(3)))
+          } else None
+        }
+      }
+    }.toDF("doc_id", "c0", "c1", "c2", "c3")
+  }
+
+  /** q227: perceptual near-duplicate image pairs — the multimodal twin of
+    * SimHash text dedup (q26/q207). Decode → dHash → exact-hash collapse
+    * (ham-0 groups surface as LINEAR rep→member pairs, never a quadratic
+    * in-bucket explosion — q25's collapse-first shape) → 16-bit chunk
+    * bucket join over representatives only (complete for ham ≤ 3) →
+    * exact bit_count verify. Hot-bucket guard shares [[Dedup.MaxBucketSize]]'s
+    * rationale and value. Everything is integer-exact, so the WHOLE
+    * operator sits directly under the DuckDB hash gate — the oracle
+    * re-derives the grid averages, the 64 bits, the chunk packing, the
+    * collapse, the banding, and the bit_count(xor) distances from
+    * documents.text. At 100 TB: one compute-dense map pass over the
+    * media, then hash-width shuffles (4 longs/doc); candidates are
+    * bucket-bounded, never all-pairs. */
+  private val q227 = Q(
+    "q227_dhash_image_neardup",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val hashes = dhashFrame(imageTable(s, dir)).localCheckpoint(false)
+      val withRep = hashes.withColumn("rep_id",
+        min(col("doc_id")).over(
+          Window.partitionBy(col("c0"), col("c1"), col("c2"), col("c3"))))
+      val exact = withRep.filter(col("doc_id") =!= col("rep_id"))
+        .select(col("rep_id").as("doc_a"), col("doc_id").as("doc_b"),
+          lit(0L).as("hamming"))
+      val reps = withRep.filter(col("doc_id") === col("rep_id"))
+        .select(col("doc_id").as("rep"),
+          col("c0"), col("c1"), col("c2"), col("c3"))
+      val banded = reps.select(col("rep"),
+        col("c0"), col("c1"), col("c2"), col("c3"),
+        posexplode(array(col("c0"), col("c1"), col("c2"), col("c3")))
+          .as(Seq("j", "v")))
+      val okBuckets = banded.groupBy("j", "v").agg(count(lit(1)).as("bn"))
+        .filter(col("bn") > 1 && col("bn") <= Dedup.MaxBucketSize)
+        .select("j", "v")
+      val pruned = banded.join(okBuckets, Seq("j", "v"), "left_semi")
+      def side(p: String) = pruned.select(col("j"), col("v"),
+        col("rep").as(s"doc_$p"), col("c0").as(s"${p}0"),
+        col("c1").as(s"${p}1"), col("c2").as(s"${p}2"), col("c3").as(s"${p}3"))
+      val cand = side("a").join(side("b"), Seq("j", "v"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b", "a0", "a1", "a2", "a3", "b0", "b1", "b2", "b3")
+        .distinct()
+      val near = cand.withColumn("hamming",
+          (bit_count(col("a0").bitwiseXOR(col("b0"))) +
+            bit_count(col("a1").bitwiseXOR(col("b1"))) +
+            bit_count(col("a2").bitwiseXOR(col("b2"))) +
+            bit_count(col("a3").bitwiseXOR(col("b3")))).cast("long"))
+        .filter(col("hamming") <= 3)
+        .select("doc_a", "doc_b", "hamming")
+      exact.unionByName(near)
+        .orderBy(asc_nulls_first("doc_a"), asc_nulls_first("doc_b"))
+    },
+    Some("""WITH d AS (
+        SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n
+        FROM documents WHERE length(text) >= 72),
+      cells AS (
+        SELECT doc_id, kk.k AS k,
+               least(kk.k * greatest(1, n // 72), n) AS f,
+               least(kk.k * greatest(1, n // 72) + greatest(1, n // 72), n) AS u,
+               text
+        FROM d, (SELECT unnest(range(0, 72)) AS k) kk),
+      pos AS (
+        SELECT doc_id, k, unnest(range(f + 1, u + 1)) AS i, text FROM cells),
+      sums AS (
+        SELECT doc_id, k,
+               SUM(CAST(ord(substr(text, CAST(i AS INTEGER), 1)) AS BIGINT)) AS s,
+               count(*) AS c
+        FROM pos GROUP BY 1, 2),
+      avgs AS (
+        SELECT cells.doc_id, cells.k,
+               CAST(coalesce(s // c, 0) AS BIGINT) AS a
+        FROM cells LEFT JOIN sums USING (doc_id, k)),
+      bits AS (
+        SELECT a1.doc_id, bb.b AS b,
+               CASE WHEN a1.a < a2.a THEN 1 ELSE 0 END AS bit
+        FROM (SELECT unnest(range(0, 64)) AS b) bb
+        JOIN avgs a1 ON a1.k = bb.b + bb.b // 8
+        JOIN avgs a2 ON a2.doc_id = a1.doc_id AND a2.k = bb.b + bb.b // 8 + 1),
+      chunks AS (
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN b // 16 = 0 THEN bit << CAST(b % 16 AS INTEGER) ELSE 0 END) AS BIGINT) AS c0,
+               CAST(SUM(CASE WHEN b // 16 = 1 THEN bit << CAST(b % 16 AS INTEGER) ELSE 0 END) AS BIGINT) AS c1,
+               CAST(SUM(CASE WHEN b // 16 = 2 THEN bit << CAST(b % 16 AS INTEGER) ELSE 0 END) AS BIGINT) AS c2,
+               CAST(SUM(CASE WHEN b // 16 = 3 THEN bit << CAST(b % 16 AS INTEGER) ELSE 0 END) AS BIGINT) AS c3
+        FROM bits GROUP BY 1),
+      grp AS (
+        SELECT doc_id, c0, c1, c2, c3,
+               MIN(doc_id) OVER (PARTITION BY c0, c1, c2, c3) AS rep
+        FROM chunks),
+      exact AS (
+        SELECT rep AS doc_a, doc_id AS doc_b, CAST(0 AS BIGINT) AS hamming
+        FROM grp WHERE doc_id <> rep),
+      reps AS (
+        SELECT doc_id AS rep, c0, c1, c2, c3 FROM grp WHERE doc_id = rep),
+      banded AS (
+        SELECT rep, c0, c1, c2, c3, jj.j AS j,
+               CASE jj.j WHEN 0 THEN c0 WHEN 1 THEN c1
+                         WHEN 2 THEN c2 ELSE c3 END AS v
+        FROM reps, (SELECT unnest(range(0, 4)) AS j) jj),
+      ok_buckets AS (
+        SELECT j, v FROM banded GROUP BY 1, 2
+        HAVING count(*) > 1 AND count(*) <= 10000),
+      pruned AS (SELECT banded.* FROM banded JOIN ok_buckets USING (j, v)),
+      cand AS (
+        SELECT DISTINCT a.rep AS doc_a, b.rep AS doc_b,
+               a.c0 AS a0, a.c1 AS a1, a.c2 AS a2, a.c3 AS a3,
+               b.c0 AS b0, b.c1 AS b1, b.c2 AS b2, b.c3 AS b3
+        FROM pruned a JOIN pruned b
+          ON a.j = b.j AND a.v = b.v AND a.rep < b.rep),
+      near AS (
+        SELECT doc_a, doc_b,
+               CAST(bit_count(xor(a0, b0)) + bit_count(xor(a1, b1)) +
+                    bit_count(xor(a2, b2)) + bit_count(xor(a3, b3)) AS BIGINT) AS hamming
+        FROM cand)
+      SELECT doc_a, doc_b, hamming FROM (
+        SELECT * FROM exact
+        UNION ALL
+        SELECT * FROM near WHERE hamming <= 3) u
+      ORDER BY doc_a ASC NULLS FIRST, doc_b ASC NULLS FIRST"""),
+    "perceptual-hash (dHash) image near-dup: real BMP decode, 9x8 grid difference hash as 4 LSH chunks, exact-collapse + chunk-bucket join + bit_count verify, fully under the DuckDB hash gate")
+
+  val all: Seq[Q] = Seq(q48, q153, q222, q227)
 }
