@@ -932,5 +932,99 @@ object Ivf {
     ()
   }
 
-  val all: Seq[Q] = Seq(q31, q105, q107, q113, q120, q192, q193, q218, q221)
+  // ---- Johnson-Lindenstrauss sparse random projection (q230) ----------
+
+  private val JlK = 16 // projected dims
+  private val JlDim = 64 // input dims (fixed-slot layout, q205's rule)
+  private val JlP = 2147483647L // 2^31 − 1
+  private val JlOff = 7000000L // index offset decorrelating from q205's planes
+
+  /** Sparse JL weight ∈ {−1, 0, +1} at flat index j·Dim + d (Achlioptas
+    * 2003 density-1/3 scheme via a uniform mod 3): the same squared-LCG
+    * mix q205's hyperplanes use (every intermediate < 2⁶³, replayable in
+    * DuckDB BIGINT arithmetic), reduced mod 3 instead of recentred. */
+  private def jlWeight(idx: Long): Long = {
+    val i = JlOff + idx + 1L
+    val h0 = (i * 2654435761L) % JlP
+    val h1 = (h0 * h0) % JlP
+    val h2 = (h1 * 1103515245L + 12345L) % JlP
+    (h2 % 3L) - 1L
+  }
+
+  private lazy val jlPlanes: Array[Array[Long]] =
+    Array.tabulate(JlK)(j => Array.tabulate(JlDim)(d => jlWeight(j.toLong * JlDim + d)))
+
+  private val jlProjectUdf = udf((v: Seq[Long]) => {
+    val arr = v.toArray
+    Array.tabulate(JlK) { j =>
+      val pl = jlPlanes(j)
+      var acc = 0L
+      var d = 0
+      val n = math.min(arr.length, JlDim)
+      while (d < n) { acc += arr(d) * pl(d); d += 1 }
+      acc
+    }.toSeq
+  })
+
+  /** q230: JL random-projection distance-preservation audit — the sketch a
+    * pipeline uses to compress embeddings 4× before a coarse similarity
+    * pass (blocking, canopy clustering) when even int8 codes (q107) are
+    * too wide. Projects the fixed 64-slot quantized vectors (q205's
+    * layout) to 16 dims with ±1/0 weights, then measures, for each
+    * consecutive (vec_id, vec_id+1) pair, projected vs original squared
+    * L2 in exact int64 — ratio_ppm ≈ 10⁶ is the JL promise (E‖Py‖² =
+    * (2/3)·K·‖y‖² under the mod-3 weight law; the 3/(2K) rescale makes
+    * the expectation 1). Wholly map-side but the pair self-join (narrow,
+    * key+1 equi-join) and the presentation sort; vectors never shuffle
+    * with payloads at 100 TB — the sketch rides in their place. */
+  private val q230 = Q(
+    "q230_jl_projection",
+    (s, dir) => {
+      val iv = T(s, dir, "embeddings")
+        .select(col("vec_id"),
+          expr(s"transform(sequence(1, $JlDim), i -> cast(floor(coalesce(try_element_at(CAST(embedding AS ARRAY<DOUBLE>), i), 0d) * 1000d) AS bigint))")
+            .as("q"))
+        .select(col("vec_id"), col("q"), jlProjectUdf(col("q")).as("y"))
+      val d2 = "aggregate(zip_with(%s, %s, (x, z) -> (x - z) * (x - z)), 0L, (acc, w) -> acc + w)"
+      iv.alias("a").join(iv.alias("b"), col("a.vec_id") + 1 === col("b.vec_id"))
+        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+          expr(d2.format("a.q", "b.q")).as("dorig2"),
+          expr(d2.format("a.y", "b.y")).as("dproj2"))
+        .filter(col("dorig2") > 0)
+        .select(col("vec_a"), col("vec_b"), col("dorig2"), col("dproj2"),
+          expr(s"(3000000 * dproj2) div (2 * $JlK * dorig2)").as("ratio_ppm"))
+        .orderBy(asc_nulls_first("vec_a"))
+    },
+    Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      iv AS MATERIALIZED (
+        SELECT vec_id,
+               list_transform(range(1, ${JlDim + 1}),
+                 i -> CAST(floor(coalesce(v[CAST(i AS INTEGER)], 0) * 1000) AS BIGINT)) AS q
+        FROM e),
+      pl AS (
+        SELECT js.j, ds.d,
+          ((((($JlOff + js.j * $JlDim + ds.d + 1) * 2654435761) % $JlP)
+              * ((($JlOff + js.j * $JlDim + ds.d + 1) * 2654435761) % $JlP) % $JlP)
+            * 1103515245 + 12345) % $JlP % 3 - 1 AS w
+        FROM (SELECT unnest(range(0, $JlK)) AS j) js,
+             (SELECT unnest(range(0, $JlDim)) AS d) ds),
+      pls AS (SELECT j, list(CAST(w AS DOUBLE) ORDER BY d) AS pw FROM pl GROUP BY j),
+      yj AS (
+        SELECT iv.vec_id, pls.j,
+               CAST(list_dot_product(list_transform(iv.q, x -> CAST(x AS DOUBLE)), pls.pw) AS BIGINT) AS yv
+        FROM iv CROSS JOIN pls),
+      y AS MATERIALIZED (SELECT vec_id, list(yv ORDER BY j) AS y FROM yj GROUP BY vec_id),
+      pr AS (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               CAST(list_sum([ (x[1] - x[2]) * (x[1] - x[2]) FOR x IN list_zip(a.q, b.q) ]) AS BIGINT) AS dorig2,
+               CAST(list_sum([ (x[1] - x[2]) * (x[1] - x[2]) FOR x IN list_zip(ya.y, yb.y) ]) AS BIGINT) AS dproj2
+        FROM iv a JOIN iv b ON a.vec_id + 1 = b.vec_id
+        JOIN y ya ON ya.vec_id = a.vec_id JOIN y yb ON yb.vec_id = b.vec_id)
+      SELECT vec_a, vec_b, dorig2, dproj2,
+             CAST((3000000 * dproj2) // (2 * $JlK * dorig2) AS BIGINT) AS ratio_ppm
+      FROM pr WHERE dorig2 > 0
+      ORDER BY vec_a ASC NULLS FIRST"""),
+    "sparse Johnson-Lindenstrauss projection (64 -> 16 dims, mod-3 +-1 weights) with an integer-exact distance-preservation audit")
+
+  val all: Seq[Q] = Seq(q31, q105, q107, q113, q120, q192, q193, q218, q221, q230)
 }

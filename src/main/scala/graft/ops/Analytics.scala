@@ -1717,7 +1717,75 @@ object Analytics {
       ORDER BY b8 ASC NULLS FIRST"""),
     "equi-depth histogram via exact distributed rank bucketing (q112's two-level pattern — no global sort); oracle replays the straight global row_number")
 
+  /** q231: probabilistic record linkage — the blocked match-and-decide
+    * pass an ingest pipeline runs to reconcile dirty records against a
+    * master table (Fellegi & Sunter 1969 shape: blocking key → per-pair
+    * agreement scores → best-match decision with a threshold). Probe
+    * records are customers (c_custkey % 10 = 7) with one character
+    * deleted from the name at a key-determined position (the classic
+    * typo model); candidates join on the UNDAMAGED blocking fields
+    * (nation, segment); the name agreement is the native Jaro-Winkler
+    * codegen expression (q125's scorer, byte-identical to DuckDB's),
+    * the secondary agreement is exact acctbal equality, and the
+    * decision is the (jw desc, bal_match desc, key asc) argmax per
+    * probe above jw ≥ 0.9 — one row_number window over the block join.
+    *
+    * Scale shape: the block join shuffles on the blocking key (never
+    * all-pairs; production raises key cardinality — the complementary
+    * sorted-neighborhood pass is q163), scoring is map-side codegen,
+    * and the argmax is one window over the probe-keyed exchange. AQE
+    * splits a hot block the same way it splits q179's. */
+  private val q231 = Q(
+    "q231_record_linkage",
+    (s, dir) => {
+      val c = T(s, dir, "customer")
+      val probes = c.filter(col("c_custkey") % 10 === 7)
+        .select(col("c_custkey").as("probe_key"),
+          expr("concat(substring(c_name, 1, 10 + pmod(c_custkey, 7)), substring(c_name, 12 + pmod(c_custkey, 7)))")
+            .as("probe_name"),
+          col("c_nationkey").as("nk"), col("c_mktsegment").as("seg"),
+          col("c_acctbal").as("bal"))
+      val cands = c.select(col("c_custkey").as("cand_key"),
+        col("c_name").as("cand_name"), col("c_nationkey").as("nk"),
+        col("c_mktsegment").as("seg"), col("c_acctbal").as("cbal"))
+      val scored = probes.join(cands, Seq("nk", "seg"))
+        .select(col("probe_key"), col("cand_key"),
+          round(StringSim.jaroWinkler(col("probe_name"), col("cand_name")), 4).as("jw"),
+          (col("bal") === col("cbal")).cast(LongType).as("bal_match"))
+        .filter(col("jw") >= 0.9)
+      val w = Window.partitionBy(col("probe_key"))
+        .orderBy(desc("jw"), desc("bal_match"), asc_nulls_first("cand_key"))
+      scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("probe_key"), col("cand_key").as("matched_key"),
+          col("jw"), col("bal_match"),
+          (col("cand_key") === col("probe_key")).cast(LongType).as("correct"))
+        .orderBy(asc_nulls_first("probe_key"))
+    },
+    Some("""WITH probes AS (
+        SELECT c_custkey AS probe_key,
+               concat(substring(c_name, 1, CAST(10 + c_custkey % 7 AS INTEGER)),
+                      substring(c_name, CAST(12 + c_custkey % 7 AS INTEGER))) AS probe_name,
+               c_nationkey AS nk, c_mktsegment AS seg, c_acctbal AS bal
+        FROM customer WHERE c_custkey % 10 = 7),
+      scored AS (
+        SELECT p.probe_key, c.c_custkey AS cand_key,
+               round(jaro_winkler_similarity(p.probe_name, c.c_name), 4) AS jw,
+               CAST(p.bal = c.c_acctbal AS BIGINT) AS bal_match
+        FROM probes p JOIN customer c
+          ON c.c_nationkey = p.nk AND c.c_mktsegment = p.seg
+        WHERE round(jaro_winkler_similarity(p.probe_name, c.c_name), 4) >= 0.9),
+      ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY probe_key
+                 ORDER BY jw DESC, bal_match DESC, cand_key ASC NULLS FIRST) AS rn
+        FROM scored)
+      SELECT probe_key, cand_key AS matched_key, jw, bal_match,
+             CAST(cand_key = probe_key AS BIGINT) AS correct
+      FROM ranked WHERE rn = 1
+      ORDER BY probe_key ASC NULLS FIRST"""),
+    "blocked record linkage: typo-damaged probes vs master, native Jaro-Winkler agreement + exact-field tie-break, windowed best-match decision")
+
   val all: Seq[Q] = Seq(q83, q84, q85, q86, q87, q89, q90, q91, q112, q123, q124,
     q125, q128, q138, q139, q140, q141, q152, q157, q158, q159, q166, q167, q169,
-    q171, q172, q175, q176, q177, q178, q180, q181, q182, q183, q184, q185, q189)
+    q171, q172, q175, q176, q177, q178, q180, q181, q182, q183, q184, q185, q189,
+    q231)
 }

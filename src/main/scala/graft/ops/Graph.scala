@@ -326,5 +326,188 @@ object Graph {
       LIMIT 100"""),
     "integer-exact PageRank (3 damped iterations) on the purchase graph; per-round two narrow long-pair shuffles, oracle replays via chained CTEs")
 
-  val all: Seq[Q] = Seq(q82, q119, q130, q156)
+  // ---- triangle counting / k-core over the co-purchase graph ----
+
+  /** Undirected co-purchase edges: parts that appear in the SAME order
+    * (canonical a < b, distinct), over a deterministic 10% order sample
+    * (o_orderkey % 10 = 0 — keeps the sf1 oracle replay affordable; the
+    * operator shape is sample-free). The per-order self-join is safe at
+    * any scale because basket size is bounded (TPC-H ≤ 7 items), so the
+    * fan-out per key is O(basket²), never O(n²). */
+  private def coPurchaseEdges(s: SparkSession, dir: String): DataFrame = {
+    val li = T(s, dir, "lineitem").select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+      .join(T(s, dir, "orders").select(col("o_orderkey"))
+        .filter(col("o_orderkey") % 10 === 0),
+        col("ok") === col("o_orderkey"))
+      .select(col("ok"), col("p")).distinct()
+    li.alias("x").join(li.alias("y"),
+        col("x.ok") === col("y.ok") && col("x.p") < col("y.p"))
+      .select(col("x.p").as("a"), col("y.p").as("b"))
+      .distinct()
+  }
+
+  private val coPurchaseSql =
+    """li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             WHERE o_orderkey % 10 = 0),
+      e AS MATERIALIZED (SELECT DISTINCT x.p AS a, y.p AS b
+             FROM li x JOIN li y ON x.ok = y.ok AND x.p < y.p)"""
+
+  /** q228: triangle counting + local clustering coefficient with the
+    * degree-ordered orientation (Suri & Vassilvitskii, "Counting Triangles
+    * and the Curse of the Last Reducer", WWW 2011): orient every edge from
+    * its (degree, id)-smaller endpoint, enumerate wedges only at oriented
+    * sources — outdegree under this orientation is O(√m) even at hub
+    * nodes, so no reducer ever sees a hub's full neighborhood squared —
+    * then close each wedge against the canonical undirected edge set.
+    * Every triangle is found exactly once (at its (deg,id)-min vertex).
+    *
+    * Scale shape: three equi-joins shuffling only (long, long) pairs; the
+    * wedge fan-out is the orientation-capped Σ outdeg², the algorithm's
+    * provable bound. Per-node attribution explodes 3 rows per triangle.
+    * Clustering coefficient is kept integer (ppm, floor), so the oracle
+    * compares exact BIGINTs end to end. */
+  /** Per-node triangle counts over a canonical (a < b, distinct) edge
+    * list: returns (n, triangles, d) for every node with degree ≥ 1.
+    * Degree-ordered orientation throughout (see q228). */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("a"), col("b")).localCheckpoint(false)
+    val deg = e.select(col("a").as("n")).unionAll(e.select(col("b").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    val o = e
+      .join(deg.select(col("n").as("a"), col("d").as("da")), Seq("a"))
+      .join(deg.select(col("n").as("b"), col("d").as("db")), Seq("b"))
+      .select(
+        when(col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")),
+          col("a")).otherwise(col("b")).as("src"),
+        when(col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")),
+          col("b")).otherwise(col("a")).as("dst"))
+    val wedges = o.alias("e1").join(o.alias("e2"),
+        col("e1.src") === col("e2.src") && col("e1.dst") < col("e2.dst"))
+      .select(col("e1.src").as("x"),
+        col("e1.dst").as("y"), col("e2.dst").as("z"))
+    val tri = wedges.join(e,
+      col("a") === least(col("y"), col("z")) &&
+        col("b") === greatest(col("y"), col("z")))
+    val perNode = tri
+      .select(explode(array(col("x"), col("y"), col("z"))).as("n"))
+      .groupBy(col("n")).agg(count(lit(1)).as("triangles"))
+    deg.join(perNode, Seq("n"), "left")
+      .select(col("n"), coalesce(col("triangles"), lit(0L)).as("triangles"), col("d"))
+  }
+
+  private val q228 = Q(
+    "q228_triangle_count",
+    (s, dir) =>
+      triangleCounts(coPurchaseEdges(s, dir))
+        .filter(col("d") >= 2 && col("triangles") > 0)
+        .select(col("n").as("part"), col("triangles"),
+          expr("(d * (d - 1)) div 2").as("wedges"),
+          expr("(2000000 * triangles) div (d * (d - 1))").as("clust_ppm"))
+        .orderBy(desc("triangles"), asc_nulls_first("part"))
+        .limit(100),
+    Some(s"""WITH $coPurchaseSql,
+      deg AS MATERIALIZED (
+        SELECT n, CAST(COUNT(*) AS BIGINT) AS d
+        FROM (SELECT a AS n FROM e UNION ALL SELECT b FROM e) GROUP BY n),
+      o AS MATERIALIZED (
+        SELECT CASE WHEN (da.d, e.a) < (db.d, e.b) THEN e.a ELSE e.b END AS src,
+               CASE WHEN (da.d, e.a) < (db.d, e.b) THEN e.b ELSE e.a END AS dst
+        FROM e JOIN deg da ON da.n = e.a JOIN deg db ON db.n = e.b),
+      tri AS (
+        SELECT e1.src AS x, e1.dst AS y, e2.dst AS z
+        FROM o e1 JOIN o e2 ON e1.src = e2.src AND e1.dst < e2.dst
+        JOIN e ON e.a = LEAST(e1.dst, e2.dst) AND e.b = GREATEST(e1.dst, e2.dst)),
+      pn AS (
+        SELECT n, CAST(COUNT(*) AS BIGINT) AS triangles
+        FROM (SELECT x AS n FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri)
+        GROUP BY n)
+      SELECT pn.n AS part, pn.triangles,
+             CAST(deg.d * (deg.d - 1) // 2 AS BIGINT) AS wedges,
+             CAST((2000000 * pn.triangles) // (deg.d * (deg.d - 1)) AS BIGINT) AS clust_ppm
+      FROM pn JOIN deg ON deg.n = pn.n
+      WHERE deg.d >= 2
+      ORDER BY triangles DESC, part ASC NULLS FIRST
+      LIMIT 100"""),
+    "degree-oriented triangle count + clustering coefficient (Suri-Vassilvitskii orientation; integer-exact ppm)")
+
+  /** k-core peel: repeatedly drop nodes with degree < k until fixpoint.
+    * Each round is one degree aggregation + two left-semi joins, shuffling
+    * (long, long) pairs; lineage truncates per round (localCheckpoint —
+    * durable checkpoint on a real cluster) and convergence is the same
+    * O(1) signature as [[connectedComponents]], never a driver collect.
+    * Throws past `maxRounds` because a truncated peel is NOT the k-core —
+    * and the q229 oracle replays exactly `maxRounds` unrolled rounds, so
+    * a green row certifies both engines reached the same fixpoint. */
+  def kCore(edges: DataFrame, k: Int, maxRounds: Int): DataFrame = {
+    var cur = edges.select(col("a"), col("b")).localCheckpoint(true)
+    var sig = kcSignature(cur)
+    var converged = false
+    var round = 0
+    while (!converged && round < maxRounds) {
+      val keep = cur.select(col("a").as("n")).unionAll(cur.select(col("b").as("n")))
+        .groupBy(col("n")).agg(count(lit(1)).as("d"))
+        .filter(col("d") >= k).select(col("n"))
+      val nxt = cur
+        .join(keep.select(col("n").as("a")), Seq("a"), "left_semi")
+        .join(keep.select(col("n").as("b")), Seq("b"), "left_semi")
+        .select(col("a"), col("b"))
+        .localCheckpoint(true)
+      val nsig = kcSignature(nxt)
+      converged = nsig == sig
+      sig = nsig
+      cur = nxt
+      round += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"kCore did not reach fixpoint within $maxRounds rounds")
+    cur
+  }
+
+  private def kcSignature(e: DataFrame): (Long, Long) = {
+    val r = e.agg(count(lit(1)), bit_xor(xxhash64(col("a"), col("b")))).head()
+    (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+  }
+
+  private val KcK = 3
+  private val KcRounds = 12
+
+  /** q229: 3-core of the co-purchase graph — the "dense-neighborhood"
+    * subgraph a curation pipeline keeps when it wants sources that are
+    * corroborated by several peers (spam/singleton pruning on a link or
+    * citation graph). Emits each surviving node with its degree INSIDE the
+    * core. The oracle unrolls [[KcRounds]] peel rounds as chained CTEs;
+    * the Spark side iterates to fixpoint and throws if that takes more
+    * than [[KcRounds]] rounds, so green ⇔ both engines hold the true
+    * fixpoint (extra oracle rounds past fixpoint are no-ops). */
+  private val q229 = Q(
+    "q229_kcore",
+    (s, dir) => {
+      val core = kCore(coPurchaseEdges(s, dir), KcK, KcRounds)
+      core.select(col("a").as("n")).unionAll(core.select(col("b").as("n")))
+        .groupBy(col("n")).agg(count(lit(1)).as("core_degree"))
+        .select(col("n").as("part"), col("core_degree"))
+        .orderBy(desc("core_degree"), asc_nulls_first("part"))
+    },
+    Some {
+      val rounds = (1 to KcRounds).map { i =>
+        s"""n$i AS MATERIALIZED (
+             SELECT n FROM (SELECT a AS n FROM s${i - 1} UNION ALL SELECT b FROM s${i - 1})
+             GROUP BY n HAVING COUNT(*) >= $KcK),
+           s$i AS MATERIALIZED (
+             SELECT a, b FROM s${i - 1}
+             WHERE a IN (SELECT n FROM n$i) AND b IN (SELECT n FROM n$i))"""
+      }.mkString(",\n      ")
+      s"""WITH $coPurchaseSql,
+      s0 AS MATERIALIZED (SELECT a, b FROM e),
+      $rounds
+      SELECT n AS part, CAST(COUNT(*) AS BIGINT) AS core_degree
+      FROM (SELECT a AS n FROM s$KcRounds UNION ALL SELECT b FROM s$KcRounds)
+      GROUP BY n
+      ORDER BY core_degree DESC, part ASC NULLS FIRST"""
+    },
+    s"$KcK-core via iterative peeling (signature-converged, per-round long-pair shuffles; oracle unrolls $KcRounds rounds)")
+
+  val all: Seq[Q] = Seq(q82, q119, q130, q156, q228, q229)
 }

@@ -68,7 +68,13 @@ object StringSimCodegen {
       i += 1
     }
     val md = m.toDouble
-    val t = mismatched / 2.0
+    // DuckDB floors the transposition count (t = mismatched div 2, an
+    // integer): with unequal lengths the greedy matching can leave an ODD
+    // number of mismatched aligned positions, and keeping the half (1.5)
+    // diverges from the oracle scorer — verified against
+    // jaro_winkler_similarity('Customer#00001207', 'Customer#000001207')
+    // = 0.9771242 (t=1), not 0.9712 (t=1.5).
+    val t = (mismatched / 2).toDouble
     val jaro = (md / la + md / lb + (md - t) / md) / 3.0
     if (jaro <= 0.7) return jaro
     var prefix = 0

@@ -23,7 +23,12 @@ class JaroWinklerSpec extends AnyFunSuite {
       ("ABCDEFGH", "ABCDEXGH", 0.950000), // prefix capped at 4
       ("same", "same", 1.0),
       ("ab", "ba", 0.0), // window 0: no matches
-      ("ABC", "XYZ", 0.0))
+      ("ABC", "XYZ", 0.0),
+      // odd mismatched-alignment counts (unequal lengths): DuckDB floors
+      // the transposition count (t = mismatched div 2) — these pin that
+      ("Customer#00001207", "Customer#000001207", 0.977124183),
+      ("abcdxyz", "abdcxy", 0.917460317),
+      ("aXbYc", "abc", 0.688888889))
     for ((a, b, want) <- cases)
       assert(math.abs(jw(a, b) - want) < 1e-6, s"jw($a, $b) = ${jw(a, b)}")
   }
