@@ -246,5 +246,98 @@ object Mmr {
     Some(mmrOracleSql(8, 20)),
     "integer-exact MMR twin: q160's broadcast-retrieval + per-anchor greedy with floor-quantized vectors and (7,3) weights, greedy replayed by the oracle as unrolled argmax CTEs")
 
-  val all: Seq[Q] = Seq(q160, q204)
+  // ---- k-center coreset selection (Gonzalez greedy) --------------------
+
+  private val KcK = 8 // coreset size
+  private val KcDim = 64 // fixed-slot quantized layout (q205's rule)
+
+  /** q233: k-center coreset selection — the diverse-subset pass a
+    * training pipeline runs to pick k maximally-spread exemplars (data
+    * selection, active-learning seeding, cluster initialization) —
+    * Gonzalez's 2-approximation greedy (TCS 1985): start from the
+    * smallest vec_id, then k−1 times add the point FARTHEST from the
+    * chosen set (maximin squared L2, smallest-id tie-break). Vectors are
+    * floor-quantized so every distance, comparison, and tie-break is
+    * exact int64; the oracle unrolls the k−1 argmax steps as chained
+    * CTEs (q204's technique).
+    *
+    * Scale shape: the honest Gonzalez loop is k linear passes — per
+    * round ONE broadcast center (64 longs collected driver-side, the
+    * codebook precedent), a map-side `least(md, d²)` update, and one
+    * max(struct) argmax aggregation; the point set never shuffles, and
+    * the running min-distance column replaces any k×n distance
+    * materialization. */
+  private val q233 = Q(
+    "q233_kcenter_coreset",
+    (s, dir) => {
+      import s.implicits._
+      val iv = T(s, dir, "embeddings")
+        .select(col("vec_id"),
+          expr(s"transform(sequence(1, $KcDim), i -> cast(floor(coalesce(try_element_at(CAST(embedding AS ARRAY<DOUBLE>), i), 0d) * 1000d) AS bigint))")
+            .as("q"))
+        .localCheckpoint(false)
+      def centerVec(id: Long): Seq[Long] =
+        iv.filter(col("vec_id") === id).head().getSeq[Long](1)
+      def d2To(c: Seq[Long]): org.apache.spark.sql.Column = {
+        val lits = c.mkString("array(", "L,", "L)")
+        expr(s"aggregate(zip_with(q, $lits, (x, y) -> (x - y) * (x - y)), 0L, (a, w) -> a + w)")
+      }
+      val c1 = iv.agg(min(col("vec_id"))).head().getLong(0)
+      var chosen = Vector((1, c1, 0L))
+      var cur = iv.select(col("vec_id"), col("q"), d2To(centerVec(c1)).as("md"))
+        .localCheckpoint(true)
+      for (step <- 2 to KcK) {
+        val ex = chosen.map(_._2)
+        val top = cur.filter(!col("vec_id").isInCollection(ex))
+          .agg(max(struct(col("md"), (-col("vec_id")).as("nid")))).head().getStruct(0)
+        val (md, cid) = (top.getLong(0), -top.getLong(1))
+        chosen :+= ((step, cid, md))
+        if (step < KcK)
+          cur = cur.select(col("vec_id"), col("q"),
+              least(col("md"), d2To(centerVec(cid))).as("md"))
+            .localCheckpoint(true)
+      }
+      chosen.toDF("step", "center_id", "maximin_d2")
+        .select(col("step").cast("long"), col("center_id"), col("maximin_d2"))
+        .orderBy(asc_nulls_first("step"))
+    },
+    Some {
+      val dist = (p: String, c: String) =>
+        s"CAST(list_sum([ (x[1] - x[2]) * (x[1] - x[2]) FOR x IN list_zip($p, $c) ]) AS BIGINT)"
+      val steps = (2 to KcK).map { i =>
+        val mPrev = s"m${i - 1}"
+        val upd =
+          if (i < KcK)
+            s""",
+           m$i AS MATERIALIZED (
+             SELECT p.vec_id, p.q, LEAST(p.md, ${dist("p.q", "c.q")}) AS md
+             FROM $mPrev p, iv c, c$i WHERE c.vec_id = c$i.cid)"""
+          else ""
+        s"""c$i AS (SELECT vec_id AS cid, md FROM $mPrev
+             WHERE vec_id NOT IN (SELECT cid FROM chosen${i - 1})
+             ORDER BY md DESC, vec_id ASC LIMIT 1),
+           chosen$i AS (SELECT cid FROM chosen${i - 1} UNION ALL SELECT cid FROM c$i)$upd"""
+      }.mkString(",\n      ")
+      val sel = (2 to KcK).map(i =>
+        s"SELECT $i AS step, cid AS center_id, md AS maximin_d2 FROM c$i").mkString("\n        UNION ALL ")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      iv AS MATERIALIZED (
+        SELECT vec_id,
+               list_transform(range(1, ${KcDim + 1}),
+                 i -> CAST(floor(coalesce(v[CAST(i AS INTEGER)], 0) * 1000) AS BIGINT)) AS q
+        FROM e),
+      c1 AS (SELECT MIN(vec_id) AS cid FROM iv),
+      chosen1 AS (SELECT cid FROM c1),
+      m1 AS MATERIALIZED (
+        SELECT p.vec_id, p.q, ${dist("p.q", "c.q")} AS md
+        FROM iv p, iv c, c1 WHERE c.vec_id = c1.cid),
+      $steps
+      SELECT CAST(step AS BIGINT) AS step, center_id, maximin_d2 FROM (
+        SELECT 1 AS step, cid AS center_id, CAST(0 AS BIGINT) AS maximin_d2 FROM c1
+        UNION ALL $sel)
+      ORDER BY step ASC NULLS FIRST"""
+    },
+    s"Gonzalez k-center coreset (k=$KcK): greedy maximin exemplar selection in exact int64; k linear passes, oracle unrolls the argmax chain")
+
+  val all: Seq[Q] = Seq(q160, q204, q233)
 }

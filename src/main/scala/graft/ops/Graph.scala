@@ -509,5 +509,75 @@ object Graph {
     },
     s"$KcK-core via iterative peeling (signature-converged, per-round long-pair shuffles; oracle unrolls $KcRounds rounds)")
 
-  val all: Seq[Q] = Seq(q82, q119, q130, q156, q228, q229)
+  /** Bounded multi-source BFS: minimum hop distance from a seed set,
+    * capped at `hops` rounds. Each round is one adjacency join + one
+    * min-aggregation over (node, dist) long pairs — the Pregel frontier
+    * pattern declaratively; the frontier never materializes adjacency
+    * lists, so hub skew stays a SUM-shaped aggregation. The hop cap makes
+    * the operator's cost deterministic at 100 TB (rounds × two narrow
+    * shuffles) — the semantics a trust-propagation pass wants anyway:
+    * beyond a few hops, attenuated trust is noise. */
+  def seedDistance(edges: DataFrame, seeds: DataFrame, hops: Int): DataFrame = {
+    val adj = edges.select(col("a").as("u"), col("b").as("v"))
+      .unionAll(edges.select(col("b").as("u"), col("a").as("v")))
+      .localCheckpoint(false)
+    var dist = seeds.select(col("n"), lit(0L).as("dist")).localCheckpoint(true)
+    for (_ <- 1 to hops) {
+      val nxt = adj.join(dist.withColumnRenamed("n", "u"), Seq("u"))
+        .select(col("v").as("n"), (col("dist") + 1).as("dist"))
+      dist = dist.unionByName(nxt)
+        .groupBy(col("n")).agg(min(col("dist")).as("dist"))
+        .localCheckpoint(true)
+    }
+    dist
+  }
+
+  private val SeedHops = 4
+
+  /** q232: seed-distance trust propagation — the TrustRank-style pass a
+    * curation pipeline runs to score sources by proximity to a vetted
+    * seed set (Gyöngyi et al., VLDB 2004, propagation skeleton): hop
+    * distance from seed parts (p % 100 = 0) through the co-purchase
+    * graph, capped at 4 hops; unreached nodes are reported with distance
+    * −1 (explicitly, not dropped — the untrusted tail IS the answer).
+    * The oracle replays the 4 frontier expansions as chained CTEs. */
+  private val q232 = Q(
+    "q232_seed_distance",
+    (s, dir) => {
+      val e = coPurchaseEdges(s, dir).localCheckpoint(false)
+      val nodes = e.select(col("a").as("n")).unionAll(e.select(col("b").as("n"))).distinct()
+      val seeds = nodes.filter(col("n") % 100 === 0)
+      val d = seedDistance(e, seeds, SeedHops)
+      nodes.join(d, Seq("n"), "left")
+        .select(col("n").as("part"), coalesce(col("dist"), lit(-1L)).as("dist"))
+        .groupBy(col("dist")).agg(count(lit(1)).as("n_parts"),
+          min(col("part")).as("min_part"), max(col("part")).as("max_part"),
+          sum(col("part")).as("sum_part"))
+        .orderBy(asc_nulls_first("dist"))
+    },
+    Some {
+      val rounds = (1 to SeedHops).map { i =>
+        s"""d$i AS MATERIALIZED (
+             SELECT n, MIN(dist) AS dist FROM (
+               SELECT n, dist FROM d${i - 1}
+               UNION ALL
+               SELECT adj.v AS n, d${i - 1}.dist + 1 AS dist
+               FROM adj JOIN d${i - 1} ON adj.u = d${i - 1}.n)
+             GROUP BY n)"""
+      }.mkString(",\n      ")
+      s"""WITH $coPurchaseSql,
+      nodes AS MATERIALIZED (SELECT DISTINCT n FROM (SELECT a AS n FROM e UNION ALL SELECT b FROM e)),
+      adj AS MATERIALIZED (SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e),
+      d0 AS (SELECT n, CAST(0 AS BIGINT) AS dist FROM nodes WHERE n % 100 = 0),
+      $rounds
+      SELECT coalesce(d.dist, -1) AS dist, CAST(COUNT(*) AS BIGINT) AS n_parts,
+             MIN(nodes.n) AS min_part, MAX(nodes.n) AS max_part,
+             CAST(SUM(nodes.n) AS BIGINT) AS sum_part
+      FROM nodes LEFT JOIN d$SeedHops d ON d.n = nodes.n
+      GROUP BY 1
+      ORDER BY dist ASC NULLS FIRST"""
+    },
+    s"bounded multi-source BFS ($SeedHops hops) from a vetted seed set over the co-purchase graph; per-distance cohort fingerprint, oracle replays the frontier rounds")
+
+  val all: Seq[Q] = Seq(q82, q119, q130, q156, q228, q229, q232)
 }
