@@ -251,81 +251,65 @@ object Streams {
     * Timestamps are second-truncated — events.ts carries sub-µs precision
     * Spark floors on read, so the join bound must sit at a granularity the
     * DuckDB oracle agrees on. */
-  def streamIntervalJoin(s: SparkSession, dir: String): DataFrame = withStatePartitions(s, 8) {
-    val schema = s.read.parquet(s"$dir/events.parquet").schema
-    def src = s.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
-      .transform(graft.Ts.norm).withColumn("tss", date_trunc("second", col("ts")))
-    val trades = src.filter(pmod(col("event_id"), lit(5)) === 0)
-      .select(col("event_id").as("trade_id"), col("user_id"), col("tss").as("t_ts"))
-      .withWatermark("t_ts", "25 hours")
-    val quotes = src.filter(pmod(col("event_id"), lit(5)) =!= 0)
-      .select(col("event_id").as("quote_id"), col("user_id").as("q_user"),
-        col("tss").as("q_ts"), col("value").as("qval"))
-      .withWatermark("q_ts", "25 hours")
-    val joined = trades.join(quotes,
-      col("user_id") === col("q_user") &&
-        col("q_ts") >= col("t_ts") - expr("interval 24 hours") &&
-        col("q_ts") <= col("t_ts"))
-      .select(col("trade_id"), col("qval"))
-    val partialsDir = graft.Scratch.fresh("ij_partials")
-    val q = joined.writeStream.outputMode("append")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.groupBy(col("trade_id"))
-          .agg(count(lit(1)).as("n"),
-            sum(col("qval").cast(DecimalType(18, 2))).as("s"))
-          .write.mode("append").parquet(partialsDir)
-        ()
-      }
-      .start()
-    try q.processAllAvailable() finally q.stop()
-    s.read.parquet(partialsDir)
-      .groupBy(col("trade_id"))
-      .agg(sum(col("n")).as("n_quotes"),
-        sum(col("s")).cast(DoubleType).as("sum_qval"))
-      .orderBy(asc_nulls_first("trade_id"))
+  /** The state-bucket width knob shared by the three interval joins.
+    * A trade's 24 h lookback window [t−24h, t] spans at most
+    * ceil(24/bucketHours)+1 consecutive buckets, so the trade side
+    * probes exactly that many trailing buckets; each qualifying
+    * (trade, quote) pair materializes in EXACTLY the quote's own bucket
+    * (the quote's ts lies inside the trade's window, hence inside a
+    * probed bucket), so the answer is bucket-width-invariant. Narrower
+    * buckets = more state keys per hot entity (finer parallelism) at
+    * the cost of proportionally more trade probe rows — the per-key
+    * state bound is one entity's event rate × (bucketHours + 24 h);
+    * see SCALE.md. */
+  private def probeCount(bucketHours: Int): Int = {
+    require(bucketHours >= 1 && bucketHours <= 24,
+      s"bucketHours must be in [1, 24], got $bucketHours")
+    math.ceil(24.0 / bucketHours).toInt
   }
 
-  /** [[streamIntervalJoin]]'s HOT-ENTITY scale path: the join key is
-    * (user, 24 h time bucket) instead of bare user, so one hot entity's
-    * quote state shards across its active days rather than pooling under
-    * a single state key. The skew fixture measured why this exists: a
-    * user holding ~23% of all events makes the bare-key join's per-key
-    * matching quadratic in ONE task (24.4 s vs 1.9 s at sf0.1 — ~2.9 M
-    * of 3 M pairs in one state partition), and AQE cannot re-plan
-    * streaming state. Bucket width = the lookback (24 h), so a trade's
-    * window spans ≤ 2 buckets: the trade side explodes to exactly two
-    * probe rows and each qualifying (trade, quote) pair matches in
-    * EXACTLY the quote's own bucket — no duplicates, no misses, and the
-    * interval predicate is unchanged, so the answer (and the q65
-    * oracle) is identical by construction. Candidate scans grow ≤ 2×
-    * (bucket ∪ window) but parallelize across (user, day) keys.
-    * Left/full-outer variants shard the same way once the spurious
-    * per-bucket null rows are reconciled downstream — see
-    * [[streamLeftOuterJoinBucketed]] / [[streamFullOuterJoinBucketed]]
-    * (q223/q224). */
-  def streamIntervalJoinBucketed(s: SparkSession, dir: String): DataFrame = withStatePartitions(s, 8) {
+  private def bucketExpr(bucketHours: Int) =
+    floor(expr("unix_micros(cast(tss as timestamp))") /
+      (bucketHours.toLong * 3600L * 1000000L)).cast("long")
+
+  private def probeExplode(bucketHours: Int) =
+    explode(array((0 to probeCount(bucketHours)).map(i => col("tb") - lit(i.toLong)): _*))
+
+  /** Stream-stream INNER interval join, state sharded on
+    * (user, bucketHours-wide time bucket) — never the bare user key.
+    * The skew fixture measured why sharding is mandatory: a user holding
+    * ~23% of all events makes a bare-key join's per-key matching
+    * quadratic in ONE task (24.4 s vs 1.9 s at sf0.1 — ~2.9 M of 3 M
+    * pairs in one state partition), and AQE cannot re-plan streaming
+    * state. With the bucket in the equi-key, one hot entity's quote
+    * state shards across its active buckets; the interval predicate is
+    * unchanged, so the answer (and the q65 oracle) is identical by
+    * construction for EVERY width — q214 gates that invariance by
+    * running width 12 h against the same oracle. At 100×, shrink
+    * bucketHours until rate × (bucketHours + 24 h) rows fit one state
+    * partition. */
+  def streamIntervalJoin(s: SparkSession, dir: String,
+      bucketHours: Int = 24): DataFrame = withStatePartitions(s, 8) {
     val schema = s.read.parquet(s"$dir/events.parquet").schema
     def src = s.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
       .transform(graft.Ts.norm).withColumn("tss", date_trunc("second", col("ts")))
     val trades = src.filter(pmod(col("event_id"), lit(5)) === 0)
       .select(col("event_id").as("trade_id"), col("user_id"),
-        col("tss").as("t_ts"),
-        floor(expr("unix_micros(cast(tss as timestamp))") / (86400L * 1000000L)).cast("long").as("tb"))
-      .withColumn("jb", explode(array(col("tb"), col("tb") - 1)))
+        col("tss").as("t_ts"), bucketExpr(bucketHours).as("tb"))
+      .withColumn("jb", probeExplode(bucketHours))
       .withWatermark("t_ts", "25 hours")
     val quotes = src.filter(pmod(col("event_id"), lit(5)) =!= 0)
       .select(col("event_id").as("quote_id"), col("user_id").as("q_user"),
         col("tss").as("q_ts"), col("value").as("qval"),
-        floor(expr("unix_micros(cast(tss as timestamp))") / (86400L * 1000000L)).cast("long").as("qb"))
+        bucketExpr(bucketHours).as("qb"))
       .withWatermark("q_ts", "25 hours")
     val joined = trades.join(quotes,
       col("user_id") === col("q_user") && col("jb") === col("qb") &&
         col("q_ts") >= col("t_ts") - expr("interval 24 hours") &&
         col("q_ts") <= col("t_ts"))
       .select(col("trade_id"), col("qval"))
-    val partialsDir = graft.Scratch.fresh("ijb_partials")
+    val partialsDir = graft.Scratch.fresh("ij_partials")
     val q = joined.writeStream.outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
         batch.groupBy(col("trade_id"))
@@ -354,13 +338,13 @@ object Streams {
       FROM t JOIN q ON t.user_id = q.user_id
                    AND q.tss >= t.tss - INTERVAL 24 HOUR AND q.tss <= t.tss
       GROUP BY t.trade_id ORDER BY trade_id ASC NULLS FIRST"""),
-    "stream-stream interval join with watermarks, oracle-checked vs the batch-equivalent SQL (SURVEY §2.9 extension)")
+    "stream-stream interval join with watermarks on the (user, 24h-bucket)-sharded state path; oracle-checked vs the batch-equivalent SQL (SURVEY §2.9 extension)")
 
   private val q214 = Q(
     "q214_interval_join_bucketed",
-    (s, dir) => streamIntervalJoinBucketed(s, dir),
+    (s, dir) => streamIntervalJoin(s, dir, bucketHours = 12),
     q65.oracle, // answer-identical by construction: same interval predicate
-    "hot-entity scale path for the stream-stream interval join: state keyed (user, 24h bucket), trade probes its 2 covering buckets — same oracle as q65, skew-fixture-proven (24.4 s -> per-day-parallel)")
+    "adaptive-width gate for the sharded interval join: 12h state buckets (3 probe buckets per trade) must produce q65's exact answer — proves the width knob is semantics-free")
 
   /** Streaming exact dedup: the q20 content-hash path under readStream —
     * the training-data-pipeline ingest shape (dedup new documents against
@@ -1088,18 +1072,30 @@ object Streams {
     * This is the replay-determinism variant of production's continuous
     * arrival (same pattern as q80's sentinel).
     *
-    * Scale shape: identical to q65 — state bounded by watermark + the
-    * time-range condition, per-batch partial aggregation in foreachBatch
-    * (the raw pair stream is never driver-resident), decimal partials
-    * merged exactly. The unmatched trade contributes one null row →
-    * n=0/s=NULL partials, so the merged output preserves LEFT JOIN
-    * aggregate semantics (count 0, sum NULL) without special-casing. */
+    * State shards on (user, bucketHours bucket) exactly like
+    * [[streamIntervalJoin]]. The bucketing is sound for the inner
+    * matches (a pair materializes in exactly the quote's own bucket),
+    * but an exploded trade holds probeCount+1 left-side state rows, so
+    * a bucket with no qualifying quote emits a spurious null row even
+    * when ANOTHER bucket matched. The reconciliation is the aggregation
+    * the query already publishes: per-trade `count(qval)` / `sum(qval)`
+    * ignore nulls, so a matched trade's stray null rows contribute
+    * nothing and a globally unmatched trade's all-null rows still read
+    * (0, NULL) — LEFT JOIN aggregate semantics hold with zero extra
+    * passes, at any bucket width (q223 gates width 12 h on q168's
+    * oracle).
+    *
+    * Scale shape: state bounded by watermark + the time-range
+    * condition, per-batch partial aggregation in foreachBatch (the raw
+    * pair stream is never driver-resident), decimal partials merged
+    * exactly. */
   // 4 state partitions, not the module's usual 8: the OUTER joins keep 4
   // state stores per partition on BOTH sides and re-commit them across the
   // two sentinel flush batches, so the fixed commit cost dominates —
   // measured at sf0.1 (local[8], warm): q168 6.3 s → 4.6 s, q198
   // 10.0 s → 5.0 s going 8 → 4.
-  def streamLeftOuterJoin(s: SparkSession, dir: String): DataFrame = withStatePartitions(s, 4) {
+  def streamLeftOuterJoin(s: SparkSession, dir: String,
+      bucketHours: Int = 24): DataFrame = withStatePartitions(s, 4) {
     val src0 = s"$dir/events.parquet"
     val schema = s.read.parquet(src0).schema
     val stage = java.nio.file.Paths.get(graft.Scratch.fresh("loj_stage"))
@@ -1108,14 +1104,17 @@ object Streams {
     def src = s.readStream.schema(schema).parquet(stage.toString)
       .transform(graft.Ts.norm).withColumn("tss", date_trunc("second", col("ts")))
     val trades = src.filter(pmod(col("event_id"), lit(5)) === 0)
-      .select(col("event_id").as("trade_id"), col("user_id"), col("tss").as("t_ts"))
+      .select(col("event_id").as("trade_id"), col("user_id"),
+        col("tss").as("t_ts"), bucketExpr(bucketHours).as("tb"))
+      .withColumn("jb", probeExplode(bucketHours))
       .withWatermark("t_ts", "25 hours")
     val quotes = src.filter(pmod(col("event_id"), lit(5)) =!= 0 && col("value") >= 8.0)
       .select(col("event_id").as("quote_id"), col("user_id").as("q_user"),
-        col("tss").as("q_ts"), col("value").as("qval"))
+        col("tss").as("q_ts"), col("value").as("qval"),
+        bucketExpr(bucketHours).as("qb"))
       .withWatermark("q_ts", "25 hours")
     val joined = trades.join(quotes,
-      col("user_id") === col("q_user") &&
+      col("user_id") === col("q_user") && col("jb") === col("qb") &&
         col("q_ts") >= col("t_ts") - expr("interval 24 hours") &&
         col("q_ts") <= col("t_ts"),
       "leftOuter")
@@ -1171,7 +1170,7 @@ object Streams {
       FROM t LEFT JOIN q ON t.user_id = q.user_id
            AND q.tss >= t.tss - INTERVAL 24 HOUR AND q.tss <= t.tss
       GROUP BY t.trade_id ORDER BY trade_id ASC NULLS FIRST"""),
-    "stream-stream LEFT OUTER interval join: unmatched trades emit null-padded on watermark passage (sentinel-flushed at end-of-stream); oracle is the batch LEFT JOIN")
+    "stream-stream LEFT OUTER interval join on the (user, 24h-bucket)-sharded state path: unmatched trades emit null-padded on watermark passage (sentinel-flushed at end-of-stream); oracle is the batch LEFT JOIN")
 
   /** q198: stream-stream FULL OUTER interval join — the last cell of the
     * streaming join matrix (q65 inner, q168 left): BOTH sides' unmatched
@@ -1182,8 +1181,23 @@ object Streams {
     * The result is the reconciliation summary: matched pairs, orphans
     * per side, and value totals — exactly the audit a trade/quote (or
     * clickstream/conversion) reconciliation job publishes. Oracle is the
-    * batch FULL JOIN aggregated the same way. */
-  def streamFullOuterJoin(s: SparkSession, dir: String): DataFrame = withStatePartitions(s, 4) {
+    * batch FULL JOIN aggregated the same way.
+    *
+    * State shards on (user, bucketHours bucket) like
+    * [[streamIntervalJoin]]. Quote-side orphan semantics survive
+    * sharding EXACTLY (a quote lives in one bucket and every potential
+    * pair materializes in that bucket, so null-trade rows are true
+    * orphans); the trade side needs reconciliation: an exploded trade
+    * emits a null-quote row per matchless BUCKET, so "unmatched trade"
+    * must be decided on the trade's TOTAL match count, not row-shape.
+    * The per-batch partials are therefore trade-KEYED (trade_id,
+    * matches, matched value) plus a global quote-orphan row; the final
+    * pass counts trades whose summed matches are zero. One extra
+    * trade-cardinality aggregation buys per-bucket state parallelism
+    * under hot entities, at any width (q224 gates width 12 h on q198's
+    * oracle). */
+  def streamFullOuterJoin(s: SparkSession, dir: String,
+      bucketHours: Int = 24): DataFrame = withStatePartitions(s, 4) {
     val src0 = s"$dir/events.parquet"
     val schema = s.read.parquet(src0).schema
     val stage = java.nio.file.Paths.get(graft.Scratch.fresh("foj_stage"))
@@ -1192,192 +1206,14 @@ object Streams {
     def src = s.readStream.schema(schema).parquet(stage.toString)
       .transform(graft.Ts.norm).withColumn("tss", date_trunc("second", col("ts")))
     val trades = src.filter(pmod(col("event_id"), lit(5)) === 0)
-      .select(col("event_id").as("trade_id"), col("user_id"), col("tss").as("t_ts"))
-      .withWatermark("t_ts", "25 hours")
-    val quotes = src.filter(pmod(col("event_id"), lit(5)) =!= 0 && col("value") >= 8.0)
-      .select(col("event_id").as("quote_id"), col("user_id").as("q_user"),
-        col("tss").as("q_ts"), col("value").as("qval"))
-      .withWatermark("q_ts", "25 hours")
-    val joined = trades.join(quotes,
-      col("user_id") === col("q_user") &&
-        col("q_ts") >= col("t_ts") - expr("interval 24 hours") &&
-        col("q_ts") <= col("t_ts"),
-      "fullOuter")
-      .select(col("trade_id"), col("quote_id"), col("qval"))
-    val partialsDir = graft.Scratch.fresh("foj_partials")
-    val q = joined.writeStream.outputMode("append")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch
-          .filter(coalesce(col("trade_id"), lit(0L)) >= 0 &&
-            coalesce(col("quote_id"), lit(0L)) >= 0)
-          .agg(
-            sum(when(col("trade_id").isNotNull && col("quote_id").isNotNull, 1L)
-              .otherwise(0L)).as("pairs"),
-            sum(when(col("quote_id").isNull, 1L).otherwise(0L)).as("ut"),
-            sum(when(col("trade_id").isNull, 1L).otherwise(0L)).as("uq"),
-            sum(when(col("trade_id").isNotNull,
-              col("qval").cast(DecimalType(18, 2)))).as("mv"),
-            sum(when(col("trade_id").isNull,
-              col("qval").cast(DecimalType(18, 2)))).as("ov"))
-          .write.mode("append").parquet(partialsDir)
-        ()
-      }
-      .start()
-    try {
-      q.processAllAvailable()
-      val maxTs = graft.Ts.maxNanos(s, src0)
-      for (i <- 1 to 2) {
-        val farNs = maxTs + (4000L + i) * 3600L * 1000000000L
-        val sentinel = s.range(2).select(schema.fields.map { f =>
-          f.name match {
-            case "event_id" => when(col("id") === 0, lit(-5L)).otherwise(lit(-1L)).as("event_id")
-            case "ts" => graft.Ts.litNanos(schema, farNs).as("ts")
-            case "user_id" => lit(-1L).as("user_id")
-            case "value" => lit(9.99).as("value")
-            case other => lit(null).cast(f.dataType).as(other)
-          }
-        }: _*)
-        sentinel.write.mode("append").parquet(stage.toString)
-        q.processAllAvailable()
-      }
-    } finally q.stop()
-    s.read.parquet(partialsDir)
-      .agg(sum(col("pairs")).as("n_pairs"),
-        sum(col("ut")).as("n_unmatched_trades"),
-        sum(col("uq")).as("n_unmatched_quotes"),
-        sum(col("mv")).cast(DoubleType).as("matched_value"),
-        sum(col("ov")).cast(DoubleType).as("orphan_value"))
-  }
-
-  private val q198 = Q(
-    "q198_stream_full_outer_join",
-    (s, dir) => streamFullOuterJoin(s, dir),
-    Some("""WITH e AS (SELECT event_id, user_id, date_trunc('second', ts) AS tss, value FROM events),
-      t AS (SELECT event_id AS trade_id, user_id, tss FROM e WHERE event_id % 5 = 0),
-      q AS (SELECT event_id AS quote_id, user_id, tss, value FROM e
-            WHERE event_id % 5 <> 0 AND value >= 8.0),
-      j AS (SELECT t.trade_id, q.quote_id, q.value
-            FROM t FULL JOIN q ON t.user_id = q.user_id
-                 AND q.tss >= t.tss - INTERVAL 24 HOUR AND q.tss <= t.tss)
-      SELECT CAST(COUNT(*) FILTER (WHERE trade_id IS NOT NULL AND quote_id IS NOT NULL) AS BIGINT)
-               AS n_pairs,
-             CAST(COUNT(*) FILTER (WHERE quote_id IS NULL) AS BIGINT) AS n_unmatched_trades,
-             CAST(COUNT(*) FILTER (WHERE trade_id IS NULL) AS BIGINT) AS n_unmatched_quotes,
-             CAST(SUM(CASE WHEN trade_id IS NOT NULL THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE)
-               AS matched_value,
-             CAST(SUM(CASE WHEN trade_id IS NULL THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE)
-               AS orphan_value
-      FROM j"""),
-    "stream-stream FULL OUTER interval join: both sides' orphans emit on watermark passage (sentinel-flushed); reconciliation summary matches the batch FULL JOIN")
-
-  /** q223: [[streamLeftOuterJoin]]'s HOT-ENTITY scale path — the q214
-    * (user, 24 h bucket) state sharding applied to the LEFT OUTER
-    * interval join. The bucketing is sound for the inner matches for the
-    * q214 reason (a pair matches in exactly the quote's own bucket), but
-    * an exploded trade now holds TWO left-side state rows, so a bucket
-    * with no qualifying quote emits a spurious null row even when the
-    * OTHER bucket matched. The reconciliation is the aggregation the
-    * query already publishes: per-trade `count(qval)` / `sum(qval)`
-    * ignore nulls, so a matched trade's stray null row contributes
-    * nothing and a globally unmatched trade's two null rows still read
-    * (0, NULL) — LEFT JOIN aggregate semantics hold with zero extra
-    * passes. Answer-identical to q168's oracle by construction;
-    * skew-fixture-measured at the definition of [[streamIntervalJoinBucketed]]. */
-  def streamLeftOuterJoinBucketed(s: SparkSession, dir: String): DataFrame = withStatePartitions(s, 4) {
-    val src0 = s"$dir/events.parquet"
-    val schema = s.read.parquet(src0).schema
-    val stage = java.nio.file.Paths.get(graft.Scratch.fresh("lojb_stage"))
-    java.nio.file.Files.createSymbolicLink(
-      stage.resolve("events.parquet"), java.nio.file.Paths.get(src0))
-    def src = s.readStream.schema(schema).parquet(stage.toString)
-      .transform(graft.Ts.norm).withColumn("tss", date_trunc("second", col("ts")))
-    val dayBucket = floor(expr("unix_micros(cast(tss as timestamp))") / (86400L * 1000000L)).cast("long")
-    val trades = src.filter(pmod(col("event_id"), lit(5)) === 0)
       .select(col("event_id").as("trade_id"), col("user_id"),
-        col("tss").as("t_ts"), dayBucket.as("tb"))
-      .withColumn("jb", explode(array(col("tb"), col("tb") - 1)))
+        col("tss").as("t_ts"), bucketExpr(bucketHours).as("tb"))
+      .withColumn("jb", probeExplode(bucketHours))
       .withWatermark("t_ts", "25 hours")
     val quotes = src.filter(pmod(col("event_id"), lit(5)) =!= 0 && col("value") >= 8.0)
       .select(col("event_id").as("quote_id"), col("user_id").as("q_user"),
-        col("tss").as("q_ts"), col("value").as("qval"), dayBucket.as("qb"))
-      .withWatermark("q_ts", "25 hours")
-    val joined = trades.join(quotes,
-      col("user_id") === col("q_user") && col("jb") === col("qb") &&
-        col("q_ts") >= col("t_ts") - expr("interval 24 hours") &&
-        col("q_ts") <= col("t_ts"),
-      "leftOuter")
-      .select(col("trade_id"), col("qval"))
-    val partialsDir = graft.Scratch.fresh("lojb_partials")
-    val q = joined.writeStream.outputMode("append")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.groupBy(col("trade_id"))
-          .agg(count(col("qval")).as("n"),
-            sum(col("qval").cast(DecimalType(18, 2))).as("s"))
-          .write.mode("append").parquet(partialsDir)
-        ()
-      }
-      .start()
-    try {
-      q.processAllAvailable()
-      val maxTs = graft.Ts.maxNanos(s, src0)
-      for (i <- 1 to 2) {
-        val farNs = maxTs + (4000L + i) * 3600L * 1000000000L
-        val sentinel = s.range(2).select(schema.fields.map { f =>
-          f.name match {
-            case "event_id" => when(col("id") === 0, lit(-5L)).otherwise(lit(-1L)).as("event_id")
-            case "ts" => graft.Ts.litNanos(schema, farNs).as("ts")
-            case "user_id" => lit(-1L).as("user_id")
-            case "value" => lit(9.99).as("value")
-            case other => lit(null).cast(f.dataType).as(other)
-          }
-        }: _*)
-        sentinel.write.mode("append").parquet(stage.toString)
-        q.processAllAvailable()
-      }
-    } finally q.stop()
-    s.read.parquet(partialsDir)
-      .filter(col("trade_id") >= 0)
-      .groupBy(col("trade_id"))
-      .agg(sum(col("n")).cast(LongType).as("n_quotes"),
-        sum(col("s")).cast(DoubleType).as("sum_qval"))
-      .orderBy(asc_nulls_first("trade_id"))
-  }
-
-  private val q223 = Q(
-    "q223_left_outer_join_bucketed",
-    (s, dir) => streamLeftOuterJoinBucketed(s, dir),
-    q168.oracle, // answer-identical: nulls are absorbed by count/sum per trade
-    "hot-entity scale path for the stream LEFT OUTER interval join: (user, 24h bucket) state keys, per-bucket null rows reconciled by the null-skipping per-trade aggregate — same oracle as q168")
-
-  /** q224: [[streamFullOuterJoin]] under the q214 bucketing. Quote-side
-    * orphan semantics survive sharding EXACTLY (a quote lives in one
-    * bucket and every potential pair materializes in that bucket, so
-    * null-trade rows are true orphans); the trade side needs the
-    * reconciliation: an exploded trade emits a null-quote row per
-    * matchless BUCKET, so "unmatched trade" must be decided on the
-    * trade's TOTAL match count, not row-shape. The per-batch partials
-    * are therefore trade-KEYED (trade_id, matches, matched value) plus a
-    * global quote-orphan row; the final pass counts trades whose summed
-    * matches are zero. One extra trade-cardinality aggregation — the
-    * reconciliation pass the bare-key variant documents — buys per-day
-    * state parallelism under hot entities. */
-  def streamFullOuterJoinBucketed(s: SparkSession, dir: String): DataFrame = withStatePartitions(s, 4) {
-    val src0 = s"$dir/events.parquet"
-    val schema = s.read.parquet(src0).schema
-    val stage = java.nio.file.Paths.get(graft.Scratch.fresh("fojb_stage"))
-    java.nio.file.Files.createSymbolicLink(
-      stage.resolve("events.parquet"), java.nio.file.Paths.get(src0))
-    def src = s.readStream.schema(schema).parquet(stage.toString)
-      .transform(graft.Ts.norm).withColumn("tss", date_trunc("second", col("ts")))
-    val dayBucket = floor(expr("unix_micros(cast(tss as timestamp))") / (86400L * 1000000L)).cast("long")
-    val trades = src.filter(pmod(col("event_id"), lit(5)) === 0)
-      .select(col("event_id").as("trade_id"), col("user_id"),
-        col("tss").as("t_ts"), dayBucket.as("tb"))
-      .withColumn("jb", explode(array(col("tb"), col("tb") - 1)))
-      .withWatermark("t_ts", "25 hours")
-    val quotes = src.filter(pmod(col("event_id"), lit(5)) =!= 0 && col("value") >= 8.0)
-      .select(col("event_id").as("quote_id"), col("user_id").as("q_user"),
-        col("tss").as("q_ts"), col("value").as("qval"), dayBucket.as("qb"))
+        col("tss").as("q_ts"), col("value").as("qval"),
+        bucketExpr(bucketHours).as("qb"))
       .withWatermark("q_ts", "25 hours")
     val joined = trades.join(quotes,
       col("user_id") === col("q_user") && col("jb") === col("qb") &&
@@ -1385,8 +1221,8 @@ object Streams {
         col("q_ts") <= col("t_ts"),
       "fullOuter")
       .select(col("trade_id"), col("quote_id"), col("qval"))
-    val tDir = graft.Scratch.fresh("fojb_tpart")
-    val qDir = graft.Scratch.fresh("fojb_qpart")
+    val tDir = graft.Scratch.fresh("foj_tpart")
+    val qDir = graft.Scratch.fresh("foj_qpart")
     val q = joined.writeStream.outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val b = batch.persist() // two consumers; don't re-run the join
@@ -1436,11 +1272,38 @@ object Streams {
         col("matched_value"), col("orphan_value"))
   }
 
+  private val q198 = Q(
+    "q198_stream_full_outer_join",
+    (s, dir) => streamFullOuterJoin(s, dir),
+    Some("""WITH e AS (SELECT event_id, user_id, date_trunc('second', ts) AS tss, value FROM events),
+      t AS (SELECT event_id AS trade_id, user_id, tss FROM e WHERE event_id % 5 = 0),
+      q AS (SELECT event_id AS quote_id, user_id, tss, value FROM e
+            WHERE event_id % 5 <> 0 AND value >= 8.0),
+      j AS (SELECT t.trade_id, q.quote_id, q.value
+            FROM t FULL JOIN q ON t.user_id = q.user_id
+                 AND q.tss >= t.tss - INTERVAL 24 HOUR AND q.tss <= t.tss)
+      SELECT CAST(COUNT(*) FILTER (WHERE trade_id IS NOT NULL AND quote_id IS NOT NULL) AS BIGINT)
+               AS n_pairs,
+             CAST(COUNT(*) FILTER (WHERE quote_id IS NULL) AS BIGINT) AS n_unmatched_trades,
+             CAST(COUNT(*) FILTER (WHERE trade_id IS NULL) AS BIGINT) AS n_unmatched_quotes,
+             CAST(SUM(CASE WHEN trade_id IS NOT NULL THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE)
+               AS matched_value,
+             CAST(SUM(CASE WHEN trade_id IS NULL THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE)
+               AS orphan_value
+      FROM j"""),
+    "stream-stream FULL OUTER interval join on the (user, 24h-bucket)-sharded state path: both sides' orphans emit on watermark passage (sentinel-flushed); reconciliation summary matches the batch FULL JOIN")
+
+  private val q223 = Q(
+    "q223_left_outer_join_bucketed",
+    (s, dir) => streamLeftOuterJoin(s, dir, bucketHours = 12),
+    q168.oracle, // answer-identical: nulls are absorbed by count/sum per trade
+    "adaptive-width gate for the sharded LEFT OUTER interval join: 12h state buckets, per-bucket null rows reconciled by the null-skipping per-trade aggregate — same oracle as q168")
+
   private val q224 = Q(
     "q224_full_outer_join_bucketed",
-    (s, dir) => streamFullOuterJoinBucketed(s, dir),
+    (s, dir) => streamFullOuterJoin(s, dir, bucketHours = 12),
     q198.oracle, // answer-identical: trade-keyed partials decide orphanhood on total matches
-    "hot-entity scale path for the stream FULL OUTER interval join: (user, 24h bucket) state keys + trade-keyed reconciliation partials — same oracle as q198")
+    "adaptive-width gate for the sharded FULL OUTER interval join: 12h state buckets + trade-keyed reconciliation partials — same oracle as q198")
 
   /** Streaming mergeable distinct-count sketch — the streaming face of the
     * q225 KMV/theta family in the q162 daily-rollup shape: the stream
