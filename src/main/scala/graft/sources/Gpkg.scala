@@ -17,6 +17,12 @@ import org.apache.spark.sql.types._
   * For big vector data, convert once to Parquet and read that. */
 object Gpkg {
 
+  /** Hard cap on [[writeLayer]]'s driver-side materialization — a GPKG
+    * at this row count is already a multi-GB SQLite file, far past the
+    * "small delivery artifact" use case. Taken as a default parameter so
+    * the guard is spec-testable at a tiny cap. */
+  val MaxWriteRows: Int = 2000000
+
   /** Load one layer: geometry columns become (wkb BinaryType, srid Int). */
   def readLayer(spark: SparkSession, path: String, layer: String): DataFrame = {
     val db = Sqlite.open(path)
@@ -103,14 +109,28 @@ object Gpkg {
     * srid column. Driver-side like the reader (a GPKG is a small artifact;
     * big vector data belongs in Parquet); emits the required gpkg_*
     * metadata tables so sqlite3/GDAL can open the result. Overwrites the
-    * target file (`append=FALSE` / `if_exists='replace'` semantics). */
+    * target file (`append=FALSE` / `if_exists='replace'` semantics).
+    *
+    * The driver materialization is CAPPED (the Manifest.guarded pattern):
+    * the scan is limit-capped BEFORE the collect, so the driver never
+    * holds more than maxRows+1 rows no matter how mis-sized the input,
+    * and exceeding the cap fails fast with a pointer at the
+    * scale-correct alternative — a GPKG is a delivery artifact for
+    * human-sized layers; a layer that trips the cap belongs in
+    * partitioned Parquet (the engine's native geo sink), not SQLite. */
   def writeLayer(df: DataFrame, path: String, layer: String,
-      geomCol: String = "geom", sridCol: String = "geom_srid"): Unit = {
+      geomCol: String = "geom", sridCol: String = "geom_srid",
+      maxRows: Int = MaxWriteRows): Unit = {
     import SqliteWriter.TableSpec
     val schema = df.schema
     require(schema.fieldNames.contains(geomCol), s"missing geometry column $geomCol")
     require(schema.fieldNames.contains(sridCol), s"missing srid column $sridCol")
-    val collected = df.collect()
+    val collected = df.limit(maxRows + 1).collect()
+    require(collected.length <= maxRows,
+      s"layer $layer exceeds $maxRows rows — a single-file GeoPackage is " +
+        "a driver-side delivery artifact, not a bulk sink: write the " +
+        "layer as partitioned Parquet (WKB + srid columns) instead, or " +
+        "raise maxRows deliberately if the driver heap is sized for it")
     val gi = schema.fieldIndex(geomCol)
     val si = schema.fieldIndex(sridCol)
     val srids = collected.iterator.filterNot(_.isNullAt(si))

@@ -58,6 +58,21 @@ class GpkgSpec extends AnyFunSuite {
       === Seq(graft.geo.Crs.Utm50SAlias))
   }
 
+  test("writer: driver materialization is capped — oversized layer fails loudly") {
+    val parcels = graft.ops.Spatial.parcels(spark, "/root/testdata/sf0.001")
+    val n = parcels.count()
+    assert(n > 3, "fixture too small to exercise the cap")
+    val out = graft.Scratch.fresh("spec_gpkg_cap") + "/f.gpkg"
+    val e = intercept[IllegalArgumentException] {
+      Gpkg.writeLayer(parcels, out, "parcels", maxRows = 3)
+    }
+    assert(e.getMessage.contains("exceeds 3 rows"))
+    assert(e.getMessage.contains("Parquet"), "error must point at the scale-correct sink")
+    // at-cap succeeds: the guard collects cap+1 rows, never more
+    Gpkg.writeLayer(parcels, out, "parcels", maxRows = n.toInt)
+    assert(Gpkg.readLayer(spark, out, "parcels").count() == n)
+  }
+
   test("writer: multi-leaf + overflow payloads round trip through the reader") {
     import SqliteWriter.TableSpec
     val out = graft.Scratch.fresh("spec_sqlite_rt") + "/f.db"
