@@ -850,13 +850,24 @@ object Ivf {
     * seed-self-distance-zero law and recall@10 against the exact
     * brute-force top-k.
     *
+    * With rerank = C > 0, the top-C ADC candidates per query are
+    * re-scored with EXACT distances against the raw vectors (the FAISS
+    * refine / IVFPQR shape) and the final top-k ranks on those: ADC
+    * quantization error stops costing recall whenever the true
+    * neighbor is anywhere in the ADC top-C, which lifts recall@10 from
+    * 0.66 to ≥0.8 at nprobe=8 (IvfPqSpec). Cost: one column-pruned
+    * scan of the raw vectors broadcast-semi-joined against the ≤
+    * 5·C-row shortlist — no shuffle, no per-candidate growth; at index
+    * scale the raw vectors are partitioned by list_id like the codes,
+    * so the re-rank scan prunes to the probed lists too.
+    *
     * Scale shape: LUTs are 5 queries × 64 doubles, broadcast; the
     * candidate join explodes codes to (vid, g, c) and joins the LUT on
     * (qid, g, c) — shuffles carry ids and codes only; the probed read is
     * partition-pruned exactly like q31. */
   def ivfPqTopK(s: SparkSession, emb: DataFrame, k: Int,
       nprobe: Int = NProbe, trainIters: Int = 0, nCodes: Int = PqCodes,
-      groups: Int = PqGroups): DataFrame = {
+      groups: Int = PqGroups, rerank: Int = 0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val (cents, _) = builtIndex(emb)
     val (codesPath, books) =
@@ -897,8 +908,33 @@ object Ivf {
       .agg(round(sum(col("lutd2")), 6).as("adc_d2"))
     val w = Window.partitionBy(col("qid"))
       .orderBy(asc("adc_d2"), asc_nulls_first("vid"))
-    cand.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
-      .orderBy(asc_nulls_first("qid"), asc("rank"))
+    if (rerank <= 0)
+      cand.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+        .orderBy(asc_nulls_first("qid"), asc("rank"))
+    else {
+      require(rerank >= k, s"rerank shortlist $rerank smaller than k=$k")
+      val shortlist = cand.withColumn("arank", row_number().over(w))
+        .filter(col("arank") <= rerank)
+        .select(col("qid"), col("vid"))
+      // exact re-score: query vectors are the 5 already-collected rows,
+      // closed over per (qid); the shortlist (≤ 5·rerank rows) broadcasts
+      // against one column-pruned pass over the raw vectors
+      val qMap = qArr.toMap
+      val exactD2 = udf((qid: Long, v: Seq[Double]) => {
+        val qv = qMap(qid)
+        var d = 0.0; var i = 0
+        while (i < qv.length) { val t = v(i) - qv(i); d += t * t; i += 1 }
+        d
+      })
+      val rescored = vecsOf(emb)
+        .join(broadcast(shortlist), col("vec_id") === col("vid"))
+        .select(col("qid"), col("vid"),
+          round(exactD2(col("qid"), col("v")), 6).as("d2"))
+      val wx = Window.partitionBy(col("qid"))
+        .orderBy(asc("d2"), asc_nulls_first("vid"))
+      rescored.withColumn("rank", row_number().over(wx)).filter(col("rank") <= k)
+        .orderBy(asc_nulls_first("qid"), asc("rank"))
+    }
   }
 
   /** q193's operating point (the r8 IvfSweep winner) — shared with
@@ -907,6 +943,11 @@ object Ivf {
   val Q193Iters = 2
   val Q193Codes = 256
   val Q193Groups = 16
+  /** Exact re-rank shortlist size: 5× the k=10 readout — large enough
+    * that the true top-10 is almost always inside the ADC top-50
+    * (recall@10 0.66 → ≥0.8 measured), small enough that the refine
+    * pass is a ≤250-row broadcast join. */
+  val Q193Rerank = 50
 
   private val q193 = Q(
     "q193_ivfpq_search",
@@ -916,9 +957,10 @@ object Ivf {
     // still 16× smaller than the 256-byte raw vectors; the r7 config's
     // ceiling was PQ resolution, not routing (nprobe=16 gave only 0.32).
     (s, dir) => ivfPqTopK(s, T(s, dir, "embeddings"), 10,
-      nprobe = 8, trainIters = Q193Iters, nCodes = Q193Codes, groups = Q193Groups),
+      nprobe = 8, trainIters = Q193Iters, nCodes = Q193Codes, groups = Q193Groups,
+      rerank = Q193Rerank),
     None,
-    "IVF-PQ ANN with asymmetric distance: nprobe routing + 16-byte trained codes + per-query LUT scoring (FAISS IVFPQ shape); recall law spec-pinned")
+    "IVF-PQ ANN with asymmetric distance + exact top-50 re-rank: nprobe routing, 16-byte trained codes, per-query LUT scoring, refined final ranks (FAISS IVFPQR shape); recall law spec-pinned")
 
   /** Bench setup hook: build the IVF index and the q193-config trained
     * PQ code table (per-JVM memo + cross-session codebook artifact)

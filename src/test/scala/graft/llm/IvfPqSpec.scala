@@ -111,6 +111,40 @@ class IvfPqSpec extends AnyFunSuite {
     // than the 256-byte raw vector), 2 training scans amortized per JVM
   }
 
+  test("exact re-rank lifts q193's shipped recall@10 to >= 0.8") {
+    // the FAISS refine pass: ADC ranks a top-50 shortlist, exact
+    // distances rank the final 10 — quantization error only costs
+    // recall when the true neighbor misses the ADC top-50 entirely.
+    // This is q193's shipped configuration (rerank = Q193Rerank).
+    val dir01 = "/root/testdata/sf0.01"
+    val approx = Ivf.ivfPqTopK(spark, T(spark, dir01, "embeddings"), 10,
+        nprobe = 8, trainIters = Ivf.Q193Iters, nCodes = Ivf.Q193Codes,
+        groups = Ivf.Q193Groups, rerank = Ivf.Q193Rerank)
+      .select(col("qid"), col("vid")).collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    val all = T(spark, dir01, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    var hit = 0
+    for ((qid, qv) <- all.filter(_._1 < 5)) {
+      val exact = all.filter(_._1 != qid)
+        .map { case (vid, v) =>
+          (vid, qv.zip(v).map { case (a, b) => (a - b) * (a - b) }.sum)
+        }
+        .sortBy { case (vid, d) => (d, vid) }.take(10).map(_._1).toSet
+      hit += exact.intersect(approx.getOrElse(qid, Set.empty)).size
+    }
+    val recall = hit / 50.0
+    info(f"recall@10 (reranked) = $recall%.2f")
+    assert(recall >= 0.8, f"reranked recall@10 $recall%.2f below the 0.8 floor")
+    // every emitted row must also carry k ranks per query
+    val ranks = Ivf.ivfPqTopK(spark, T(spark, dir01, "embeddings"), 10,
+        nprobe = 8, trainIters = Ivf.Q193Iters, nCodes = Ivf.Q193Codes,
+        groups = Ivf.Q193Groups, rerank = Ivf.Q193Rerank)
+      .groupBy(col("qid")).agg(count(lit(1)).as("n")).collect()
+    assert(ranks.forall(_.getLong(1) == 10L), "re-ranked output must keep 10 rows per query")
+  }
+
   test("persisted codebooks reload bit-identically and encode identically") {
     val fresh = java.nio.file.Files
       .createTempDirectory("graft_artifacts_spec_").toString
