@@ -981,10 +981,13 @@ object Ivf {
   private val JlP = 2147483647L // 2^31 − 1
   private val JlOff = 7000000L // index offset decorrelating from q205's planes
 
-  /** Sparse JL weight ∈ {−1, 0, +1} at flat index j·Dim + d (Achlioptas
-    * 2003 density-1/3 scheme via a uniform mod 3): the same squared-LCG
-    * mix q205's hyperplanes use (every intermediate < 2⁶³, replayable in
-    * DuckDB BIGINT arithmetic), reduced mod 3 instead of recentred. */
+  /** Sparse JL weight ∈ {−1, 0, +1} at flat index j·Dim + d, drawn
+    * UNIFORMLY over the three values (P(0) = 1/3, so 2/3 of entries are
+    * nonzero — denser than Achlioptas 2003, whose {+1, 0, −1} law is
+    * {1/6, 2/3, 1/6}; the JL guarantee only needs zero-mean i.i.d.
+    * entries, which both satisfy): the same squared-LCG mix q205's
+    * hyperplanes use (every intermediate < 2⁶³, replayable in DuckDB
+    * BIGINT arithmetic), reduced mod 3 instead of recentred. */
   private def jlWeight(idx: Long): Long = {
     val i = JlOff + idx + 1L
     val h0 = (i * 2654435761L) % JlP

@@ -1748,16 +1748,22 @@ object Analytics {
       val cands = c.select(col("c_custkey").as("cand_key"),
         col("c_name").as("cand_name"), col("c_nationkey").as("nk"),
         col("c_mktsegment").as("seg"), col("c_acctbal").as("cbal"))
+      // the agreement score is quantized to FLOORED basis points, not
+      // round(jw, 4): floor(x * 1e4) over the byte-identical IEEE double
+      // is engine-exact, while HALF_UP-vs-float rounding can flip a
+      // .00005-boundary score (and with it the threshold and the rank)
+      // between Spark and the oracle
       val scored = probes.join(cands, Seq("nk", "seg"))
         .select(col("probe_key"), col("cand_key"),
-          round(StringSim.jaroWinkler(col("probe_name"), col("cand_name")), 4).as("jw"),
+          floor(StringSim.jaroWinkler(col("probe_name"), col("cand_name")) * 10000)
+            .cast(LongType).as("jw_bp"),
           (col("bal") === col("cbal")).cast(LongType).as("bal_match"))
-        .filter(col("jw") >= 0.9)
+        .filter(col("jw_bp") >= 9000)
       val w = Window.partitionBy(col("probe_key"))
-        .orderBy(desc("jw"), desc("bal_match"), asc_nulls_first("cand_key"))
+        .orderBy(desc("jw_bp"), desc("bal_match"), asc_nulls_first("cand_key"))
       scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
         .select(col("probe_key"), col("cand_key").as("matched_key"),
-          col("jw"), col("bal_match"),
+          col("jw_bp"), col("bal_match"),
           (col("cand_key") === col("probe_key")).cast(LongType).as("correct"))
         .orderBy(asc_nulls_first("probe_key"))
     },
@@ -1769,20 +1775,20 @@ object Analytics {
         FROM customer WHERE c_custkey % 10 = 7),
       scored AS (
         SELECT p.probe_key, c.c_custkey AS cand_key,
-               round(jaro_winkler_similarity(p.probe_name, c.c_name), 4) AS jw,
+               CAST(floor(jaro_winkler_similarity(p.probe_name, c.c_name) * 10000) AS BIGINT) AS jw_bp,
                CAST(p.bal = c.c_acctbal AS BIGINT) AS bal_match
         FROM probes p JOIN customer c
           ON c.c_nationkey = p.nk AND c.c_mktsegment = p.seg
-        WHERE round(jaro_winkler_similarity(p.probe_name, c.c_name), 4) >= 0.9),
+        WHERE floor(jaro_winkler_similarity(p.probe_name, c.c_name) * 10000) >= 9000),
       ranked AS (
         SELECT *, row_number() OVER (PARTITION BY probe_key
-                 ORDER BY jw DESC, bal_match DESC, cand_key ASC NULLS FIRST) AS rn
+                 ORDER BY jw_bp DESC, bal_match DESC, cand_key ASC NULLS FIRST) AS rn
         FROM scored)
-      SELECT probe_key, cand_key AS matched_key, jw, bal_match,
+      SELECT probe_key, cand_key AS matched_key, jw_bp, bal_match,
              CAST(cand_key = probe_key AS BIGINT) AS correct
       FROM ranked WHERE rn = 1
       ORDER BY probe_key ASC NULLS FIRST"""),
-    "blocked record linkage: typo-damaged probes vs master, native Jaro-Winkler agreement + exact-field tie-break, windowed best-match decision")
+    "blocked record linkage: typo-damaged probes vs master, native Jaro-Winkler agreement quantized to floored basis points (engine-exact, no HALF_UP boundary flips) + exact-field tie-break, windowed best-match decision")
 
   val all: Seq[Q] = Seq(q83, q84, q85, q86, q87, q89, q90, q91, q112, q123, q124,
     q125, q128, q138, q139, q140, q141, q152, q157, q158, q159, q166, q167, q169,

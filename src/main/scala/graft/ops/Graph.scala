@@ -436,15 +436,19 @@ object Graph {
     * (long, long) pairs; lineage truncates per round (localCheckpoint —
     * durable checkpoint on a real cluster) and convergence is the same
     * O(1) signature as [[connectedComponents]], never a driver collect.
-    * Throws past `maxRounds` because a truncated peel is NOT the k-core —
-    * and the q229 oracle replays exactly `maxRounds` unrolled rounds, so
-    * a green row certifies both engines reached the same fixpoint. */
+    * Throws if more than `maxRounds` rounds PEEL anything, because a
+    * truncated peel is NOT the k-core — and the q229 oracle replays
+    * exactly `maxRounds` unrolled rounds, so a green row certifies both
+    * engines reached the same fixpoint. Detecting the fixpoint costs one
+    * extra no-op round (the signature compare), so the loop budget is
+    * maxRounds+1 iterations: a graph that converges in exactly
+    * `maxRounds` peel rounds is a success, not a false failure. */
   def kCore(edges: DataFrame, k: Int, maxRounds: Int): DataFrame = {
     var cur = edges.select(col("a"), col("b")).localCheckpoint(true)
     var sig = kcSignature(cur)
     var converged = false
     var round = 0
-    while (!converged && round < maxRounds) {
+    while (!converged && round < maxRounds + 1) {
       val keep = cur.select(col("a").as("n")).unionAll(cur.select(col("b").as("n")))
         .groupBy(col("n")).agg(count(lit(1)).as("d"))
         .filter(col("d") >= k).select(col("n"))

@@ -69,11 +69,13 @@ object StringSimCodegen {
     }
     val md = m.toDouble
     // DuckDB floors the transposition count (t = mismatched div 2, an
-    // integer): with unequal lengths the greedy matching can leave an ODD
-    // number of mismatched aligned positions, and keeping the half (1.5)
-    // diverges from the oracle scorer — verified against
-    // jaro_winkler_similarity('Customer#00001207', 'Customer#000001207')
-    // = 0.9771242 (t=1), not 0.9712 (t=1.5).
+    // integer). The two matched subsequences are equal as multisets, so a
+    // single mismatched position is impossible — but an odd count >= 3
+    // arises whenever the rearrangement contains an odd cycle (e.g. the
+    // aligned windows read abc vs bca: all three positions differ), and
+    // keeping the half (1.5) diverges from the oracle scorer — verified
+    // against jaro_winkler_similarity('Customer#00001207',
+    // 'Customer#000001207') = 0.9771242 (t=1), not 0.9712 (t=1.5).
     val t = (mismatched / 2).toDouble
     val jaro = (md / la + md / lb + (md - t) / md) / 3.0
     if (jaro <= 0.7) return jaro

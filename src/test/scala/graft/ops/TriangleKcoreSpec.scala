@@ -60,6 +60,15 @@ class TriangleKcoreSpec extends AnyFunSuite {
     assert(Graph.kCore(e, 2, 5).count() === n.toLong)
   }
 
+  test("kCore converges when the peel needs EXACTLY maxRounds rounds (no off-by-one)") {
+    // 12-edge path, k=2: each round peels one edge per end -> 6 peel
+    // rounds to empty, plus one no-op round to detect the fixpoint. With
+    // maxRounds=6 the old `round < maxRounds` budget threw a false
+    // failure; the fixpoint-confirming round must not count as a peel.
+    val e = edges((0 to 11).map(i => (i, i + 1)): _*)
+    assert(Graph.kCore(e, 2, 6).count() === 0L)
+  }
+
   test("kCore throws loudly when maxRounds is too small (truncated peel is not a core)") {
     // 12-node path with k=2 peels one node per side per round: needs 6
     // rounds to empty; 2 is insufficient and must not return quietly
