@@ -142,12 +142,14 @@ object Bench {
     // carries the traversal/build cost — compare cross-round totals on
     // min for steady-state serving, on cold for one-shot cost.
     // memory block: peak task execution memory (MB, max over reps) per
-    // query, plus per-rep average spill MB for any query that spilled
+    // query, plus per-rep average spill MB for EVERY query — explicit
+    // zeros, so "instrumented and did not spill" is distinguishable from
+    // "telemetry not wired" in the artifact
     val memJson = metricsLock.synchronized {
       val peaks = names.map(n => "\"" + n + "\":" +
         r2(peakByQuery.getOrElse(n, 0L) / 1048576.0)).mkString("{", ",", "}")
-      val spills = names.filter(n => spillByQuery.getOrElse(n, 0L) > 0)
-        .map(n => "\"" + n + "\":" + r2(spillByQuery(n) / 1048576.0 / reps))
+      val spills = names
+        .map(n => "\"" + n + "\":" + r2(spillByQuery.getOrElse(n, 0L) / 1048576.0 / reps))
         .mkString("{", ",", "}")
       s""""memory_peak_mb":$peaks,"spill_mb_per_rep":$spills"""
     }

@@ -976,7 +976,7 @@ object Dedup {
   /** q27/q30 are rows-only because both the Gaussian hyperplanes (seeded
     * driver RNG) and the float cosine are engine-specific (sign-random
     * -projection LSH: Charikar 2002; multi-table amplification:
-    * Indyk & Motwani 1998). q205 runs the
+    * Indyk & Motwani 1998). q205 (pairs) and q234 (top-k readout) run the
     * IDENTICAL pipeline shape — plant, bucket (posexplode + table/bucket
     * self-join), verify — in arithmetic DuckDB replays bit-for-bit:
     * vectors floor-quantized to integers, hyperplane weights from a
@@ -1120,6 +1120,115 @@ object Dedup {
       WHERE dot > 0 AND 100 * dot * dot >= 81 * na2 * nb2
       ORDER BY id_a ASC NULLS FIRST, id_b ASC NULLS FIRST"""),
     "integer-exact LSH near-dup twin: q27's plant+bucket+verify pipeline with SQL-replayable squared-LCG hyperplanes and a float-free cosine threshold (100 dot^2 >= 81 |a|^2 |b|^2)")
+
+  /** q234: q30's LSH ANN top-k under the ORACLE gate — q205 gated the
+    * hyperplane bucketing; this composes the SAME integer-exact buckets
+    * with the top-k READOUT (candidate gathering across tables, ranked
+    * scoring, per-query row_number cut), so the whole q30 pipeline shape
+    * is hash-checked, not just its kernel. The rank key is a float-free
+    * quantized cosine: signed (10000·dot²) div (|a|²·|b|²) — basis
+    * points of cos², monotone in cosine for dot ≥ 0, sign-corrected for
+    * negatives; pure int64 in both engines (guarded below
+    * [[MaxNormTopk2]], the bound under which 10000·dot² fits). Ties
+    * break on vid. Zero-norm vectors are unscoreable and excluded.
+    *
+    * Scale shape: identical to q30 — candidates come only from bucket
+    * collisions (never all-pairs), the query side (5 vectors × tables)
+    * rides a broadcast, and the shuffles carry (qid, vid) ids plus
+    * scalar scores. */
+  val MaxNormTopk2 = 30000000L // 10000·(3e7)² = 9e18 < Long.Max
+  def annTopKExact(s: SparkSession, emb: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = emb.select(col("vec_id"),
+      col("embedding").cast(ArrayType(DoubleType)).as("e"))
+    val iv = base.select(col("vec_id"),
+      expr(s"transform(sequence(1, $Dim), i -> cast(floor(coalesce(try_element_at(e, i), 0d) * 1000d) AS bigint))").as("v"))
+    val bucketed = iv
+      .select(col("vec_id"), posexplode(lshKeysIntUdf(col("v"))).as(Seq("table", "bucket")))
+      .localCheckpoint(false)
+    val qb = bucketed.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("table"), col("bucket"))
+    val candIds = bucketed.join(broadcast(qb), Seq("table", "bucket"))
+      .filter(col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id").as("vid"))
+      .distinct()
+    val dotL = "aggregate(zip_with(%s, %s, (x, y) -> x * y), 0L, (acc, z) -> acc + z)"
+    val scored = candIds
+      .join(iv.select(col("vec_id").as("qid"), col("v").as("va")), Seq("qid"))
+      .join(iv.select(col("vec_id").as("vid"), col("v").as("vb")), Seq("vid"))
+      .select(col("qid"), col("vid"),
+        expr(dotL.format("va", "vb")).as("dot"),
+        expr(dotL.format("va", "va")).as("na2"),
+        expr(dotL.format("vb", "vb")).as("nb2"))
+      .filter(assert_true(col("na2") <= MaxNormTopk2 && col("nb2") <= MaxNormTopk2,
+          lit(s"quantized norm exceeds MaxNormTopk2=$MaxNormTopk2: int64 score would overflow")).isNull &&
+        col("na2") > 0 && col("nb2") > 0)
+      .select(col("qid"), col("vid"),
+        (when(col("dot") >= 0, lit(1L)).otherwise(lit(-1L)) *
+          expr("(10000 * dot * dot) div (na2 * nb2)")).as("score_bp"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(desc("score_bp"), asc_nulls_first("vid"))
+    // rnk cast to BIGINT: Spark row_number is int32, DuckDB's is int64
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .orderBy(asc_nulls_first("qid"), asc("rnk"))
+  }
+
+  private val q234 = Q(
+    "q234_lsh_topk_oracle",
+    (s, dir) => annTopKExact(s, T(s, dir, "embeddings"), 10),
+    Some(s"""WITH base AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings),
+      iv AS (SELECT vec_id,
+               list_transform(range(1, ${Dim + 1}),
+                 i -> floor(coalesce(e[CAST(i AS INTEGER)], 0) * 1000)) AS v
+             FROM base),
+      pl AS (
+        SELECT tjs.tj, ds.d,
+          (((((tjs.tj * $Dim + ds.d + 1) * 2654435761) % $PlaneP)
+              * (((tjs.tj * $Dim + ds.d + 1) * 2654435761) % $PlaneP) % $PlaneP)
+            * 1103515245 + 12345) % $PlaneP - ${(PlaneP - 1) / 2} AS w
+        FROM (SELECT unnest(range(0, ${TablesExact * BitsExact})) AS tj) tjs,
+             (SELECT unnest(range(0, $Dim)) AS d) ds),
+      pls AS (
+        SELECT tj, list(CAST(w AS DOUBLE) ORDER BY d) AS pw
+        FROM pl GROUP BY tj),
+      bits AS (
+        SELECT iv.vec_id, pls.tj // $BitsExact AS t, pls.tj % $BitsExact AS j,
+               CASE WHEN list_dot_product(iv.v, pls.pw) > 0 THEN 1 ELSE 0 END AS bit
+        FROM iv CROSS JOIN pls),
+      keys AS (
+        SELECT vec_id, t, SUM(bit * (CAST(1 AS BIGINT) << CAST(j AS INTEGER))) AS bucket
+        FROM bits GROUP BY vec_id, t),
+      cand AS (
+        SELECT DISTINCT q.vec_id AS qid, c.vec_id AS vid
+        FROM keys q JOIN keys c
+          ON q.t = c.t AND q.bucket = c.bucket AND c.vec_id <> q.vec_id
+        WHERE q.vec_id < 5),
+      sc AS (
+        SELECT cand.qid, cand.vid,
+               CAST(list_dot_product(va.v, vb.v) AS BIGINT) AS dot,
+               CAST(list_dot_product(va.v, va.v) AS BIGINT) AS na2,
+               CAST(list_dot_product(vb.v, vb.v) AS BIGINT) AS nb2
+        FROM cand
+        JOIN iv va ON va.vec_id = cand.qid
+        JOIN iv vb ON vb.vec_id = cand.vid
+        WHERE CAST(list_dot_product(va.v, va.v) AS BIGINT) > 0
+          AND CAST(list_dot_product(vb.v, vb.v) AS BIGINT) > 0),
+      scb AS (
+        SELECT qid, vid,
+               CASE WHEN dot >= 0 THEN (10000 * dot * dot) // (na2 * nb2)
+                    ELSE -((10000 * dot * dot) // (na2 * nb2)) END AS score_bp
+        FROM sc),
+      rk AS (
+        SELECT qid, vid, score_bp,
+               row_number() OVER (PARTITION BY qid
+                 ORDER BY score_bp DESC, vid ASC NULLS FIRST) AS rnk
+        FROM scb)
+      SELECT qid, vid, score_bp, rnk FROM rk WHERE rnk <= 10
+      ORDER BY qid ASC NULLS FIRST, rnk ASC"""),
+    "LSH ANN top-k under the oracle gate: q205's integer-exact hyperplane buckets + candidate gather + float-free quantized-cos^2 ranking — the whole q30 pipeline shape hash-checked")
 
   // ---- containment detection via winnowing fingerprints -----------------
 
@@ -1716,6 +1825,6 @@ object Dedup {
       ORDER BY doc_a ASC NULLS FIRST, doc_b ASC NULLS FIRST"""),
     "prefix-filtering set-similarity join (PPJoin family): EXACT candidate generation (lossless-superset theorem), rarest-first prefixes bound the join; oracle answers all-pairs declaratively")
 
-  val all: Seq[Q] = Seq(q24, q25, q26, q27, q30, q205, q206, q207, q208, q210, q92, q93, q94, q101, q135, q163,
+  val all: Seq[Q] = Seq(q24, q25, q26, q27, q30, q205, q206, q207, q208, q210, q234, q92, q93, q94, q101, q135, q163,
     q179, q215)
 }
