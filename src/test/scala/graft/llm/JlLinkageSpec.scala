@@ -27,9 +27,9 @@ class JlLinkageSpec extends AnyFunSuite {
 
   test("q231: every typo-damaged probe links back to its source record at sf0.01") {
     val df = SparkEntry.queries("q231_record_linkage")(spark, dir)
-    val r = df.agg(count(lit(1)), sum(col("correct")), min(col("jw"))).head()
+    val r = df.agg(count(lit(1)), sum(col("correct")), min(col("jw_bp"))).head()
     assert(r.getLong(0) === 150L) // custkey % 10 = 7 of 1500
     assert(r.getLong(1) === 150L, "a probe matched a foreign record")
-    assert(r.getDouble(2) >= 0.9)
+    assert(r.getLong(2) >= 9000L) // floored basis points (r12 quantization)
   }
 }
