@@ -306,12 +306,17 @@ object Mmr {
         s"CAST(list_sum([ (x[1] - x[2]) * (x[1] - x[2]) FOR x IN list_zip($p, $c) ]) AS BIGINT)"
       val steps = (2 to KcK).map { i =>
         val mPrev = s"m${i - 1}"
+        // the single center row is joined out in a derived table BEFORE
+        // touching p: written as `p, iv c, cN WHERE c.vec_id = cN.cid`,
+        // DuckDB at sf1 planned the 20k x 20k p x c cross product first
+        // and spilled ~80 GB of 64-element lists to temp disk before the
+        // cid filter ran
         val upd =
           if (i < KcK)
             s""",
            m$i AS MATERIALIZED (
              SELECT p.vec_id, p.q, LEAST(p.md, ${dist("p.q", "c.q")}) AS md
-             FROM $mPrev p, iv c, c$i WHERE c.vec_id = c$i.cid)"""
+             FROM $mPrev p, (SELECT iv.q FROM iv, c$i WHERE iv.vec_id = c$i.cid) c)"""
           else ""
         s"""c$i AS (SELECT vec_id AS cid, md FROM $mPrev
              WHERE vec_id NOT IN (SELECT cid FROM chosen${i - 1})
@@ -330,7 +335,7 @@ object Mmr {
       chosen1 AS (SELECT cid FROM c1),
       m1 AS MATERIALIZED (
         SELECT p.vec_id, p.q, ${dist("p.q", "c.q")} AS md
-        FROM iv p, iv c, c1 WHERE c.vec_id = c1.cid),
+        FROM iv p, (SELECT iv.q FROM iv, c1 WHERE iv.vec_id = c1.cid) c),
       $steps
       SELECT CAST(step AS BIGINT) AS step, center_id, maximin_d2 FROM (
         SELECT 1 AS step, cid AS center_id, CAST(0 AS BIGINT) AS maximin_d2 FROM c1
