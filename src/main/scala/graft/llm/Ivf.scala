@@ -176,9 +176,14 @@ object Ivf {
     * ≤ 6.4·10⁷, double-exact), ties broken to the smaller list / vec id.
     * A wrong assignment, a missed probe list, or a mis-ranked candidate
     * shifts a row and breaks the hash. Same scale shape as q31: map-side
-    * assignment, probe equi-join on list_id, bounded per-query window. */
+    * assignment, probe equi-join on list_id, bounded per-query window.
+    * The input is T.spread: a single-file fixture is ONE row group =
+    * one scan task, and everything up to the first exchange (assign
+    * UDF, candidate join, per-pair L2) would run single-threaded —
+    * measured 21.9 s at sf1 before the spread. */
   def ivfRoutingExact(emb: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val spreadEmb = graft.T.spread(emb.sparkSession, emb)
     val cents: Array[Array[Long]] = Array.tabulate(NumLists)(j =>
       Array.tabulate(64)(d =>
         (((j.toLong * 64 + d + 1) * 2654435761L) % 2147483647L) % 2001L - 1000L))
@@ -204,7 +209,7 @@ object Ivf {
         (j, s)
       }.sortBy(t => (t._2, t._1)).take(2).map(_._1).toArray
     })
-    val iv = emb.select(col("vec_id"),
+    val iv = spreadEmb.select(col("vec_id"),
       expr("transform(sequence(1, 64), i -> cast(floor(coalesce(try_element_at(cast(embedding as array<double>), i), 0d) * 1000d) AS bigint))").as("v"))
     val assigned = iv.select(col("vec_id"), col("v"), assignUdf(col("v")).as("list_id"))
     val probes = iv.filter(col("vec_id") % 50 === 0)
@@ -290,9 +295,13 @@ object Ivf {
     * the list_id equi-join, the LUT join carries (qid, g, c, d²) scalars
     * and AQE broadcasts the bounded query side, and the per-query window
     * is rank ≤ 5. The shuffles carry ids and 4-code arrays, never
-    * vectors. */
+    * vectors. The input is T.spread for the q218 reason: single-file
+    * fixtures made the scan-side pipeline (encode UDF, candidate join,
+    * code explode, LUT join, partial agg) ONE task — measured 111 s at
+    * sf1 before the spread. */
   def ivfPqAdcExact(emb: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val spreadEmb = graft.T.spread(emb.sparkSession, emb)
     val cents: Array[Array[Long]] = Array.tabulate(NumLists)(j =>
       Array.tabulate(64)(d =>
         (((j.toLong * 64 + d + 1) * 2654435761L) % 2147483647L) % 2001L - 1000L))
@@ -336,24 +345,26 @@ object Ivf {
       }
       best
     })
-    val lutUdf = udf((v: Seq[Long]) =>
-      (for { g <- 0 until 4; c <- 0 until 16 } yield (g, c, subD2(v, g, c))).toArray)
-    val iv = emb.select(col("vec_id"),
+    // flat 64-entry LUT per query, index g*16 + c — rides a broadcast so
+    // each candidate's ADC is literally 4 element_at lookups, no explode,
+    // no per-(g,c) join, no re-aggregation
+    val lutUdf = udf((v: Seq[Long]) => Array.tabulate(64)(i => subD2(v, i / 16, i % 16)))
+    val iv = spreadEmb.select(col("vec_id"),
       expr("transform(sequence(1, 64), i -> cast(floor(coalesce(try_element_at(cast(embedding as array<double>), i), 0d) * 1000d) AS bigint))").as("v"))
     val assigned = iv.select(col("vec_id"),
       assignUdf(col("v")).as("list_id"), encodeUdf(col("v")).as("codes"))
     val qiv = iv.filter(col("vec_id") % 50 === 0)
     val probes = qiv.select(col("vec_id").as("qid"),
       explode(probeUdf(col("v"))).as("list_id"))
-    val lut = qiv.select(col("vec_id").as("qid"), explode(lutUdf(col("v"))).as("e"))
-      .select(col("qid"), col("e._1").as("g"), col("e._2").as("c"),
-        col("e._3").as("lutd2"))
+    val lut = qiv.select(col("vec_id").as("qid"), lutUdf(col("v")).as("l"))
     val cand = assigned.join(probes, Seq("list_id"))
       .filter(col("vec_id") =!= col("qid"))
+      .join(broadcast(lut), Seq("qid"))
       .select(col("qid"), col("vec_id").as("vid"),
-        posexplode(col("codes")).as(Seq("g", "c")))
-      .join(lut, Seq("qid", "g", "c"))
-      .groupBy(col("qid"), col("vid")).agg(sum(col("lutd2")).as("adc_d2"))
+        expr("element_at(l, cast(codes[0] as int) + 1) + " +
+          "element_at(l, cast(codes[1] as int) + 17) + " +
+          "element_at(l, cast(codes[2] as int) + 33) + " +
+          "element_at(l, cast(codes[3] as int) + 49)").as("adc_d2"))
     val w = Window.partitionBy(col("qid"))
       .orderBy(asc_nulls_first("adc_d2"), asc_nulls_first("vid"))
     cand.withColumn("rank", row_number().over(w).cast("long")).filter(col("rank") <= 5)
