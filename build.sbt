@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output normally goes through sbt's logger, which prefixes
+// every stdout line with "[info] " — that prefix is why the driver's
+// per-round bench parse failed every round (it json.loads lines from the
+// run log; "[info] {...}" never parses even when the JSON line is
+// complete in its capture window — see BENCH_r01/r04/r05/r06 tails).
+// StdoutOutput inherits sbt's raw stdout/stderr, so graft.Bench's JSON
+// lines reach the log verbatim.
+run / connectInput := false
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -23,7 +23,7 @@ object Bench {
     // micro-batch init) must not land on the first measured queries — in
     // round 1 they landed on q40 and inflated it 62 s vs its 2 s steady
     // state. Run representative queries at the smallest sf first.
-    spark.range(1000).selectExpr("sum(id)").collect()
+    // (The trivial-action warm-up now lives in Sessions.build.)
     val warmDir = sfDir.replaceAll("sf[0-9.]+", "sf0.001")
     // The streaming entries cover distinct state-store/operator inits
     // (tumbling agg, flatMapGroupsWithState, stream-stream join,
@@ -104,12 +104,23 @@ object Bench {
     // Locale.ROOT: the f-interpolator uses the JVM default locale, which
     // under e.g. de_DE renders "12,34" — invalid JSON for the driver parser.
     def r2(x: Double): String = String.format(java.util.Locale.ROOT, "%.2f", Double.box(x))
-    // The driver captures only the last ~2000 chars of the sbt log and
-    // parses the JSON line out of that tail (rounds 1-3 overflowed it →
-    // "parsed": null). Keep the line SHORT: qNN short keys (the "qNN_"
-    // prefix is unique per query) and 2-decimal seconds. Full-fidelity
-    // per-query detail (long names, min AND median per rep set) goes to
-    // BENCH_DETAIL.json next to the repo for human/judge inspection.
+    // Driver-capture facts (measured from BENCH_r01..r12 artifacts): the
+    // driver stores the last ~2000 chars of the sbt log as "tail" and
+    // json-parses lines out of the run log into "parsed". Every round
+    // parsed null — including r01/r04/r05/r06 where the COMPLETE JSON
+    // line sat inside the tail — because sbt's logger prefixed it with
+    // "[info] ". build.sbt now forks with OutputStrategy.StdoutOutput so
+    // these lines reach the log verbatim. Emit TWO lines, both raw JSON:
+    //  1. the full headline (all queries, short qNN keys, 2-decimal s) —
+    //     a parser scanning the whole log gets the complete map;
+    //  2. a short trailer guaranteed to fit the 2000-char tail window
+    //     (headline totals + the slowest queries + a pointer), so a
+    //     parser that only sees the tail still gets a non-null result
+    //     (the full line is ~3000 chars and cannot fit 225 keyed entries
+    //     in that window; sbt's closing "[success] Total time..." line
+    //     eats ~80 chars of it too).
+    // Full-fidelity per-query detail (long names, min AND median AND cold
+    // per rep set, memory/spill) goes to BENCH_DETAIL.json in the repo.
     def shortKey(n: String): String = n.takeWhile(_ != '_')
     def jmap(f: List[Double] => Double): String =
       names.map(n => "\"" + shortKey(n) + "\":" + r2(f(times.getOrElse(n, List(0.0)))))
@@ -167,10 +178,19 @@ object Bench {
       val p = java.nio.file.Paths.get("BENCH_DETAIL.json")
       java.nio.file.Files.write(p, detail.getBytes("UTF-8"))
     } catch { case _: Throwable => () }
+    val common = s""""total_min":${r2(totalMin)},"total_median":${r2(totalMedian)},""" +
+      s""""reps":$reps,"failed":$failedJson,"sf":$sfNum"""
     println(s"""{"metric":"total","value":${r2(totalMin)},"unit":"sec",""" +
-      s""""queries":${jmap(_.min)},""" +
-      s""""total_min":${r2(totalMin)},"total_median":${r2(totalMedian)},"reps":$reps,""" +
-      s""""failed":$failedJson,"sf":$sfNum}""")
+      s""""queries":${jmap(_.min)},$common}""")
+    // Trailer sized for the tail window: 25 slowest queries keyed by qNN
+    // is < 500 chars; total line stays well under ~1500.
+    val slowest = names.sortBy(n => -times.getOrElse(n, List(0.0)).min).take(25)
+    val topJson = slowest.map(n =>
+      "\"" + shortKey(n) + "\":" + r2(times.getOrElse(n, List(0.0)).min))
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${r2(totalMin)},"unit":"sec",""" +
+      s""""n_queries":${names.size},"queries_slowest":$topJson,""" +
+      s""""queries_full":"previous JSON line + BENCH_DETAIL.json",$common}""")
     spark.stop()
   }
 }

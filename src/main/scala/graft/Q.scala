@@ -124,6 +124,15 @@ object Sessions {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    // Warm the session with one trivial action before handing it out.
+    // Measured (tools/Repro): in a COLD session, a union-with-filter plan
+    // (q205/q234's planted branch) written via coalesce(1).write dies
+    // inside Spark's UnionBase.rewriteConstraints with "key not found:
+    // embedding#1" — an exprId-sensitive constraint-rewrite quirk that any
+    // prior action makes unreachable. Centralized here so EVERY entrypoint
+    // (Verify, Bench, tests, REPL) gets the mitigation, not just the ones
+    // that remembered to add it. Costs ~ms on an already-warm session.
+    s.range(1000).selectExpr("sum(id)").collect()
     s
   }
 }

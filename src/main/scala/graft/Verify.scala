@@ -10,15 +10,9 @@ object Verify {
     val only: Option[Set[String]] =
       if (args.length > 2) Some(args(2).split(",").toSet) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // Sessions.build runs the cold-session constraint-rewrite warm-up
+    // (see its scaladoc) — no per-entrypoint warm-up needed here.
     val spark = Sessions.build(s"local[$cpus]", cpus.toInt)
-    // Warm the session with one trivial action before any real query.
-    // Measured (tools/Repro): in a COLD session, a union-with-filter plan
-    // (q205's planted branch) written via coalesce(1).write dies inside
-    // Spark's UnionBase.rewriteConstraints with "key not found:
-    // embedding#1" — an exprId-sensitive constraint-rewrite quirk that
-    // any prior action makes unreachable (Scratch and Bench already run
-    // one; a filtered single-query Verify previously did not).
-    spark.range(1000).selectExpr("sum(id)").collect()
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }

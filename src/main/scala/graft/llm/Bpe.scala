@@ -32,13 +32,31 @@ object Bpe {
   private def toSymbols(word: String): Seq[String] =
     word.map(_.toString) :+ Eow
 
+  /** Hard cap on the driver-side distinct-word vocabulary [[train]] may
+    * materialize (the Manifest.guarded pattern). ~1M (word, freq) pairs is
+    * tens of MB — comfortable on any driver; a training SAMPLE that
+    * produces more distinct words than this is not a sample, it's the
+    * corpus, and the documented sampling assumption has been violated.
+    * Takes effect mechanically, not by scaladoc promise. */
+  val MaxTrainVocab: Int = 1000000
+
   /** Train `numMerges` merges from a (word, freq) table; returns the
     * ordered merge list. Deterministic: ties on pair count break
     * lexicographically. */
-  def train(s: SparkSession, wordFreq: DataFrame, numMerges: Int): Seq[(String, String)] = {
+  def train(s: SparkSession, wordFreq: DataFrame, numMerges: Int,
+      maxVocab: Int = MaxTrainVocab): Seq[(String, String)] = {
     import s.implicits._
-    var words = wordFreq.select(col("word"), col("freq"))
-      .as[(String, Long)].collect()
+    // limit-capped BEFORE the collect so the driver never holds more than
+    // maxVocab+1 rows no matter how mis-sized the input (Long-safe +1)
+    val probe = math.min(maxVocab.toLong + 1L, Int.MaxValue.toLong).toInt
+    val collected = wordFreq.select(col("word"), col("freq"))
+      .as[(String, Long)].limit(probe).collect()
+    require(collected.length <= maxVocab,
+      s"BPE training vocabulary exceeds $maxVocab distinct words — train " +
+        "on a deterministic corpus sample (production BPE trainers " +
+        "sample for exactly this reason; see q78's doc_id % 10 sample), " +
+        "or raise maxVocab deliberately if the driver heap is sized for it")
+    var words = collected
       .map { case (w, f) => (toSymbols(w).toArray, f) }
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     // the vocabulary table is driver-bounded here (distinct words of the

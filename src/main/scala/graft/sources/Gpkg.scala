@@ -125,7 +125,11 @@ object Gpkg {
     val schema = df.schema
     require(schema.fieldNames.contains(geomCol), s"missing geometry column $geomCol")
     require(schema.fieldNames.contains(sridCol), s"missing srid column $sridCol")
-    val collected = df.limit(maxRows + 1).collect()
+    // Long-safe +1: maxRows = Int.MaxValue is the natural "cap disabled"
+    // spelling the error message below invites — maxRows + 1 would wrap
+    // negative and fail limit() with an unrelated AnalysisException.
+    val probe = math.min(maxRows.toLong + 1L, Int.MaxValue.toLong).toInt
+    val collected = df.limit(probe).collect()
     require(collected.length <= maxRows,
       s"layer $layer exceeds $maxRows rows — a single-file GeoPackage is " +
         "a driver-side delivery artifact, not a bulk sink: write the " +

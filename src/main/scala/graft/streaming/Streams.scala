@@ -268,6 +268,49 @@ object Streams {
     math.ceil(24.0 / bucketHours).toInt
   }
 
+  /** Row budget one (user, bucket) state key may hold before the width
+    * heuristic narrows the bucket: ~256k quote rows ≈ 13 MB of state and
+    * a bounded per-key match loop — comfortable for one state-store
+    * partition at executor-memory scale. */
+  val DefaultStateKeyRowBudget: Long = 1L << 18
+
+  /** Derive `bucketHours` from the observed hot-entity event rate —
+    * SCALE.md's "shrink width until rate × (bucketHours + 24 h) fits one
+    * state partition" rule as a function instead of an operator's-manual
+    * note. The manual knob on the three interval joins stays as override;
+    * any derived width returns q65/q168/q198's exact answers by the
+    * width-invariance law (gated by q214/q223/q224 and
+    * `BucketedOuterJoinSpec`).
+    *
+    * The hot rate comes from one CMS sketch pass over (user, hour) keys —
+    * the q77 heavy-hitter machinery: map-combinable, sketch-sized driver
+    * state, no exact per-key shuffle at plan time. The hottest key's
+    * hourly count is upper-bounded WITHOUT enumerating candidates: every
+    * key adds its full count to exactly one cell per CMS row, so each
+    * row's max cell ≥ the hottest key's count, and the min over rows
+    * tightens collision inflation. Over-estimate ⇒ narrower buckets ⇒
+    * finer state sharding — errs on the safe side.
+    *
+    * Returns the WIDEST width in [1, 24] whose per-key state bound
+    * `hotHourly × (width + 24 h lookback)` fits the budget (wider = fewer
+    * trade probe rows, so narrow only when the hot key forces it); floors
+    * at 1 h when even that does not fit — the scheme's finest shard. */
+  def deriveBucketHours(s: SparkSession, dir: String,
+      maxRowsPerStateKey: Long = DefaultStateKeyRowBudget): Int = {
+    import s.implicits._
+    import graft.llm.Sketches
+    val tokens = T(s, dir, "events").select(concat_ws(":",
+      col("user_id").cast("string"),
+      floor(unix_micros(date_trunc("second", col("ts"))) /
+        lit(3600L * 1000000L)).cast("string")).as("value"))
+    val cms = tokens.as[String].select(Sketches.cmsAgg.toColumn).head()
+    val hotHourly = (0 until Sketches.Depth)
+      .map(r => cms.slice(r * Sketches.Width, (r + 1) * Sketches.Width).max)
+      .min
+    (24 to 1 by -1).find(w => hotHourly * (w + 24L) <= maxRowsPerStateKey)
+      .getOrElse(1)
+  }
+
   private def bucketExpr(bucketHours: Int) =
     floor(expr("unix_micros(cast(tss as timestamp))") /
       (bucketHours.toLong * 3600L * 1000000L)).cast("long")

@@ -41,6 +41,21 @@ class BpeSpec extends AnyFunSuite {
     assert(counts.getLong(1) <= 8, s"encoded token count ${counts.getLong(1)}")
   }
 
+  test("train caps the driver-side vocabulary collect (Manifest.guarded pattern)") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c d e f g h")).toDF("doc_id", "text")
+    val wf = Bpe.wordFrequencies(docs) // 8 distinct words
+    // under the cap: trains normally
+    assert(Bpe.train(spark, wf, 2, maxVocab = 8).size === 2)
+    // over the cap: loud, actionable failure instead of an unbounded collect
+    val e = intercept[IllegalArgumentException] {
+      Bpe.train(spark, wf, 2, maxVocab = 7)
+    }
+    assert(e.getMessage.contains("exceeds 7 distinct words"))
+    // at-maximum cap must not overflow the limit arithmetic
+    assert(Bpe.train(spark, wf, 1, maxVocab = Int.MaxValue).size <= 1)
+  }
+
   test("encode counts tokens per doc with word-boundary markers intact") {
     import spark.implicits._
     val docs = Seq((1L, "aa bb"), (2L, "aa aa aa")).toDF("doc_id", "text")

@@ -71,6 +71,10 @@ class GpkgSpec extends AnyFunSuite {
     // at-cap succeeds: the guard collects cap+1 rows, never more
     Gpkg.writeLayer(parcels, out, "parcels", maxRows = n.toInt)
     assert(Gpkg.readLayer(spark, out, "parcels").count() == n)
+    // cap-disabled spelling: maxRows = Int.MaxValue must not overflow the
+    // limit arithmetic (maxRows + 1 would wrap negative) — it writes fine
+    Gpkg.writeLayer(parcels, out, "parcels", maxRows = Int.MaxValue)
+    assert(Gpkg.readLayer(spark, out, "parcels").count() == n)
   }
 
   test("writer: multi-leaf + overflow payloads round trip through the reader") {

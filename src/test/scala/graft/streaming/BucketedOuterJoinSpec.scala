@@ -58,6 +58,30 @@ class BucketedOuterJoinSpec extends AnyFunSuite {
     assert(w24.getLong(2) > 0L, "no unmatched quotes in fixture")
   }
 
+  test("deriveBucketHours picks the widest width whose state bound fits, and joins green at it") {
+    // generous budget: nothing forces narrowing → the 24 h default
+    assert(Streams.deriveBucketHours(spark, dir, maxRowsPerStateKey = Long.MaxValue) === 24)
+    // impossible budget: even 1 h doesn't fit → floors at the finest shard
+    assert(Streams.deriveBucketHours(spark, dir, maxRowsPerStateKey = 0L) === 1)
+    // the real heuristic on the fixture: monotone in the budget, in range
+    val derived = Streams.deriveBucketHours(spark, dir)
+    assert(derived >= 1 && derived <= 24)
+    // hotHourly on sf0.001 is tiny, so the default budget must not narrow
+    assert(derived === 24)
+    // an intermediate budget that forces narrowing: hotHourly ≥ 1 on any
+    // non-empty fixture, so budget 30 admits w ≤ 6 when hotHourly == 1,
+    // narrower when hotter — and whatever width comes out, the join
+    // answer is unchanged (the width-invariance law, exercised here at a
+    // DERIVED width rather than a hand-picked one)
+    val narrow = Streams.deriveBucketHours(spark, dir, maxRowsPerStateKey = 30L)
+    assert(narrow < 24)
+    val w24 = Streams.streamIntervalJoin(spark, dir).collect()
+    val wd = Streams.streamIntervalJoin(spark, dir, bucketHours = narrow).collect()
+    def key(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(key(wd) == key(w24))
+  }
+
   test("bucketHours outside [1, 24] is rejected loudly") {
     val e = intercept[IllegalArgumentException] {
       Streams.streamIntervalJoin(spark, dir, bucketHours = 0).collect()
