@@ -163,23 +163,47 @@ object Spatial {
 
   /** Elevation raster-as-table (FIXTURES.md §A5) with ~2% null cells.
     * Each of the 5 admin strips (vertical, by longitude) gets a distinct
-    * +90 m/strip base trend — without it every strip's sin/hash noise
-    * averages to the same mean and the downstream histogram (q42)
-    * degenerates to a single bin. */
+    * +90 m/strip base trend — without it every strip's noise averages to
+    * the same mean and the downstream histogram (q42) degenerates to a
+    * single bin.
+    *
+    * ENGINE-NEUTRAL since r13 (the q212/q213 jittered-grid technique
+    * applied to the raster fixture): the null pattern and both noise
+    * terms are LCG-mod-prime integer arithmetic instead of xxhash64+sin,
+    * and the grid size derives from the events TABLE row count
+    * ([[elevationNx]]: 6 cells per event row, 10k floor — numerically
+    * identical to the previous 6e6·sf on every driver dir, and now
+    * consistent on fixtures whose dir name carries no sf) — so the whole
+    * raster is replayable in DuckDB from the same parquet and q41/q42
+    * run under DIRECT oracles instead of rows-only + twin. Every elev
+    * value is a rational with prime denominator (99991/99989) built by
+    * the same IEEE expression shape in both engines; noise amplitudes
+    * match the old fixture (±180 m + [0,260) m on a 120+90/strip base). */
   def elevation(s: SparkSession, sfDir: String): DataFrame = {
-    val nCells = math.max(10000, (6000000 * sfFactor(sfDir)).toLong)
-    val nx = math.ceil(math.sqrt(nCells.toDouble)).toInt
+    val nx = elevationNx(s, sfDir)
     val dLon = (lonMax - lonMin) / nx
     val dLat = (latMax - latMin) / nx
     s.range(nx.toLong * nx)
       .select(
         (lit(lonMin) + (col("id") % nx) * dLon + dLon / 2).as("cell_lon"),
         (lit(latMin) + floor(col("id") / nx) * dLat + dLat / 2).as("cell_lat"),
-        when(pmod(xxhash64(col("id"), lit(9)), lit(53)) === 0, lit(null).cast(DoubleType))
+        when(pmod(col("id") * 1103515245L + 12345L, lit(99991L)) % 53 === 0,
+            lit(null).cast(DoubleType))
           .otherwise(lit(120.0)
             + floor((col("id") % nx) / math.max(1, nx / 5)) * 90.0
-            + sin(col("id").cast(DoubleType) * 0.37) * 180.0
-            + u(col("id"), 5) * 260.0).as("elev"))
+            + (pmod(col("id") * 69069L + 12345L, lit(99991L)).cast(DoubleType)
+                / 99991.0 - 0.5) * 360.0
+            + pmod(col("id") * 1103515245L + 54321L, lit(99989L)).cast(DoubleType)
+                / 99989.0 * 260.0).as("elev"))
+  }
+
+  /** Raster grid side length: ceil(sqrt(max(10k, 6·|events|))) — the one
+    * size parameter both the engine and the DuckDB oracle must agree on,
+    * so it comes from the DATA (events row count: a metadata-only parquet
+    * count), never from parsing the dir name. */
+  private[ops] def elevationNx(s: SparkSession, sfDir: String): Int = {
+    val nEvents = s.read.parquet(s"$sfDir/events.parquet").count()
+    math.ceil(math.sqrt(math.max(10000L, 6L * nEvents).toDouble)).toInt
   }
 
   /** Admin regions (FIXTURES.md §A6): 5 vertical strips over the envelope
@@ -432,12 +456,15 @@ object Spatial {
     ).toDF("Metric", "Value")
   }
 
-  /** Zonal mean elevation per admin region (§3.3, R1 = J2 + A3). */
+  /** Zonal mean elevation per admin region (§3.3, R1 = J2 + A3). The mean
+    * is decimal-exact ([[exactMean]]) so the answer is summation-order-
+    * independent — the Q-scaladoc float-agg convention, required now that
+    * q41 carries a direct oracle. */
   def zonalElevation(s: SparkSession, sfDir: String): DataFrame =
     spatialJoin(elevation(s, sfDir).filter(col("elev").isNotNull),
       broadcast(admin(s, sfDir)), "cell_lon", "cell_lat", "geom", 0.01)
       .groupBy(col("name_1"))
-      .agg(round(avg(col("elev")), 4).as("mean_elevation"), count(lit(1)).as("n_cells"))
+      .agg(exactMean(col("elev")).as("mean_elevation"), count(lit(1)).as("n_cells"))
       .orderBy(asc_nulls_first("name_1"))
 
   /** Elevation histogram: 20 m left-closed bins of per-region means
@@ -453,15 +480,59 @@ object Spatial {
       .groupBy(col("bin")).agg(count(lit(1)).as("freq"))
       .orderBy(asc_nulls_first("bin"))
 
-  // ---- driver-contract queries (rows-only checks; oracle impossible in
-  // SQL because inputs are generated + geometric) --------------------------
+  /** DuckDB replay of the [[elevation]] raster joined to the [[admin]]
+    * strips — the shared CTE stack under q41/q42's DIRECT oracles. The
+    * grid size derives from the events row count exactly as
+    * [[elevationNx]]; every coordinate and noise term repeats the
+    * engine's IEEE expression shape (sqrt/ceil are correctly rounded,
+    * integer LCG arithmetic is exact, and the float products/sums are
+    * the same ops in the same order — identical doubles, not
+    * approximately-equal ones). Region assignment is the half-open
+    * [xmin, xmax) range predicate (the ray-cast boundary convention);
+    * cell centers sit 0.5·dLon off every strip edge ((i+0.5)/nx = k/5
+    * has no integer solution when 5 | nx, and the envelope floors keep
+    * 5 | nx on every driver fixture), so no containment decision is
+    * within float-ambiguity of a boundary. */
+  private val elevationZonalSql: String = {
+    val w = s"(($lonMax - $lonMin) / nx)"
+    s"""g AS (SELECT CAST(ceil(sqrt(GREATEST(10000, 6 * (SELECT COUNT(*) FROM events)))) AS BIGINT) AS nx),
+      cells AS (SELECT unnest(range(0, nx * nx)) AS id, nx FROM g),
+      e AS (SELECT $lonMin + (id % nx) * $w + $w / 2 AS cell_lon,
+                   120.0 + ((id % nx) // GREATEST(1, nx // 5)) * 90.0
+                     + (((id * 69069 + 12345) % 99991) / 99991.0 - 0.5) * 360.0
+                     + ((id * 1103515245 + 54321) % 99989) / 99989.0 * 260.0 AS elev
+            FROM cells
+            WHERE ((id * 1103515245 + 12345) % 99991) % 53 <> 0),
+      r AS (SELECT 'Region ' || CAST(i + 1 AS VARCHAR) AS name_1,
+                   $lonMin + i * (($lonMax - $lonMin) / 5) AS xmin,
+                   $lonMin + (i + 1) * (($lonMax - $lonMin) / 5) AS xmax
+            FROM generate_series(0, 4) t(i)),
+      z AS (SELECT name_1,
+                   round(CAST(SUM(CAST(elev AS DECIMAL(18,6))) AS DOUBLE) / COUNT(elev), 4) AS mean_elevation,
+                   COUNT(*) AS n_cells
+            FROM e JOIN r ON cell_lon >= xmin AND cell_lon < xmax
+            GROUP BY name_1)"""
+  }
+
+  // ---- driver-contract queries (q40/q43-q47 remain rows-only: their
+  // pipelines run xxhash64-jittered fixtures and/or the transverse-
+  // Mercator series, which no SQL engine reproduces bit-exactly — each
+  // is gated instead by a golden (q49/FlagshipGoldenSpec), an exact twin
+  // (q70/q71/q59/q60), or a composition twin (q200/q201/q212/q213)) ----
 
   private val q40 = Q("q40_flagship_report", (s, dir) => report(s, dir),
     None, "flagship §3.2 pipeline → summary report (ref load_report.py:452-523)")
   private val q41 = Q("q41_zonal_elevation", (s, dir) => zonalElevation(s, dir),
-    None, "R1 zonal mean via envelope-bucket spatial join (ref spatial_analysis_indonesia.r:50-56)")
+    Some(s"""WITH $elevationZonalSql
+      SELECT name_1, mean_elevation, n_cells FROM z
+      ORDER BY name_1 ASC NULLS FIRST"""),
+    "R1 zonal mean via envelope-bucket spatial join, DIRECT DuckDB oracle since r13 (ref spatial_analysis_indonesia.r:50-56)")
   private val q42 = Q("q42_elevation_histogram", (s, dir) => elevationHistogram(s, dir),
-    None, "A8 histogram of zonal means (ref spatial_analysis_indonesia.r:58-66)")
+    Some(s"""WITH $elevationZonalSql,
+      m AS (SELECT MIN(mean_elevation) AS mn FROM z)
+      SELECT CAST(floor((mean_elevation - mn) / 20.0) AS BIGINT) AS bin, COUNT(*) AS freq
+      FROM z, m GROUP BY 1 ORDER BY bin ASC NULLS FIRST"""),
+    "A8 histogram of zonal means, DIRECT DuckDB oracle since r13 (ref spatial_analysis_indonesia.r:58-66)")
   private val q43 = Q("q43_ndvi_monthly", (s, dir) =>
     monthlyNdvi(s, dir, 2023).orderBy(asc_nulls_first("keterangan"), asc_nulls_first("month")),
     None, "R2 monthly NDVI with month-spine nulls (ref load_report.py:60-89)")
