@@ -76,6 +76,15 @@ object Crs {
     (x, y)
   }
 
+  // conformal → geodetic latitude series coefficients (hoisted so the
+  // SQL-oracle transcription below interpolates the IDENTICAL doubles
+  // utm50sInverse multiplies with)
+  private val e4 = e2 * e2; private val e6 = e4 * e2; private val e8 = e6 * e2
+  private val chiC2 = e2 / 2 + 5 * e4 / 24 + e6 / 12 + 13 * e8 / 360
+  private val chiC4 = 7 * e4 / 48 + 29 * e6 / 240 + 811 * e8 / 11520
+  private val chiC6 = 7 * e6 / 120 + 81 * e8 / 1120
+  private val chiC8 = 4279 * e8 / 161280
+
   /** Inverse transverse Mercator: (easting, northing) → (lonDeg, latDeg). */
   def utm50sInverse(x: Double, y: Double): (Double, Double) = {
     val xi = (y - falseNorthingSouth) / (k0 * A1)
@@ -91,14 +100,24 @@ object Crs {
     val chi = math.asin(math.sin(xiP) / math.cosh(etaP))
     val lam = math.atan2(math.sinh(etaP), math.cos(xiP))
     // conformal → geodetic latitude (series in e²; ~1e-9 rad accuracy)
-    val e4 = e2 * e2; val e6 = e4 * e2; val e8 = e6 * e2
     val phi = chi +
-      (e2 / 2 + 5 * e4 / 24 + e6 / 12 + 13 * e8 / 360) * math.sin(2 * chi) +
-      (7 * e4 / 48 + 29 * e6 / 240 + 811 * e8 / 11520) * math.sin(4 * chi) +
-      (7 * e6 / 120 + 81 * e8 / 1120) * math.sin(6 * chi) +
-      (4279 * e8 / 161280) * math.sin(8 * chi)
+      chiC2 * math.sin(2 * chi) +
+      chiC4 * math.sin(4 * chi) +
+      chiC6 * math.sin(6 * chi) +
+      chiC8 * math.sin(8 * chi)
     (math.toDegrees(lam + lon0_50), math.toDegrees(phi))
   }
+
+  /** Constants for SQL-oracle transcriptions of [[utm50sInverse]] /
+    * [[webMercatorForward]] (graft-internal): interpolating these exact
+    * doubles into oracle SQL keeps the replayed arithmetic on the same
+    * values the engine multiplies with. */
+  private[graft] def sqlOracleConsts: Map[String, Double] = Map(
+    "k0A1" -> k0 * A1,
+    "lon0" -> lon0_50,
+    "chiC2" -> chiC2, "chiC4" -> chiC4, "chiC6" -> chiC6, "chiC8" -> chiC8,
+    "beta1" -> beta(0), "beta2" -> beta(1), "beta3" -> beta(2),
+    "beta4" -> beta(3), "beta5" -> beta(4), "beta6" -> beta(5))
 
   private val R = 6378137.0 // spherical Web-Mercator radius
 

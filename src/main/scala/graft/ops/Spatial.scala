@@ -4,7 +4,7 @@ import graft.Q
 import graft.geo.{Crs, GeoFunctions => G}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DoubleType
+import org.apache.spark.sql.types.{DoubleType, LongType}
 
 /** Spatial fixtures + the reference's analytical core (SURVEY.md §2.6–2.7,
   * §3.2–3.3) re-expressed as set-oriented Spark dataflow.
@@ -55,9 +55,13 @@ object Spatial {
   // ---- fixtures ---------------------------------------------------------
 
   /** lu-style parcel table: id, KETERANGAN, LUSE, TEMA, geom (WKB, UTM50S),
-    * geom_srid. 31 rows at sf0.001 scaling linearly (FIXTURES.md §A1). */
+    * geom_srid. 31 rows at sf0.001 scaling linearly (FIXTURES.md §A1).
+    * Sized from the events TABLE row count since r13 ([[parcelCount]] —
+    * numerically identical to the old 31·sf/0.001 on every driver dir),
+    * so the q46 direct oracle and the q235 jitter oracle can rebuild the
+    * grid from the same parquet the engine reads. */
   def parcels(s: SparkSession, sfDir: String): DataFrame = {
-    val n = math.max(31, math.round(31 * sfFactor(sfDir) / 0.001).toInt)
+    val n = parcelCount(s, sfDir)
     val cols = math.ceil(math.sqrt(n.toDouble)).toInt
     val rows = math.ceil(n.toDouble / cols).toInt
     val cellW = (XMax - XMin) / cols
@@ -204,6 +208,14 @@ object Spatial {
   private[ops] def elevationNx(s: SparkSession, sfDir: String): Int = {
     val nEvents = s.read.parquet(s"$sfDir/events.parquet").count()
     math.ceil(math.sqrt(math.max(10000L, 6L * nEvents).toDouble)).toInt
+  }
+
+  /** Parcel count: max(31, round(31·|events|/1000)) — same data-derived
+    * convention as [[elevationNx]] (≡ the old 31·sf/0.001 on every
+    * driver dir). */
+  private[ops] def parcelCount(s: SparkSession, sfDir: String): Int = {
+    val nEvents = s.read.parquet(s"$sfDir/events.parquet").count()
+    math.max(31L, math.round(31.0 * nEvents / 1000.0)).toInt
   }
 
   /** Admin regions (FIXTURES.md §A6): 5 vertical strips over the envelope
@@ -514,11 +526,208 @@ object Spatial {
             GROUP BY name_1)"""
   }
 
-  // ---- driver-contract queries (q40/q43-q47 remain rows-only: their
-  // pipelines run xxhash64-jittered fixtures and/or the transverse-
-  // Mercator series, which no SQL engine reproduces bit-exactly — each
-  // is gated instead by a golden (q49/FlagshipGoldenSpec), an exact twin
-  // (q70/q71/q59/q60), or a composition twin (q200/q201/q212/q213)) ----
+  /** DuckDB replay of the [[parcels]] jittered grid — the q212/q213
+    * fixture-twin technique upgraded with [[XxSql]]: the REAL xxhash64
+    * jitter is replayed bit-exactly (HUGEINT limb arithmetic), no LCG
+    * stand-in, so q46/q235 gate the fixture itself. Returns
+    * (cte-prefix, last-cte, cxCol, cyCol); the last CTE carries one row
+    * per parcel with 0-based id, cols/cellw/cellh/half, and the jittered
+    * center columns. */
+  private val parcelGridSql: (String, String, String, String) = {
+    val head = s"""pg0 AS (
+      SELECT CAST(GREATEST(31, round(31.0 * (SELECT COUNT(*) FROM events) / 1000.0)) AS BIGINT) AS n),
+    pg1 AS (SELECT n, CAST(ceil(sqrt(n)) AS BIGINT) AS cols FROM pg0),
+    pg2 AS (SELECT n, cols, CAST(ceil(CAST(n AS DOUBLE) / cols) AS BIGINT) AS rows,
+                   ($XMax - $XMin) / cols AS cellw FROM pg1),
+    pg3 AS (SELECT n, cols, rows, cellw, ($YMax - $YMin) / rows AS cellh,
+                   0.4 * LEAST(cellw, ($YMax - $YMin) / rows) AS half FROM pg2),
+    pg4 AS (SELECT unnest(range(0, n)) AS id, cols, cellw, cellh, half FROM pg3)"""
+    val st = new XxSql.Stages("pg4", "pj")
+    val u1 = XxSql.uniform(st, "id", 1)
+    val u2 = XxSql.uniform(st, "id", 2)
+    val cx = st.add(s"($XMin + (id % cols) * cellw + cellw / 2 + ($u1 - 0.5) * 0.1 * cellw)")
+    val cy = st.add(s"($YMin + (id // cols) * cellh + cellh / 2 + ($u2 - 0.5) * 0.1 * cellh)")
+    (head + ",\n" + st.sql, st.lastCte, cx, cy)
+  }
+
+  private def ketSql(idExpr: String): String =
+    keterangans.map(k => s"'$k'").mkString("[", ", ", "]") +
+      s"[CAST($idExpr % ${keterangans.size} AS INTEGER) + 1]"
+
+  /** [[Crs.utm50sInverse]] transcribed to SQL for corner columns: returns
+    * the (xiP, etaP) expression pair; sinh/cosh expand to exp (DuckDB has
+    * neither), which is one of the ≤1-ulp-per-call drift sources that
+    * make transform-dependent oracles quantize with margin. */
+  private def tmInverseSql(xCol: String, yCol: String): (String, String) = {
+    val c = graft.geo.Crs.sqlOracleConsts
+    val xi = s"(($yCol - 10000000.0) / ${c("k0A1")})"
+    val eta = s"(($xCol - 500000.0) / ${c("k0A1")})"
+    var xiP = xi
+    var etaP = eta
+    for (j <- 1 to 6) {
+      val b = c(s"beta$j")
+      val ch = s"((exp(${2 * j} * $eta) + exp(-(${2 * j} * $eta))) / 2)"
+      val sh = s"((exp(${2 * j} * $eta) - exp(-(${2 * j} * $eta))) / 2)"
+      xiP = s"($xiP - $b * sin(${2 * j} * $xi) * $ch)"
+      etaP = s"($etaP - $b * cos(${2 * j} * $xi) * $sh)"
+    }
+    (xiP, etaP)
+  }
+
+  /** q46's DIRECT oracle: grid → xxhash64 jitter → 4 corners → TM
+    * inverse → Web-Mercator forward → ring-ordered shoelace → per-
+    * category decimal sum, rounded to the reference's own 2-decimal ha
+    * convention (load_report.py's %.2f). Margin analysis: the only
+    * engine-vs-DuckDB divergence is libm (sin/cos/exp/asin/atan2/ln ≤
+    * 1 ulp per call, plus the exp-expanded sinh/cosh), worth ~1e-9 m per
+    * transformed coordinate → ≲1e-9 ha per category sum; the 0.005 ha
+    * rounding boundary leaves >6 orders of margin. The jitter's area
+    * effect (~1e-6 ha) is below this grain BY THE REFERENCE'S OWN
+    * OUTPUT CONVENTION — the jitter itself is gated exactly (to 1e-4 m,
+    * float-risk-free) by q235, whose arithmetic is transform-free. */
+  private val q46OracleSql: String = {
+    val (grid, gridLast, cx, cy) = parcelGridSql
+    val (xip, etap) = tmInverseSql("ux", "uy")
+    val c = graft.geo.Crs.sqlOracleConsts
+    s"""WITH $grid,
+    pc AS (SELECT id, ${ketSql("id")} AS keterangan, c.i AS ci,
+             CASE c.i WHEN 1 THEN $cx - half WHEN 2 THEN $cx + half
+                      WHEN 3 THEN $cx + half ELSE $cx - half END AS ux,
+             CASE c.i WHEN 1 THEN $cy - half WHEN 2 THEN $cy - half
+                      WHEN 3 THEN $cy + half ELSE $cy + half END AS uy
+           FROM $gridLast, (SELECT unnest([1, 2, 3, 4]) AS i) c),
+    pt0 AS (SELECT id, keterangan, ci, $xip AS xip, $etap AS etap FROM pc),
+    pt1 AS (SELECT id, keterangan, ci,
+             asin(sin(xip) / ((exp(etap) + exp(-etap)) / 2)) AS chi,
+             atan2((exp(etap) - exp(-etap)) / 2, cos(xip)) AS lam FROM pt0),
+    pt2 AS (SELECT id, keterangan, ci,
+             degrees(lam + ${c("lon0")}) AS lon,
+             degrees(chi + ${c("chiC2")} * sin(2 * chi) + ${c("chiC4")} * sin(4 * chi)
+               + ${c("chiC6")} * sin(6 * chi) + ${c("chiC8")} * sin(8 * chi)) AS lat FROM pt1),
+    pt3 AS (SELECT id, keterangan, ci,
+             6378137.0 * radians(lon) AS mx,
+             6378137.0 * ln(tan(pi() / 4 + radians(lat) / 2)) AS my FROM pt2),
+    psh AS (SELECT a.id, a.keterangan,
+             abs(SUM(a.mx * b.my - b.mx * a.my) / 2.0) / 10000.0 AS ha
+            FROM pt3 a JOIN pt3 b ON b.id = a.id AND b.ci = (a.ci % 4) + 1
+            GROUP BY a.id, a.keterangan)
+    SELECT keterangan,
+           round(CAST(SUM(CAST(ha AS DECIMAL(28,10))) AS DOUBLE), 2) AS area_ha,
+           COUNT(*) AS n_parcels
+    FROM psh GROUP BY keterangan ORDER BY keterangan ASC NULLS FIRST"""
+  }
+
+  /** q47's DIRECT oracle: the q46 chain up to 4326 (TM inverse only, no
+    * Mercator re-projection), then the shoelace centroid over the
+    * transformed quad's ring and min/max bounds, per-category decimal
+    * means at round(6). Margin: coordinates ~1e2 deg, libm drift
+    * ≤~1e-13 deg, rounding boundary 5e-7 — >6 orders. The SQL SUM's
+    * free association vs the engine's ring-order loop adds ≤ ulps,
+    * covered by the same margin; sa never vanishes (quads are
+    * near-rectangles ~1e-5 deg² in area). */
+  private val q47OracleSql: String = {
+    val (grid, gridLast, cx, cy) = parcelGridSql
+    val (xip, etap) = tmInverseSql("ux", "uy")
+    val c = graft.geo.Crs.sqlOracleConsts
+    s"""WITH $grid,
+    pc AS (SELECT id, ${ketSql("id")} AS keterangan, c.i AS ci,
+             CASE c.i WHEN 1 THEN $cx - half WHEN 2 THEN $cx + half
+                      WHEN 3 THEN $cx + half ELSE $cx - half END AS ux,
+             CASE c.i WHEN 1 THEN $cy - half WHEN 2 THEN $cy - half
+                      WHEN 3 THEN $cy + half ELSE $cy + half END AS uy
+           FROM $gridLast, (SELECT unnest([1, 2, 3, 4]) AS i) c),
+    pt0 AS (SELECT id, keterangan, ci, $xip AS xip, $etap AS etap FROM pc),
+    pt1 AS (SELECT id, keterangan, ci,
+             asin(sin(xip) / ((exp(etap) + exp(-etap)) / 2)) AS chi,
+             atan2((exp(etap) - exp(-etap)) / 2, cos(xip)) AS lam FROM pt0),
+    pt2 AS (SELECT id, keterangan, ci,
+             degrees(lam + ${c("lon0")}) AS lon,
+             degrees(chi + ${c("chiC2")} * sin(2 * chi) + ${c("chiC4")} * sin(4 * chi)
+               + ${c("chiC6")} * sin(6 * chi) + ${c("chiC8")} * sin(8 * chi)) AS lat FROM pt1),
+    pcn AS (SELECT a.id, a.keterangan,
+             SUM(a.lon * b.lat - b.lon * a.lat) / 2.0 AS sa,
+             SUM((a.lon + b.lon) * (a.lon * b.lat - b.lon * a.lat)) AS sx,
+             SUM((a.lat + b.lat) * (a.lon * b.lat - b.lon * a.lat)) AS sy
+            FROM pt2 a JOIN pt2 b ON b.id = a.id AND b.ci = (a.ci % 4) + 1
+            GROUP BY a.id, a.keterangan),
+    pctr AS (SELECT id, keterangan, sx / (6.0 * sa) AS cxv, sy / (6.0 * sa) AS cyv FROM pcn),
+    pbb AS (SELECT keterangan, MIN(lon) AS xmn, MIN(lat) AS ymn,
+                   MAX(lon) AS xmx, MAX(lat) AS ymx
+            FROM pt2 GROUP BY keterangan)
+    SELECT t.keterangan,
+           round(CAST(SUM(CAST(t.cxv AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*), 4) AS centroid_lon,
+           round(CAST(SUM(CAST(t.cyv AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*), 4) AS centroid_lat,
+           round(ANY_VALUE(b.xmn), 6) AS xmin, round(ANY_VALUE(b.ymn), 6) AS ymin,
+           round(ANY_VALUE(b.xmx), 6) AS xmax, round(ANY_VALUE(b.ymx), 6) AS ymax
+    FROM pctr t JOIN pbb b ON b.keterangan = t.keterangan
+    GROUP BY t.keterangan ORDER BY t.keterangan ASC NULLS FIRST"""
+  }
+
+  /** q235's oracle: the jitter gate. Everything here is RATIONAL
+    * arithmetic over xxhash64 integers — centroid via the engine's exact
+    * shoelace chain (term order, the w·(sx/(6·sa))/w round-trip
+    * included), decimal(28,4)-quantized and summed as exact integers —
+    * so engine and oracle compute IDENTICAL doubles and the gate has
+    * zero float-boundary risk while pinning every jittered coordinate to
+    * 1e-4 m. */
+  private val q235OracleSql: String = {
+    val (grid, gridLast, cx, cy) = parcelGridSql
+    s"""WITH $grid,
+    pe AS (SELECT id, ${ketSql("id")} AS keterangan,
+             $cx - half AS x1, $cx + half AS x2,
+             $cy - half AS y1, $cy + half AS y2 FROM $gridLast),
+    pcr AS (SELECT id, keterangan,
+             x1 * y1 - x2 * y1 AS c1, x2 * y2 - x2 * y1 AS c2,
+             x2 * y2 - x1 * y2 AS c3, x1 * y1 - x1 * y2 AS c4,
+             x1, x2, y1, y2 FROM pe),
+    pss AS (SELECT id, keterangan,
+             (x1 + x2) * c1 + (x2 + x2) * c2 + (x2 + x1) * c3 + (x1 + x1) * c4 + (x1 + x1) * (x1 * y1 - x1 * y1) AS sx,
+             (y1 + y1) * c1 + (y1 + y2) * c2 + (y2 + y2) * c3 + (y2 + y1) * c4 + (y1 + y1) * (x1 * y1 - x1 * y1) AS sy,
+             (c1 + c2 + c3 + c4 + (x1 * y1 - x1 * y1)) / 2.0 AS sa
+            FROM pcr),
+    pct AS (SELECT keterangan,
+             (abs(sa) * (sx / (6.0 * sa))) / abs(sa) AS cxv,
+             (abs(sa) * (sy / (6.0 * sa))) / abs(sa) AS cyv
+            FROM pss)
+    SELECT keterangan,
+           CAST(SUM(CAST(cxv AS DECIMAL(28,4))) * 10000 AS BIGINT) AS sum_cx_em4,
+           CAST(SUM(CAST(cyv AS DECIMAL(28,4))) * 10000 AS BIGINT) AS sum_cy_em4,
+           COUNT(*) AS n_parcels
+    FROM pct GROUP BY keterangan ORDER BY keterangan ASC NULLS FIRST"""
+  }
+
+  /** q235: the parcels fixture's xxhash64 jitter under an EXACT hash
+    * gate — per-category decimal sums of the REAL geometry kernel's
+    * centroids (WKB round-trip + shoelace centroid over the jittered
+    * UTM boxes), quantized at 1e-4 m and emitted as exact integers.
+    * Complements q46: q46 pins the transform composition at the
+    * reference's output grain; this pins every jittered coordinate with
+    * no transcendentals anywhere in the chain. */
+  private val q235 = Q(
+    "q235_parcel_jitter_oracle",
+    (s, dir) => {
+      val p = parcels(s, dir)
+      p.withColumn("c", G.stCentroid(col("geom")))
+        .groupBy(col("KETERANGAN").as("keterangan"))
+        .agg(
+          (sum(element_at(col("c"), 1)
+            .cast(org.apache.spark.sql.types.DecimalType(28, 4))) * 10000)
+            .cast(LongType).as("sum_cx_em4"),
+          (sum(element_at(col("c"), 2)
+            .cast(org.apache.spark.sql.types.DecimalType(28, 4))) * 10000)
+            .cast(LongType).as("sum_cy_em4"),
+          count(lit(1)).as("n_parcels"))
+        .orderBy(asc_nulls_first("keterangan"))
+    },
+    Some(q235OracleSql),
+    "xxhash64 parcel jitter gated exactly: kernel centroids of the jittered UTM boxes, decimal-quantized to 1e-4 m, replayed in DuckDB via HUGEINT XXH64 (q46's float-free complement)")
+
+  // ---- driver-contract queries (q40/q43/q44/q45 remain rows-only:
+  // their pipelines run the xxhash64-noised SCENES fixture whose NDVI
+  // band values feed unquantized float aggregates — gated instead by a
+  // golden (q49/FlagshipGoldenSpec), an exact twin (q70/q71/q59/q60),
+  // or a composition twin (q200/q201/q212/q213);
+  // q41/q42/q46/q47 flipped to DIRECT oracles in r13) ----
 
   private val q40 = Q("q40_flagship_report", (s, dir) => report(s, dir),
     None, "flagship §3.2 pipeline → summary report (ref load_report.py:452-523)")
@@ -554,22 +763,41 @@ object Spatial {
     linkedView(s, dir)
       .withColumn("geom3857", G.stTransform(col("geom"), col("geom_srid"), lit(Crs.WebMercator)))
       .groupBy(col("KETERANGAN").as("keterangan"))
-      .agg(round(sum(graft.geo.GeoExpressions.stAreaNative(col("geom3857")) / 10000.0), 4).as("area_ha"),
+      // decimal-cast per-parcel terms (order-independent sum, Q float-agg
+      // convention) rounded at the reference's own %.2f ha grain — the
+      // grain that makes the transform-replaying DIRECT oracle immune to
+      // cross-engine libm drift (see q46OracleSql's margin analysis)
+      .agg(round(sum((graft.geo.GeoExpressions.stAreaNative(col("geom3857")) / 10000.0)
+          .cast(org.apache.spark.sql.types.DecimalType(28, 10)))
+          .cast(DoubleType), 2).as("area_ha"),
         count(lit(1)).as("n_parcels"))
       .orderBy(asc_nulls_first("keterangan")),
-    None, "G2+G3 per-category Web-Mercator area in ha (ref load_report.py:369-380)")
+    Some(q46OracleSql),
+    "G2+G3 per-category Web-Mercator area in ha, DIRECT DuckDB oracle since r13 — xxhash64 jitter + TM inverse + Mercator + shoelace replayed (ref load_report.py:369-380)")
   private val q47 = Q("q47_centroid_bounds", (s, dir) =>
     linkedView(s, dir)
       .withColumn("geom4326", G.stTransform(col("geom"), col("geom_srid"), lit(Crs.WGS84)))
       .withColumn("c", G.stCentroid(col("geom4326")))
       .withColumn("env", G.stEnvelope(col("geom4326")))
       .groupBy(col("KETERANGAN").as("keterangan"))
-      .agg(round(avg(element_at(col("c"), 1)), 6).as("centroid_lon"),
-        round(avg(element_at(col("c"), 2)), 6).as("centroid_lat"),
+      // decimal-cast means (order-independent, Q float-agg convention).
+      // Means round at 4: each per-parcel decimal(28,10) quantization can
+      // flip by 1e-10 under cross-engine libm drift (p~1e-3/parcel), so a
+      // 31k-parcel category accumulates ~1e-10-scale mean drift — round(6)
+      // measured a real boundary flip at sf1 (116.775859 vs ...858);
+      // round(4) leaves 5 orders of margin. Bounds stay round(6): min/max
+      // don't accumulate, per-value drift is ~1e-13 deg.
+      .agg(round(sum(element_at(col("c"), 1)
+            .cast(org.apache.spark.sql.types.DecimalType(28, 10)))
+            .cast(DoubleType) / count(lit(1)), 4).as("centroid_lon"),
+        round(sum(element_at(col("c"), 2)
+            .cast(org.apache.spark.sql.types.DecimalType(28, 10)))
+            .cast(DoubleType) / count(lit(1)), 4).as("centroid_lat"),
         round(min(col("env._1")), 6).as("xmin"), round(min(col("env._2")), 6).as("ymin"),
         round(max(col("env._3")), 6).as("xmax"), round(max(col("env._4")), 6).as("ymax"))
       .orderBy(asc_nulls_first("keterangan")),
-    None, "G4 centroid + G5/A10 total_bounds (ref load_report.py:322-337)")
+    Some(q47OracleSql),
+    "G4 centroid + G5/A10 total_bounds, DIRECT DuckDB oracle since r13 — xxhash64 jitter + TM inverse + shoelace centroid replayed (ref load_report.py:322-337)")
 
   /** Oracle-checked spatial join: points derived from events by exact
     * integer arithmetic, polygons a 5×5 rectangle grid — the full
@@ -1333,5 +1561,6 @@ object Spatial {
     "G4+G5/A10 centroid/bounds on the jittered parcel fixture with the real 17-way keterangan assignment, DuckDB-oracle-checked (q47 direct fixture twin)")
 
   val all: Seq[Q] = Seq(q40, q41, q42, q43, q44, q45, q46, q47, q53, q54,
-    q58, q59, q60, q68, q69, q70, q71, q74, q200, q201, q202, q203, q212, q213)
+    q58, q59, q60, q68, q69, q70, q71, q74, q200, q201, q202, q203, q212, q213,
+    q235)
 }
