@@ -257,35 +257,118 @@ object Curation {
     * ranking follow the q28 contract exactly (round to 4 dp, vid
     * tie-break) via the native codegen [[VecDot]] kernel.
     *
-    * Scale shape: anchors are a bounded broadcast (the label filter makes
-    * the join non-equi, so Spark plans BroadcastNestedLoopJoin — correct
-    * here precisely because one side is small by construction); candidates
-    * stream map-only through codegen'd dot products; the only shuffle is
-    * the per-anchor top-k window on (qid, score) pairs. At 100 TB you
-    * feed anchors through the IVF index (q31) for candidate pruning
-    * instead of the scan — this query pins the exact semantics that
+    * Scale shape: anchors are a capped broadcast; candidates stream
+    * map-only through a per-partition scoring kernel that reduces each
+    * partition to ≤ 5 rows per anchor (per-anchor top-5 heaps), so the
+    * single exchange carries 5·anchors·partitions rows — never the
+    * Θ(n²/10) pair set, which is the query's irreducible dot-product
+    * count but must not become its shuffle volume. At 100 TB you feed
+    * anchors through the IVF index (q31) for candidate pruning instead
+    * of the scan — this query pins the exact semantics that
     * approximation must match. */
   private val q147 = Q(
     "q147_hard_negatives",
     (s, dir) => {
-      import graft.geo.GeoExpressions.vecDot
-      // T.spread: the per-row cosine fan-out (x anchors) is compute-dense;
-      // a single-row-group scan would otherwise run it in ONE task (SCALE.md)
+      // r13: the r12 shape (BroadcastNestedLoopJoin → per-pair row →
+      // window top-5) materialized and SHUFFLED one row per (anchor,
+      // candidate) pair — 4·10⁹ rows at sf10, 917 s, and the pair count
+      // is quadratic by the query's own declared semantics (anchors are
+      // a fixed FRACTION of n, so exact mining is Θ(n²/10) dot products
+      // — that part is irreducible while staying exact). What is NOT
+      // irreducible is paying a row + exchange per pair: the anchors now
+      // ride a broadcast into a per-partition scoring kernel that keeps a
+      // top-5 heap PER ANCHOR ordered by (rounded score desc, vid asc)
+      // — the window's exact contract — and emits only heap survivors
+      // (≤ 5·anchors per partition), so the exchange carries
+      // 5·anchors·partitions rows instead of n²/10. mapPartitions is
+      // justified here (SURVEY preference (d)): no relational operator
+      // expresses "all-pairs reduce without materializing the pairs".
+      // Exactness: per-partition top-5 then global top-5 over partials
+      // is the global top-5 for any total order; scores are rounded
+      // IN-KERNEL with Round's exact arithmetic (BigDecimal.valueOf →
+      // HALF_UP, what round(col, 4) compiles to), and the heap admission
+      // test `raw > worst − 1e-4` is lossless since rounding moves a
+      // value by ≤ 5·10⁻⁵ + ulps.
       val e = T.spread(s, T(s, dir, "embeddings"))
-        .select(col("vec_id"), col("label"),
+        .select(col("vec_id"), col("label").cast("int").as("label"),
           col("embedding").cast(ArrayType(DoubleType)).as("v"))
-      val withN = e.withColumn("nrm", sqrt(vecDot(col("v"), col("v"))))
-      val anchors = withN.filter(pmod(col("vec_id"), lit(10L)) === 0)
-        .select(col("vec_id").as("qid"), col("label").as("qlabel"),
-          col("v").as("qv"), col("nrm").as("qn"))
-      val cand = withN.select(col("vec_id").as("vid"), col("label").as("clabel"),
-        col("v").as("cv"), col("nrm").as("cn"))
-      val scored = cand.join(broadcast(anchors), col("qlabel") =!= col("clabel"))
-        .select(col("qid"), col("vid"),
-          round(vecDot(col("qv"), col("cv")) / (col("qn") * col("cn")), 4).as("score"))
+      // anchor collect is n/10-sized and capped LOUDLY (Manifest's rule):
+      // past the cap, route anchors through the IVF index (q31/q193)
+      // instead of exact mining
+      val cap = 1000000
+      val aRows = e.filter(pmod(col("vec_id"), lit(10L)) === 0)
+        .limit(cap + 1).collect()
+      require(aRows.length <= cap,
+        s"q147 anchor set exceeds $cap vectors — exact all-pairs mining is " +
+          "the wrong tool at this scale: route anchors through the IVF " +
+          "index (q31/q193) for candidate pruning")
+      val nA = aRows.length
+      val aId = new Array[Long](nA); val aLab = new Array[Int](nA)
+      val aVec = new Array[Array[Double]](nA); val aNorm = new Array[Double](nA)
+      var ai = 0
+      while (ai < nA) {
+        val r = aRows(ai)
+        aId(ai) = r.getLong(0); aLab(ai) = r.getInt(1)
+        val v = r.getSeq[Double](2).toArray
+        aVec(ai) = v
+        var d = 0.0; var i = 0
+        while (i < v.length) { d += v(i) * v(i); i += 1 }
+        aNorm(ai) = math.sqrt(d)
+        ai += 1
+      }
+      val bc = s.sparkContext.broadcast((aId, aLab, aVec, aNorm))
+      import s.implicits._
+      val partials = e.as[(Long, Int, Array[Double])]
+        .mapPartitions { it =>
+          val (id, lb, vec, nrm) = bc.value
+          val n = id.length
+          val ts = new Array[Double](n * 5) // rounded scores, best-first
+          val tv = new Array[Long](n * 5)
+          val tn = new Array[Int](n)
+          while (it.hasNext) {
+            val (vid, lab, v) = it.next()
+            var d = 0.0; var i = 0
+            while (i < v.length) { d += v(i) * v(i); i += 1 }
+            val cn = math.sqrt(d)
+            var a = 0
+            while (a < n) {
+              if (lb(a) != lab) {
+                val av = vec(a)
+                var dot = 0.0; var j = 0
+                val m = math.min(av.length, v.length)
+                while (j < m) { dot += av(j) * v(j); j += 1 }
+                val raw = dot / (nrm(a) * cn)
+                val base = a * 5; val cnt = tn(a)
+                if (cnt < 5 || raw > ts(base + cnt - 1) - 1e-4) {
+                  val rs = java.math.BigDecimal.valueOf(raw)
+                    .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+                  // admit iff (rs desc, vid asc) beats the current worst
+                  if (cnt < 5 || rs > ts(base + cnt - 1) ||
+                      (rs == ts(base + cnt - 1) && vid < tv(base + cnt - 1))) {
+                    var p = 0
+                    while (p < cnt && (ts(base + p) > rs ||
+                        (ts(base + p) == rs && tv(base + p) < vid))) p += 1
+                    var q = math.min(cnt, 4)
+                    while (q > p) {
+                      ts(base + q) = ts(base + q - 1); tv(base + q) = tv(base + q - 1)
+                      q -= 1
+                    }
+                    ts(base + p) = rs; tv(base + p) = vid
+                    if (cnt < 5) tn(a) = cnt + 1
+                  }
+                }
+              }
+              a += 1
+            }
+          }
+          (0 until n).iterator.flatMap { a =>
+            (0 until tn(a)).iterator.map(p => (id(a), tv(a * 5 + p), ts(a * 5 + p)))
+          }
+        }
+        .toDF("qid", "vid", "score")
       val w = Window.partitionBy(col("qid"))
         .orderBy(desc_nulls_last("score"), asc_nulls_first("vid"))
-      scored.withColumn("rn", row_number().over(w))
+      partials.withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 5).drop("rn")
         .orderBy(asc_nulls_first("qid"), asc_nulls_first("vid"))
     },
@@ -426,7 +509,15 @@ object Curation {
   private val q151 = Q(
     "q151_curriculum_order",
     (s, dir) => {
+      // materialized once (q149's localCheckpoint rule): the bigram-score
+      // frame is the expensive input and has THREE consumers below (the
+      // decile ranking, the banding cross-join, and through `banded` the
+      // offsets + position join). Plan-level reuse held at sf1 but broke
+      // at sf10 — AQE re-planned each subtree past ReusedExchange and the
+      // whole q146 pipeline re-ran per consumer (measured 294 s at sf10
+      // vs q146's own 51 s on the same input).
       val scores = bigramScores(s, dir).select(col("doc_id"), col("avg_ppm"))
+        .localCheckpoint()
       val ranked = scores
         .withColumn("rn", row_number().over(
           Window.orderBy(asc("avg_ppm"), asc("doc_id"))).cast(LongType))

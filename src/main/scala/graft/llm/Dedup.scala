@@ -171,7 +171,7 @@ object Dedup {
 
   private val q25 = Q(
     "q25_minhash_pairs",
-    (s, dir) => minhashPairs(s, T(s, dir, "documents")),
+    (s, dir) => minhashPairs(s, T.spread(s, T(s, dir, "documents"))),
     None,
     "MinHash-LSH candidate pairs + exact n-gram Jaccard verify (dedup surface)")
 
@@ -379,8 +379,11 @@ object Dedup {
     * multi-table LSH (≈74% recall per table config at cos 0.9), verified
     * exactly. */
   def embeddingNearDups(s: SparkSession, emb: DataFrame, threshold: Double): DataFrame = {
-    val vecs = emb.select(col("vec_id"),
-      col("embedding").cast(ArrayType(DoubleType)).as("v"))
+    // T.spread: the LSH key UDF (L·12 plane dots per row) is compute-dense
+    // and a single-file fixture is one scan task — measured single-threaded
+    // through key-gen AND the bucket checkpoint write at sf10 without it
+    val vecs = graft.T.spread(s, emb.select(col("vec_id"),
+      col("embedding").cast(ArrayType(DoubleType)).as("v")))
     // candidate ids only through the bucket self-join + dedup shuffle;
     // vectors are re-joined for surviving pairs afterwards
     // materialized once — feeds both self-join sides (see collapseExact)
@@ -436,8 +439,9 @@ object Dedup {
     * map-side than a dedup exchange of vectors. */
   def annTopK(s: SparkSession, emb: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val vecs = emb.select(col("vec_id"),
-      col("embedding").cast(ArrayType(DoubleType)).as("v"))
+    // T.spread: same single-file/compute-dense reason as embeddingNearDups
+    val vecs = graft.T.spread(s, emb.select(col("vec_id"),
+      col("embedding").cast(ArrayType(DoubleType)).as("v")))
     val bucketed = lshBuckets(vecs, "v")
     val qside = bucketed.filter(col("vec_id") < 5)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("table"), col("bucket"))
@@ -1594,7 +1598,9 @@ object Dedup {
   private val q101 = Q(
     "q101_dedup_pipeline",
     (s, dir) => {
-      val base = T(s, dir, "documents").select(col("doc_id"), col("text"))
+      // T.spread: the minhash signature UDF downstream is compute-dense
+      // and the single-file scan is one task without it
+      val base = T.spread(s, T(s, dir, "documents")).select(col("doc_id"), col("text"))
       val near = base.filter(col("doc_id") % 25 === 0)
         .select((col("doc_id") + 300000).as("doc_id"),
           concat(col("text"), lit(" appended near dup suffix")).as("text"))
@@ -1786,7 +1792,7 @@ object Dedup {
       // consumers (df counts, doc sizes, prefix selection, both sides of
       // the verification join) would otherwise each re-run the shingle
       // explode over the text scan (measured 11 s → 6 s warm at sf0.1)
-      val sh = T(s, dir, "documents")
+      val sh = T.spread(s, T(s, dir, "documents"))
         .select(col("doc_id"), explode(shingles("text")).as("sg"))
         .select(col("doc_id"), xxhash64(col("sg")).as("sgh"))
         .localCheckpoint()

@@ -175,53 +175,113 @@ object Ivf {
     * (replayed in DuckDB via the |a|²−2a·b+|b|² dot identity — every dot
     * ≤ 6.4·10⁷, double-exact), ties broken to the smaller list / vec id.
     * A wrong assignment, a missed probe list, or a mis-ranked candidate
-    * shifts a row and breaks the hash. Same scale shape as q31: map-side
-    * assignment, probe equi-join on list_id, bounded per-query window.
-    * The input is T.spread: a single-file fixture is ONE row group =
-    * one scan task, and everything up to the first exchange (assign
-    * UDF, candidate join, per-pair L2) would run single-threaded —
-    * measured 21.9 s at sf1 before the spread. */
+    * shifts a row and breaks the hash. Scale shape (r13): assignment and
+    * scoring are map-side in a per-partition kernel against broadcast
+    * per-list probe groups; the one exchange carries per-probe heap
+    * survivors, never (probe, candidate) pairs. The input is T.spread: a
+    * single-file fixture is ONE row group = one scan task, and the whole
+    * kernel would otherwise run single-threaded — measured 21.9 s at sf1
+    * before the spread. */
+  /** L2² distance between two int vectors (driver/kernel side). */
+  private def l2sq(a: Array[Long], b: Array[Long]): Long = {
+    var s = 0L; var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { val t = a(i) - b(i); s += t * t; i += 1 }
+    s
+  }
+
   def ivfRoutingExact(emb: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val spreadEmb = graft.T.spread(emb.sparkSession, emb)
+    val sess = emb.sparkSession
+    val spreadEmb = graft.T.spread(sess, emb)
     val cents: Array[Array[Long]] = Array.tabulate(NumLists)(j =>
       Array.tabulate(64)(d =>
         (((j.toLong * 64 + d + 1) * 2654435761L) % 2147483647L) % 2001L - 1000L))
-    val assignUdf = udf((v: Seq[Long]) => {
-      var best = 0; var bd = Long.MaxValue
-      var j = 0
-      while (j < cents.length) {
-        val c = cents(j)
-        var s = 0L; var i = 0
-        val n = math.min(v.length, c.length)
-        while (i < n) { val t = v(i) - c(i); s += t * t; i += 1 }
-        if (s < bd) { bd = s; best = j } // strict < keeps the smaller j on ties
-        j += 1
-      }
-      best
-    })
-    val probeUdf = udf((v: Seq[Long]) => {
-      cents.indices.map { j =>
-        val c = cents(j)
-        var s = 0L; var i = 0
-        val n = math.min(v.length, c.length)
-        while (i < n) { val t = v(i) - c(i); s += t * t; i += 1 }
-        (j, s)
-      }.sortBy(t => (t._2, t._1)).take(2).map(_._1).toArray
-    })
     val iv = spreadEmb.select(col("vec_id"),
       expr("transform(sequence(1, 64), i -> cast(floor(coalesce(try_element_at(cast(embedding as array<double>), i), 0d) * 1000d) AS bigint))").as("v"))
-    val assigned = iv.select(col("vec_id"), col("v"), assignUdf(col("v")).as("list_id"))
-    val probes = iv.filter(col("vec_id") % 50 === 0)
-      .select(col("vec_id").as("qid"), col("v").as("qv"),
-        explode(probeUdf(col("v"))).as("list_id"))
-    val d2 = "cast(aggregate(zip_with(%s, %s, (x, y) -> (x - y) * (x - y)), 0L, (a, z) -> a + z) as bigint)"
-    val sc = assigned.join(probes, Seq("list_id"))
-      .filter(col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("vec_id").as("vid"), expr(d2.format("qv", "v")).as("dist2"))
+    // r13: the r12 shape joined every assigned vector to every probe of
+    // its list and shuffled one row per (probe, candidate) pair into the
+    // top-5 window — Θ(n²·nprobe/(50·lists)) rows, 85 s at sf10, because
+    // both the query count (n/50) and the per-list density (n/16) grow
+    // with n. The probes now ride a broadcast GROUPED BY LIST into a
+    // per-partition kernel: each candidate row computes its own argmin
+    // assignment, loops only the probes routed to that list, and feeds
+    // per-probe top-5 heaps ordered by (dist2 asc, vid asc) — the
+    // window's exact contract, integer-exact, no rounding. The exchange
+    // carries ≤ 5·probes·partitions heap survivors. The probe collect is
+    // n/50-sized and capped loudly (Manifest's rule).
+    val cap = 1000000
+    val pRows = iv.filter(col("vec_id") % 50 === 0).limit(cap + 1).collect()
+    require(pRows.length <= cap,
+      s"q218 probe set exceeds $cap vectors — scale the query slice or " +
+        "the list count with the corpus (Jégou et al. §V sizing)")
+    val nP = pRows.length
+    val pId = new Array[Long](nP)
+    val pVec = new Array[Array[Long]](nP)
+    val perList = Array.fill(NumLists)(collection.mutable.ArrayBuffer.empty[Int])
+    var pi = 0
+    while (pi < nP) {
+      val r = pRows(pi)
+      pId(pi) = r.getLong(0)
+      pVec(pi) = r.getSeq[Long](1).toArray
+      // nprobe=2 routing: the probeUdf contract — all-list distances,
+      // sort by (d2, j), take 2
+      cents.indices.map(j => (j, l2sq(pVec(pi), cents(j))))
+        .sortBy(t => (t._2, t._1)).take(2)
+        .foreach { case (j, _) => perList(j) += pi }
+      pi += 1
+    }
+    val bc = sess.sparkContext.broadcast(
+      (pId, pVec, perList.map(_.toArray)))
+    import sess.implicits._
+    val partials = iv.as[(Long, Array[Long])]
+      .mapPartitions { it =>
+        val (id, pv, byList) = bc.value
+        val n = id.length
+        val ts = new Array[Long](n * 5) // dist2, best-first
+        val tv = new Array[Long](n * 5)
+        val tn = new Array[Int](n)
+        while (it.hasNext) {
+          val (vid, v) = it.next()
+          var best = 0; var bd = Long.MaxValue
+          var j = 0
+          while (j < cents.length) {
+            val d = l2sq(v, cents(j))
+            if (d < bd) { bd = d; best = j } // strict < keeps the smaller j
+            j += 1
+          }
+          val probes = byList(best)
+          var k = 0
+          while (k < probes.length) {
+            val p = probes(k)
+            if (id(p) != vid) {
+              val d2 = l2sq(pv(p), v)
+              val base = p * 5; val cnt = tn(p)
+              if (cnt < 5 || d2 < ts(base + cnt - 1) ||
+                  (d2 == ts(base + cnt - 1) && vid < tv(base + cnt - 1))) {
+                var pos = 0
+                while (pos < cnt && (ts(base + pos) < d2 ||
+                    (ts(base + pos) == d2 && tv(base + pos) < vid))) pos += 1
+                var q = math.min(cnt, 4)
+                while (q > pos) {
+                  ts(base + q) = ts(base + q - 1); tv(base + q) = tv(base + q - 1)
+                  q -= 1
+                }
+                ts(base + pos) = d2; tv(base + pos) = vid
+                if (cnt < 5) tn(p) = cnt + 1
+              }
+            }
+            k += 1
+          }
+        }
+        (0 until n).iterator.flatMap { p =>
+          (0 until tn(p)).iterator.map(s => (id(p), tv(p * 5 + s), ts(p * 5 + s)))
+        }
+      }
+      .toDF("qid", "vid", "dist2")
     val w = Window.partitionBy(col("qid"))
       .orderBy(asc_nulls_first("dist2"), asc_nulls_first("vid"))
-    sc.withColumn("rank", row_number().over(w).cast("long")).filter(col("rank") <= 5)
+    partials.withColumn("rank", row_number().over(w).cast("long")).filter(col("rank") <= 5)
       .select(col("qid"), col("rank"), col("vid"), col("dist2"))
       .orderBy(asc_nulls_first("qid"), asc_nulls_first("rank"))
   }
@@ -290,84 +350,118 @@ object Ivf {
     * vec id, so a wrong code assignment, a wrong LUT entry, or a
     * mis-summed ADC shifts a row and breaks the hash.
     *
-    * Scale shape is q193's exactly: encode and LUT build are map-side
-    * (closure-captured books), candidates come ONLY from probed lists via
-    * the list_id equi-join, the LUT join carries (qid, g, c, d²) scalars
-    * and AQE broadcasts the bounded query side, and the per-query window
-    * is rank ≤ 5. The shuffles carry ids and 4-code arrays, never
-    * vectors. The input is T.spread for the q218 reason: single-file
-    * fixtures made the scan-side pipeline (encode UDF, candidate join,
-    * code explode, LUT join, partial agg) ONE task — measured 111 s at
-    * sf1 before the spread. */
+    * Scale shape is q193's exactly: encode and LUT lookups are map-side
+    * in a per-partition kernel (closure-captured books, broadcast
+    * per-list probe LUTs), candidates come ONLY from probed lists, and
+    * the one exchange carries per-probe top-5 heap survivors — never
+    * (probe, candidate) pair rows, and never vectors. The input is
+    * T.spread for the q218 reason: single-file fixtures made the whole
+    * kernel ONE task — measured 111 s at sf1 in the r11 join shape
+    * before the spread. */
   def ivfPqAdcExact(emb: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val spreadEmb = graft.T.spread(emb.sparkSession, emb)
+    val sess = emb.sparkSession
+    val spreadEmb = graft.T.spread(sess, emb)
     val cents: Array[Array[Long]] = Array.tabulate(NumLists)(j =>
       Array.tabulate(64)(d =>
         (((j.toLong * 64 + d + 1) * 2654435761L) % 2147483647L) % 2001L - 1000L))
     val books: Array[Array[Array[Long]]] = Array.tabulate(4)(g =>
       Array.tabulate(16)(c => Array.tabulate(16)(d =>
         ((((g * 16 + c).toLong * 16 + d + 1) * 2654435761L) % 2147483647L) % 2001L - 1000L)))
-    val assignUdf = udf((v: Seq[Long]) => {
-      var best = 0; var bd = Long.MaxValue
-      var j = 0
-      while (j < cents.length) {
-        val c = cents(j)
-        var s = 0L; var i = 0
-        val n = math.min(v.length, c.length)
-        while (i < n) { val t = v(i) - c(i); s += t * t; i += 1 }
-        if (s < bd) { bd = s; best = j }
-        j += 1
-      }
-      best
-    })
-    val probeUdf = udf((v: Seq[Long]) => {
-      cents.indices.map { j =>
-        val c = cents(j)
-        var s = 0L; var i = 0
-        val n = math.min(v.length, c.length)
-        while (i < n) { val t = v(i) - c(i); s += t * t; i += 1 }
-        (j, s)
-      }.sortBy(t => (t._2, t._1)).take(2).map(_._1).toArray
-    })
-    def subD2(v: Seq[Long], g: Int, c: Int): Long = {
+    def subD2(v: Array[Long], g: Int, c: Int): Long = {
       var s = 0L; var d = 0
       while (d < 16) { val t = v(g * 16 + d) - books(g)(c)(d); s += t * t; d += 1 }
       s
     }
-    val encodeUdf = udf((v: Seq[Long]) => Array.tabulate(4) { g =>
-      var best = 0; var bd = Long.MaxValue
-      var c = 0
-      while (c < 16) {
-        val s = subD2(v, g, c)
-        if (s < bd) { bd = s; best = c } // strict < keeps the smaller c on ties
-        c += 1
-      }
-      best
-    })
-    // flat 64-entry LUT per query, index g*16 + c — rides a broadcast so
-    // each candidate's ADC is literally 4 element_at lookups, no explode,
-    // no per-(g,c) join, no re-aggregation
-    val lutUdf = udf((v: Seq[Long]) => Array.tabulate(64)(i => subD2(v, i / 16, i % 16)))
     val iv = spreadEmb.select(col("vec_id"),
       expr("transform(sequence(1, 64), i -> cast(floor(coalesce(try_element_at(cast(embedding as array<double>), i), 0d) * 1000d) AS bigint))").as("v"))
-    val assigned = iv.select(col("vec_id"),
-      assignUdf(col("v")).as("list_id"), encodeUdf(col("v")).as("codes"))
-    val qiv = iv.filter(col("vec_id") % 50 === 0)
-    val probes = qiv.select(col("vec_id").as("qid"),
-      explode(probeUdf(col("v"))).as("list_id"))
-    val lut = qiv.select(col("vec_id").as("qid"), lutUdf(col("v")).as("l"))
-    val cand = assigned.join(probes, Seq("list_id"))
-      .filter(col("vec_id") =!= col("qid"))
-      .join(broadcast(lut), Seq("qid"))
-      .select(col("qid"), col("vec_id").as("vid"),
-        expr("element_at(l, cast(codes[0] as int) + 1) + " +
-          "element_at(l, cast(codes[1] as int) + 17) + " +
-          "element_at(l, cast(codes[2] as int) + 33) + " +
-          "element_at(l, cast(codes[3] as int) + 49)").as("adc_d2"))
+    // r13: same surgery as ivfRoutingExact — the probe equi-join +
+    // window shuffled one row per (probe, candidate) pair (413 s at
+    // sf10). Probes now broadcast GROUPED BY LIST with their flat
+    // 64-entry LUT; each candidate row assigns + PQ-encodes itself
+    // in-kernel and feeds per-probe top-5 heaps by (adc_d2 asc, vid asc)
+    // — integer-exact, so the heap reproduces the window's contract
+    // bit-for-bit and only heap survivors reach the exchange.
+    val cap = 1000000
+    val pRows = iv.filter(col("vec_id") % 50 === 0).limit(cap + 1).collect()
+    require(pRows.length <= cap,
+      s"q221 probe set exceeds $cap vectors — scale the query slice or " +
+        "the list count with the corpus (Jégou et al. §V sizing)")
+    val nP = pRows.length
+    val pId = new Array[Long](nP)
+    val pLut = new Array[Array[Long]](nP)
+    val perList = Array.fill(NumLists)(collection.mutable.ArrayBuffer.empty[Int])
+    var pi = 0
+    while (pi < nP) {
+      val r = pRows(pi)
+      pId(pi) = r.getLong(0)
+      val qv = r.getSeq[Long](1).toArray
+      pLut(pi) = Array.tabulate(64)(i => subD2(qv, i / 16, i % 16))
+      cents.indices.map(j => (j, l2sq(qv, cents(j))))
+        .sortBy(t => (t._2, t._1)).take(2)
+        .foreach { case (j, _) => perList(j) += pi }
+      pi += 1
+    }
+    val bc = sess.sparkContext.broadcast((pId, pLut, perList.map(_.toArray)))
+    import sess.implicits._
+    val partials = iv.as[(Long, Array[Long])]
+      .mapPartitions { it =>
+        val (id, lut, byList) = bc.value
+        val n = id.length
+        val ts = new Array[Long](n * 5) // adc_d2, best-first
+        val tv = new Array[Long](n * 5)
+        val tn = new Array[Int](n)
+        while (it.hasNext) {
+          val (vid, v) = it.next()
+          var best = 0; var bd = Long.MaxValue
+          var j = 0
+          while (j < cents.length) {
+            val d = l2sq(v, cents(j))
+            if (d < bd) { bd = d; best = j }
+            j += 1
+          }
+          // PQ encode: per-group argmin, strict < keeps the smaller code
+          val c0 = { var b = 0; var bdc = Long.MaxValue; var c = 0
+            while (c < 16) { val s = subD2(v, 0, c); if (s < bdc) { bdc = s; b = c }; c += 1 }; b }
+          val c1 = { var b = 0; var bdc = Long.MaxValue; var c = 0
+            while (c < 16) { val s = subD2(v, 1, c); if (s < bdc) { bdc = s; b = c }; c += 1 }; b }
+          val c2 = { var b = 0; var bdc = Long.MaxValue; var c = 0
+            while (c < 16) { val s = subD2(v, 2, c); if (s < bdc) { bdc = s; b = c }; c += 1 }; b }
+          val c3 = { var b = 0; var bdc = Long.MaxValue; var c = 0
+            while (c < 16) { val s = subD2(v, 3, c); if (s < bdc) { bdc = s; b = c }; c += 1 }; b }
+          val probes = byList(best)
+          var k = 0
+          while (k < probes.length) {
+            val p = probes(k)
+            if (id(p) != vid) {
+              val l = lut(p)
+              val adc = l(c0) + l(16 + c1) + l(32 + c2) + l(48 + c3)
+              val base = p * 5; val cnt = tn(p)
+              if (cnt < 5 || adc < ts(base + cnt - 1) ||
+                  (adc == ts(base + cnt - 1) && vid < tv(base + cnt - 1))) {
+                var pos = 0
+                while (pos < cnt && (ts(base + pos) < adc ||
+                    (ts(base + pos) == adc && tv(base + pos) < vid))) pos += 1
+                var q = math.min(cnt, 4)
+                while (q > pos) {
+                  ts(base + q) = ts(base + q - 1); tv(base + q) = tv(base + q - 1)
+                  q -= 1
+                }
+                ts(base + pos) = adc; tv(base + pos) = vid
+                if (cnt < 5) tn(p) = cnt + 1
+              }
+            }
+            k += 1
+          }
+        }
+        (0 until n).iterator.flatMap { p =>
+          (0 until tn(p)).iterator.map(s => (id(p), tv(p * 5 + s), ts(p * 5 + s)))
+        }
+      }
+      .toDF("qid", "vid", "adc_d2")
     val w = Window.partitionBy(col("qid"))
       .orderBy(asc_nulls_first("adc_d2"), asc_nulls_first("vid"))
-    cand.withColumn("rank", row_number().over(w).cast("long")).filter(col("rank") <= 5)
+    partials.withColumn("rank", row_number().over(w).cast("long")).filter(col("rank") <= 5)
       .select(col("qid"), col("rank"), col("vid"), col("adc_d2"))
       .orderBy(asc_nulls_first("qid"), asc_nulls_first("rank"))
   }

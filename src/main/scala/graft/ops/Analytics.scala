@@ -207,12 +207,20 @@ object Analytics {
     * threshold form levenshtein(a, b, 2), which early-exits the DP once
     * the bound is exceeded (returns -1), so the exact distance is only
     * computed inside the banded diagonal of surviving pairs. */
+  // 36 dims: a-z AND 0-9. Counting digits matters on any corpus whose
+  // near-identical names differ in a numeric field (versioned SKUs,
+  // salted fixtures): those pairs then die in the 36-byte L1 check
+  // instead of reaching the DP. Ignoring other characters only weakens
+  // the filter — never makes it lossy.
   private val charVecUdf = udf((s: String) => {
-    val v = new Array[Byte](26)
+    val v = new Array[Byte](36)
     var i = 0
     while (i < s.length) {
-      val c = s.charAt(i) - 'a'
-      if (c >= 0 && c < 26) v(c) = (v(c) + 1).toByte
+      val ch = s.charAt(i)
+      val c = if (ch >= 'a' && ch <= 'z') ch - 'a'
+      else if (ch >= '0' && ch <= '9') 26 + (ch - '0')
+      else -1
+      if (c >= 0) v(c) = (v(c) + 1).toByte
       i += 1
     }
     v
@@ -221,7 +229,7 @@ object Analytics {
   private val l1Udf = udf((a: Array[Byte], b: Array[Byte]) => {
     var d = 0
     var i = 0
-    while (i < 26) { d += math.abs(a(i) - b(i)); i += 1 }
+    while (i < 36) { d += math.abs(a(i) - b(i)); i += 1 }
     d
   })
 
@@ -248,14 +256,24 @@ object Analytics {
       val cells = p.select(col("p_brand"), col("p_name")).distinct()
         .withColumn("cv", charVecUdf(col("p_name")))
         .withColumn("len", length(col("p_name")))
+      // dist ≤ 2 ⇒ |len(a)−len(b)| ≤ 2, so the probe side explodes into
+      // its 5 admissible partner lengths and the cell join is a pure
+      // (brand, length) EQUI-join — the r12 brand-only join left the
+      // length cut as a post-join filter, which is fine while the cell
+      // frame is tiny but quadratic-in-cells when the vocabulary grows
+      // with the corpus (sf10: 160 k cells → 10⁹ brand-block pairs, two
+      // AQE-coalesced tasks). The repartition keeps this compute-dense
+      // probe side at full width (T.spread's reason: the frame is small,
+      // the work per pair is not).
       val ca = cells.select(col("p_brand"), col("p_name").as("name_a"),
         col("cv").as("cv_a"), col("len").as("len_a"))
+        .withColumn("jlen", explode(array((-2 to 2).map(d => col("len_a") + lit(d)): _*)))
+        .repartition(s.sparkContext.defaultParallelism)
       val cb = cells.select(col("p_brand"), col("p_name").as("name_b"),
-        col("cv").as("cv_b"), col("len").as("len_b"))
+        col("cv").as("cv_b"), col("len").as("len_b"), col("len").as("jlen"))
       // ordered cell pairs INCLUDING name_a = name_b (the dist-0 clone
       // cells); member-level key_a < key_b below picks each row pair once
-      val cellPairs = ca.join(cb, Seq("p_brand"))
-        .filter(abs(col("len_a") - col("len_b")) <= 2)
+      val cellPairs = ca.join(cb, Seq("p_brand", "jlen"))
         .filter(l1Udf(col("cv_a"), col("cv_b")) <= 4)
         .select(col("p_brand"), col("name_a"), col("name_b"),
           // Spark levenshtein is int32, DuckDB's int64 — BIGINT convention
@@ -476,8 +494,32 @@ object Analytics {
       // rows). Expansion back to (anchor row, row) pairs is output-bound.
       val p = T(s, dir, "part").select(col("p_partkey"), col("p_brand"), col("p_name"))
       val cells = p.select(col("p_brand"), col("p_name")).distinct()
-      val cellPairs = cells.select(col("p_brand"), col("p_name").as("name_a"))
-        .join(cells.select(col("p_brand"), col("p_name").as("name_b")), Seq("p_brand"))
+        .withColumn("cv", charVecUdf(col("p_name")))
+        .withColumn("len", length(col("p_name")))
+      // LOSSLESS JW upper bound from the 36-dim count vectors (q89's
+      // prefilter, JW form): Jaro matches are a sub-multiset of the
+      // common characters, so m ≤ min(|a|, |b|, (|a|+|b|−L1)/2); with
+      // transpositions ≥ 0 and the Winkler boost capped at l = 4,
+      // JW ≤ 0.6·(m/|a| + m/|b| + 1)/3 + 0.4. Pairs whose bound is
+      // below the 0.93 threshold never reach the O(len²) scorer —
+      // which keeps the cell join linear-ish in cells when the name
+      // vocabulary grows with the corpus instead of staying fixed.
+      // The repartition is q89's: the cell frame is tiny, the per-pair
+      // work is not, and AQE would otherwise coalesce to 1-2 tasks.
+      val jwBoundUdf = udf((a: Array[Byte], b: Array[Byte], la: Int, lb: Int) => {
+        var l1 = 0
+        var i = 0
+        while (i < 36) { l1 += math.abs(a(i) - b(i)); i += 1 }
+        val m = math.min(math.min(la, lb), (la + lb - l1) / 2).toDouble
+        if (m <= 0) false
+        else 0.6 * (m / la + m / lb + 1.0) / 3.0 + 0.4 >= 0.93
+      })
+      val cellPairs = cells.select(col("p_brand"), col("p_name").as("name_a"),
+          col("cv").as("cv_a"), col("len").as("len_a"))
+        .repartition(s.sparkContext.defaultParallelism)
+        .join(cells.select(col("p_brand"), col("p_name").as("name_b"),
+          col("cv").as("cv_b"), col("len").as("len_b")), Seq("p_brand"))
+        .filter(jwBoundUdf(col("cv_a"), col("cv_b"), col("len_a"), col("len_b")))
         .select(col("p_brand"), col("name_a"), col("name_b"),
           round(StringSim.jaroWinkler(col("name_a"), col("name_b")), 4).as("jw"))
         .filter(col("jw") >= 0.93)
@@ -1730,11 +1772,21 @@ object Analytics {
     * decision is the (jw desc, bal_match desc, key asc) argmax per
     * probe above jw ≥ 0.9 — one row_number window over the block join.
     *
-    * Scale shape: the block join shuffles on the blocking key (never
-    * all-pairs; production raises key cardinality — the complementary
-    * sorted-neighborhood pass is q163), scoring is map-side codegen,
-    * and the argmax is one window over the probe-keyed exchange. AQE
-    * splits a hot block the same way it splits q179's. */
+    * Scale shape (r13): scoring is DEDUPE-FIRST (q89's move) — JW is a
+    * pure function of the name pair, so it computes once per distinct
+    * (block, probe_name) × (block, cand_name) CELL pair, which the
+    * fixture's bounded name vocabulary keeps broadcast-sized while the
+    * row-level block join grows quadratically (the r12 shape scored and
+    * shuffled every surviving row pair: 15.7 M at sf1, ~1.6 B at sf10,
+    * 252 s). Because jw_bp is the FIRST key of the decision order, only
+    * cells tied at the per-probe-name maximum can contain the winner —
+    * the expansion back to rows touches just those cells, and the final
+    * (bal_match desc, cand_key asc) argmax is a partial-aggregating
+    * min-of-struct, not a window over the block join. On an
+    * all-distinct-names corpus the cell frame degenerates to the row
+    * frame and this is exactly the r12 plan — never worse; production
+    * raises blocking-key cardinality (the complementary
+    * sorted-neighborhood pass is q163). */
   private val q231 = Q(
     "q231_record_linkage",
     (s, dir) => {
@@ -1753,18 +1805,31 @@ object Analytics {
       // is engine-exact, while HALF_UP-vs-float rounding can flip a
       // .00005-boundary score (and with it the threshold and the rank)
       // between Spark and the oracle
-      val scored = probes.join(cands, Seq("nk", "seg"))
-        .select(col("probe_key"), col("cand_key"),
+      val pCells = probes.select(col("nk"), col("seg"), col("probe_name")).distinct()
+      val cCells = cands.select(col("nk"), col("seg"), col("cand_name")).distinct()
+      val cellScores = pCells.join(cCells, Seq("nk", "seg"))
+        .select(col("nk"), col("seg"), col("probe_name"), col("cand_name"),
           floor(StringSim.jaroWinkler(col("probe_name"), col("cand_name")) * 10000)
-            .cast(LongType).as("jw_bp"),
-          (col("bal") === col("cbal")).cast(LongType).as("bal_match"))
+            .cast(LongType).as("jw_bp"))
         .filter(col("jw_bp") >= 9000)
-      val w = Window.partitionBy(col("probe_key"))
-        .orderBy(desc("jw_bp"), desc("bal_match"), asc_nulls_first("cand_key"))
-      scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-        .select(col("probe_key"), col("cand_key").as("matched_key"),
-          col("jw_bp"), col("bal_match"),
-          (col("cand_key") === col("probe_key")).cast(LongType).as("correct"))
+      // jw_bp leads the decision order, so the winner lives in a cell
+      // tied at the per-(block, probe_name) maximum — expand only those
+      val wmax = Window.partitionBy(col("nk"), col("seg"), col("probe_name"))
+      val topCells = cellScores
+        .withColumn("maxjw", max(col("jw_bp")).over(wmax))
+        .filter(col("jw_bp") === col("maxjw")).drop("maxjw")
+      // within a probe every expanded row carries the same jw_bp, so the
+      // (jw desc, bal_match desc, cand_key asc) argmax reduces to a
+      // lexicographic min-of-struct — map-side combinable, no window
+      probes.join(topCells, Seq("nk", "seg", "probe_name"))
+        .join(cands, Seq("nk", "seg", "cand_name"))
+        .select(col("probe_key"),
+          struct((lit(1L) - (col("bal") === col("cbal")).cast(LongType)).as("nb"),
+            col("cand_key").as("ck"), col("jw_bp").as("j")).as("cand"))
+        .groupBy(col("probe_key")).agg(min(col("cand")).as("best"))
+        .select(col("probe_key"), col("best.ck").as("matched_key"),
+          col("best.j").as("jw_bp"), (lit(1L) - col("best.nb")).as("bal_match"),
+          (col("best.ck") === col("probe_key")).cast(LongType).as("correct"))
         .orderBy(asc_nulls_first("probe_key"))
     },
     Some("""WITH probes AS (

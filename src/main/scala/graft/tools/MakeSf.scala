@@ -74,8 +74,22 @@ object MakeSf {
     val supp = rd("supplier"); val sk = span(supp, "s_suppkey")
     write("supplier", replicate(supp, Map("s_suppkey" -> sk))(), 4)
 
+    // p_name is salted per copy for the same reason document text is:
+    // TPC-H names come from a bounded vocabulary, so ×N verbatim copies
+    // would grow every (brand, name) cell N× and inflate the name-pair
+    // queries (q89/q125) quadratically BY CONSTRUCTION — the generator's
+    // own "MORE keys, not heavier keys" model requires per-cell
+    // cardinality to stay at the source fixture's. The salt token uses a
+    // repeated digit (" k333") so any two distinct salts are ≥3 edits
+    // apart (q89's dist ≤ 2 predicate can never cross copies) and JW
+    // similarity drops on a suffix (prefix-weighted), while ILIKE
+    // substring predicates (q02) are unaffected. Composes under repeated
+    // application (sf1 → sf10 appends a second token).
     val part = rd("part"); val pk = span(part, "p_partkey")
-    write("part", replicate(part, Map("p_partkey" -> pk))(), 8)
+    write("part", replicate(part, Map("p_partkey" -> pk)) { (d, k) =>
+      if (k == 0) d
+      else d.withColumn("p_name", concat(col("p_name"), lit(s" k$k$k$k")))
+    }, 8)
 
     val ord = rd("orders"); val ok = span(ord, "o_orderkey")
     write("orders", replicate(ord, Map("o_orderkey" -> ok, "o_custkey" -> ck))(), 16)
@@ -96,11 +110,26 @@ object MakeSf {
         .withColumn("n_chars", length(col("text")))
     }, 32)
 
+    // Per-copy deterministic SIGN FLIPS (norm-preserving), not the old
+    // coordinate-0 scale: a 1.001× scale left cross-copy cosine ≈ 0.9999,
+    // planting 100-member near-dup clusters at sf10 that inflated every
+    // embedding pair query (q27 candidates, LSH buckets) quadratically by
+    // construction — the exact failure mode the document salt avoids.
+    // Random-sign copies have |cosine| ~ 1/√64 ≈ 0.13 ≪ the 0.9 near-dup
+    // threshold, keep every coordinate's magnitude distribution, and
+    // still break ANN top-k ties (no two copies are equal). xxhash64 is
+    // evaluated HERE at generation time — the fixture is plain data to
+    // both engines afterwards. The hash seed MUST include the source span
+    // ($vk, which differs per application): sign patterns compose by XOR
+    // across repeated MakeSf runs, so a span-free seed reuses the same
+    // pattern set both times and copies (k1, k2) and (k2, k1) of one base
+    // XOR to IDENTICAL vectors — measured 180 050 planted clone pairs at
+    // sf10 before the seed.
     val emb = rd("embeddings"); val vk = span(emb, "vec_id")
     write("embeddings", replicate(emb, Map("vec_id" -> vk)) { (d, k) =>
       if (k == 0) d
       else d.withColumn("embedding",
-        expr(s"transform(embedding, (x, i) -> CASE WHEN i = 0 THEN float(x * (1.0 + $k * 0.001)) ELSE x END)"))
+        expr(s"transform(embedding, (x, i) -> CASE WHEN pmod(xxhash64(i * 131 + $k * 1000003 + $vk), 2) = 0 THEN x ELSE float(-x) END)"))
     }, 16)
 
     s.stop()
