@@ -333,25 +333,50 @@ object Dedup {
   val Dim = 64
   val TablesL = 8
   val BitsPerTable = 12
+  val MaxBits = 20
 
   /** Deterministic hyperplanes (seeded; generated once on the driver —
-    * constants, not data). */
+    * constants, not data). The first 12 planes per table are the
+    * original family laid out exactly as before (t·12 + j), so the
+    * 12-bit keys are bit-identical to every prior round; planesExt
+    * holds the refinement planes for bits 13..MaxBits. */
   private lazy val planes: Array[Array[Double]] = {
     val r = new scala.util.Random(20260812L)
     Array.fill(TablesL * BitsPerTable)(Array.fill(Dim)(r.nextGaussian()))
   }
+  private lazy val planesExt: Array[Array[Double]] = {
+    val r = new scala.util.Random(20260813L)
+    Array.fill(TablesL * (MaxBits - BitsPerTable))(Array.fill(Dim)(r.nextGaussian()))
+  }
 
-  /** All L bucket keys in one UDF pass (TablesL×BitsPerTable plane dots —
+  /** Bucket-bit schedule: 2^bits buckets per table sized so the expected
+    * bucket holds ~16 vectors — the standard LSH scaling knob (Indyk &
+    * Motwani: key length grows with log n). With bits FIXED, bucket
+    * density grows linearly in n and the candidate self-join
+    * quadratically — measured 148 s at sf10 on a dup-free corpus whose
+    * answer is 5 rows. Extra bits only REFINE the 12-bit buckets
+    * (appended key bits), so every fixture at or below ~65 k vectors
+    * (all specs, sf0.001..sf1) keeps the historical buckets
+    * bit-for-bit. Per-table recall at a given cosine drops by ~(1−θ/π)
+    * per added bit; near-identical dups (the planted family, cos
+    * ≥ 0.999) stay ≥ 88 % per table and ≈ 1 across the 8-table union
+    * even at MaxBits. */
+  def bitsFor(n: Long): Int =
+    math.max(BitsPerTable, math.min(MaxBits,
+      math.ceil(math.log(math.max(n, 1L) / 16.0) / math.log(2.0)).toInt))
+
+  /** All L bucket keys in one UDF pass (TablesL×bits plane dots —
     * a tight Scala loop, not 96 generated HOF expressions). */
-  private val lshKeysUdf = udf((v: Seq[Double]) => {
+  private def lshKeysUdf(bits: Int) = udf((v: Seq[Double]) => {
     val arr = v.toArray
     val keys = new Array[Long](TablesL)
     var t = 0
     while (t < TablesL) {
       var key = 0L
       var j = 0
-      while (j < BitsPerTable) {
-        val p = planes(t * BitsPerTable + j)
+      while (j < bits) {
+        val p = if (j < BitsPerTable) planes(t * BitsPerTable + j)
+          else planesExt(t * (MaxBits - BitsPerTable) + (j - BitsPerTable))
         var dot = 0.0
         var d = 0
         val n = math.min(arr.length, p.length)
@@ -371,9 +396,13 @@ object Dedup {
     vecDot(a, b) / sqrt(vecDot(a, a) * vecDot(b, b))
   }
 
-  /** L bucket keys per vector, exploded to (table, bucket) rows. */
-  def lshBuckets(vecs: DataFrame, vecCol: String): DataFrame =
-    vecs.select(col("*"), posexplode(lshKeysUdf(col(vecCol))).as(Seq("table", "bucket")))
+  /** L bucket keys per vector, exploded to (table, bucket) rows. The bit
+    * count comes from ONE cheap count over the input (the bitsFor
+    * schedule) — a metadata-cheap job next to the key-gen pass it sizes. */
+  def lshBuckets(vecs: DataFrame, vecCol: String): DataFrame = {
+    val bits = bitsFor(vecs.count())
+    vecs.select(col("*"), posexplode(lshKeysUdf(bits)(col(vecCol))).as(Seq("table", "bucket")))
+  }
 
   /** Embedding near-dup pairs above a cosine threshold, candidates from
     * multi-table LSH (≈74% recall per table config at cos 0.9), verified
