@@ -114,7 +114,21 @@ object Ts {
 
 object Sessions {
   def build(master: String, shufflePartitions: Int): SparkSession = {
-    val s = SparkSession.builder()
+    // Shuffle/cache local dir on tmpfs when available: this VM's root
+    // disk throttles CONCURRENT buffered writes hard (32 shuffle writers
+    // measured ~30/32 threads parked in FileOutputStream.write during
+    // sf10 shuffles; a 1.25 GB dd alongside did not finish in 120 s),
+    // while RAM sits idle — on a real cluster this is the
+    // NVMe-local-disk site config, not engine semantics. Falls back to
+    // the default /tmp when /dev/shm is absent. Respects an existing
+    // SPARK_LOCAL_DIRS override.
+    val localDir =
+      if (sys.env.contains("SPARK_LOCAL_DIRS")) None
+      else {
+        val shm = new java.io.File("/dev/shm")
+        if (shm.isDirectory && shm.canWrite) Some("/dev/shm/graft_local") else None
+      }
+    val b = SparkSession.builder()
       .master(master)
       .withExtensions(new graft.geo.GraftExtensions)
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
@@ -122,7 +136,16 @@ object Sessions {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+      // Fat single-JVM local mode: a long GC pause on a ≥64 GiB heap can
+      // starve the driver-executor heartbeat past the 120 s default and
+      // Spark then KILLS the only executor (observed at sf10: "no recent
+      // heartbeats: 212226 ms" mid-query → context collapse). On a real
+      // cluster executors are small and the default is right; here the
+      // heartbeat carries no liveness signal the JVM doesn't already have.
+      .config("spark.executor.heartbeatInterval", "30s")
+      .config("spark.network.timeout", "600s")
+    localDir.foreach(d => b.config("spark.local.dir", d))
+    val s = b.getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     // Warm the session with one trivial action before handing it out.
     // Measured (tools/Repro): in a COLD session, a union-with-filter plan

@@ -13,7 +13,19 @@ package graft
 object Scratch {
 
   private lazy val root: java.nio.file.Path = {
-    val p = java.nio.file.Files.createTempDirectory("graft_scratch_")
+    // Prefer tmpfs for the same reason Sessions points spark.local.dir
+    // there: this VM's disk throttles concurrent buffered writes to
+    // ~10 MB/s in bursts, so sink-roundtrip queries (ORC/JSON/vacuum)
+    // would measure the throttle token bucket, not the engine. Scratch
+    // contents are bounded intermediates (≤ a few GB) and are removed at
+    // exit either way. Production points this at job-local storage.
+    val base = {
+      val shm = new java.io.File("/dev/shm")
+      if (shm.isDirectory && shm.canWrite) shm.toPath else null
+    }
+    val p = if (base != null)
+      java.nio.file.Files.createTempDirectory(base, "graft_scratch_")
+    else java.nio.file.Files.createTempDirectory("graft_scratch_")
     sys.addShutdownHook(rm(p.toFile))
     p
   }

@@ -16,6 +16,10 @@ object TimeQ {
       val t0 = System.nanoTime()
       val c = SparkEntry.queries(n)(spark, dir).count()
       println(f"[timeq] rep$r $n: ${(System.nanoTime() - t0) / 1e9}%.2f s (rows=$c)")
+      // drop this query's localCheckpoint blocks so a long multi-query
+      // run doesn't accumulate tens of GB of dead cache (heap pressure +
+      // eviction IO land on the NEXT query's measurement)
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     }
     spark.stop()
   }
