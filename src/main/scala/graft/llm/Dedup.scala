@@ -3,7 +3,7 @@ package graft.llm
 import graft.{Q, T}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{ArrayType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType}
 import org.apache.spark.sql.expressions.Window
 
 /** Near-duplicate detection for training-data pipelines (builder-prompt
@@ -54,6 +54,9 @@ object Dedup {
                element_at(ws, i + 2),
                element_at(ws, i + 3))))
          else array($c) end), 1)""")
+
+  /** dev-probe alias (tools.PpjoinProbe); same column as `shingles`. */
+  private[graft] def shinglesPub(c: String): Column = shingles(c)
 
   private val shingleExpr = shingles("text")
 
@@ -1817,23 +1820,36 @@ object Dedup {
   private val q179 = Q(
     "q179_prefix_filter_join",
     (s, dir) => {
-      // materialize the (doc_id, shingle-hash) frame ONCE — four
-      // consumers (df counts, doc sizes, prefix selection, both sides of
-      // the verification join) would otherwise each re-run the shingle
-      // explode over the text scan (measured 11 s → 6 s warm at sf0.1)
+      // materialize the (doc_id, shingle-hash) frame ONCE — three
+      // consumers (df counts, doc aggregation, prefix selection) would
+      // otherwise each re-run the shingle explode over the text scan
+      // (measured 11 s → 6 s warm at sf0.1)
       val sh = T.spread(s, T(s, dir, "documents"))
         .select(col("doc_id"), explode(shingles("text")).as("sg"))
         .select(col("doc_id"), xxhash64(col("sg")).as("sgh"))
         .localCheckpoint()
-      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-      val cands = ppjoinCandidates(sh, sizes)
-      val inter = cands
-        .join(sh.select(col("doc_id").as("doc_a"), col("sgh")), Seq("doc_a"))
-        .join(sh.select(col("doc_id").as("doc_b"), col("sgh")), Seq("doc_b", "sgh"))
-        .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
-      inter
-        .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
-        .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
+      // ONE doc-level aggregation serves prefix sizes AND both sides of
+      // the verification: (doc_id, shingle-set array, n). Verification
+      // joins candidate PAIRS to the two doc arrays and intersects
+      // map-side (array_intersect = hash-set O(|a|+|b|) per pair) — the
+      // prior shape exploded every pair against doc_a's full shingle
+      // list and re-joined on (doc_b, sgh), pushing 3 exchanges of
+      // |cands|·|doc| skinny rows (~580 M at sf10, 40 GB) where this
+      // ships |cands| array-pair rows once (~6 GB at sf10): measured
+      // 182 → 75 s at sf10, answer hash-identical (set semantics equal:
+      // per-doc sgh is distinct, so count-of-matching-rows ==
+      // |array_intersect|).
+      val docs = sh.groupBy(col("doc_id"))
+        .agg(collect_list(col("sgh")).as("arr"), count(lit(1)).as("n"))
+        .localCheckpoint()
+      val cands = ppjoinCandidates(sh, docs.select(col("doc_id"), col("n")))
+      cands
+        .join(docs.select(col("doc_id").as("doc_a"), col("arr").as("arr_a"),
+          col("n").as("na")), Seq("doc_a"))
+        .join(docs.select(col("doc_id").as("doc_b"), col("arr").as("arr_b"),
+          col("n").as("nb")), Seq("doc_b"))
+        .withColumn("inter",
+          size(array_intersect(col("arr_a"), col("arr_b"))).cast(LongType))
         .withColumn("un", col("na") + col("nb") - col("inter"))
         .filter(col("inter") * 10 >= col("un") * 6)
         .select(col("doc_a"), col("doc_b"), col("inter"), col("un"),

@@ -83,12 +83,23 @@ object MakeSf {
     // repeated digit (" k333") so any two distinct salts are ≥3 edits
     // apart (q89's dist ≤ 2 predicate can never cross copies) and JW
     // similarity drops on a suffix (prefix-weighted), while ILIKE
-    // substring predicates (q02) are unaffected. Composes under repeated
-    // application (sf1 → sf10 appends a second token).
+    // substring predicates (q02) are unaffected.
+    //
+    // GENERATION-AWARE (same lesson as the embedding sign-flip seed
+    // below): copy 0 is unchanged at every application, so a
+    // generation-CONSTANT salt makes (gen1 copy k → gen2 copy 0) and
+    // (gen1 copy 0 → gen2 copy k) IDENTICAL strings — measured 45 000
+    // planted exact-clone doc pairs at sf10 (9 per base doc, the {0,k}
+    // copy-pair family), turning every pair query super-linear by
+    // construction. The salt letter is derived from the SOURCE span
+    // (digit count — differs per application since the span grows 10×)
+    // and repeated 3× so cross-generation salts also stay ≥3 edits
+    // apart for q89's dist ≤ 2 predicate.
     val part = rd("part"); val pk = span(part, "p_partkey")
+    val pg = ('a' + pk.toString.length).toChar
     write("part", replicate(part, Map("p_partkey" -> pk)) { (d, k) =>
       if (k == 0) d
-      else d.withColumn("p_name", concat(col("p_name"), lit(s" k$k$k$k")))
+      else d.withColumn("p_name", concat(col("p_name"), lit(s" $pg$pg$pg$k$k$k")))
     }, 8)
 
     val ord = rd("orders"); val ok = span(ord, "o_orderkey")
@@ -102,11 +113,15 @@ object MakeSf {
     val ek = span(ev, "event_id"); val uk = span(ev, "user_id")
     write("events", replicate(ev, Map("event_id" -> ek, "user_id" -> uk))(), 32)
 
+    // The salt letter is span-derived (see p_name note): a fixed "c"
+    // collided across generations on the {0,k} copy pairs — shingle
+    // sets only need cross-copy DISTINCTNESS, so one tag char suffices.
     val docs = rd("documents"); val dk = span(docs, "doc_id")
+    val dg = ('a' + dk.toString.length).toChar
     write("documents", replicate(docs, Map("doc_id" -> dk)) { (d, k) =>
       if (k == 0) d
       else d
-        .withColumn("text", regexp_replace(col("text"), "(\\S+)", s"$$1c$k"))
+        .withColumn("text", regexp_replace(col("text"), "(\\S+)", s"$$1$dg$k"))
         .withColumn("n_chars", length(col("text")))
     }, 32)
 

@@ -18,8 +18,12 @@ object TimeQ {
       println(f"[timeq] rep$r $n: ${(System.nanoTime() - t0) / 1e9}%.2f s (rows=$c)")
       // drop this query's localCheckpoint blocks so a long multi-query
       // run doesn't accumulate tens of GB of dead cache (heap pressure +
-      // eviction IO land on the NEXT query's measurement)
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      // eviction IO land on the NEXT query's measurement); BLOCKING so
+      // removal doesn't overlap the next measurement, then one explicit
+      // GC so the ContextCleaner's weak references fire and dead shuffle
+      // files leave the local dirs between queries, not during them
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+      System.gc()
     }
     spark.stop()
   }
