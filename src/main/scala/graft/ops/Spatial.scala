@@ -101,36 +101,68 @@ object Spatial {
 
   private val monthsTotal = 72 // 2018-01 .. 2023-12
 
+  /** Scene row target: max(7200, 6·|events|) — the same data-derived
+    * convention as [[elevationNx]]/[[parcelCount]] (≡ the old 6e6·sf on
+    * every driver dir: events carries 1e6·sf rows), so an oracle can
+    * rebuild the grid from the same parquet the engine reads. */
+  private[ops] def scenesTargetRows(s: SparkSession, sfDir: String): Long = {
+    val nEvents = s.read.parquet(s"$sfDir/events.parquet").count()
+    math.max(7200L, 6L * nEvents)
+  }
+
+  /** 0.05·sin(2πk/12) for k = 0..11 as 4-decimal literals: the seasonal
+    * NDVI term as a RATIONAL lookup instead of libm sin — exact decimal
+    * literals parse to identical doubles in every engine. */
+  private[ops] val seasonal05: Seq[Double] = Seq(
+    0.0, 0.025, 0.0433, 0.05, 0.0433, 0.025,
+    0.0, -0.025, -0.0433, -0.05, -0.0433, -0.025)
+
   /** Landsat-stand-in scene table: date, cell_lon, cell_lat, sr_b4, sr_b5
     * (FIXTURES.md §A4). One row per (cell, month) with deterministic gaps:
     * month 2019-03 globally missing + ~3% random cell-month holes —
     * exercising the reference's missing-data null path
-    * (load_report.py:139-153). */
+    * (load_report.py:139-153).
+    *
+    * ENGINE-NEUTRAL since r13 (the elevation-fixture technique): holes,
+    * band noise, and the acquisition day are LCG-mod-prime integer
+    * arithmetic (no xxhash64), the seasonal term is a rational lookup
+    * (no libm sin), and sizing derives from the events TABLE row count —
+    * so DuckDB rebuilds bit-identical sr_b4/sr_b5 doubles from the same
+    * parquet and the NDVI chain (one IEEE division, median selection,
+    * decimal-cast mean) replays exactly: q43/q44 run under DIRECT
+    * oracles. Integer terms stay < 2^63 for targetRows ≲ 6e9 (sid·2⁶⁰
+    * bound) — DuckDB errors loudly, never silently wraps, beyond that. */
   def scenes(s: SparkSession, sfDir: String): DataFrame = {
-    val targetRows = math.max(7200, (6000000 * sfFactor(sfDir)).toLong)
+    val targetRows = scenesTargetRows(s, sfDir)
     val nCells = targetRows / monthsTotal
     val nx = math.ceil(math.sqrt(nCells.toDouble)).toInt
     val dLon = (lonMax - lonMin) / nx
     val dLat = (latMax - latMin) / nx
+    val seasArr = array(seasonal05.map(lit): _*)
     s.range(nx.toLong * nx * monthsTotal)
       .select(
         (col("id") % (nx.toLong * nx)).as("cell_id"),
         (col("id") / (nx.toLong * nx)).cast("int").as("month_idx"))
       .filter(col("month_idx") =!= 14) // 2019-03 globally sceneless
-      .filter(pmod(xxhash64(col("cell_id"), col("month_idx"), lit(7)), lit(37)) =!= 0)
+      .filter(pmod(col("cell_id") * 100003L + col("month_idx") * 7919L + 12345L,
+        lit(99991L)) % 37 =!= 0)
+      .withColumn("sid", col("cell_id") * 100 + col("month_idx"))
       .select(
         expr("add_months(date '2018-01-01', month_idx)").as("month_start"),
         col("cell_id"), col("month_idx"),
         (lit(lonMin) + (col("cell_id") % nx) * dLon + dLon / 2).as("cell_lon"),
         (lit(latMin) + floor(col("cell_id") / nx) * dLat + dLat / 2).as("cell_lat"),
-        (lit(0.10) + u(col("cell_id") * 100 + col("month_idx"), 3) * 0.15).as("sr_b4"),
-        (lit(0.20) + u(col("cell_id") * 100 + col("month_idx"), 4) * 0.35
-          + sin(col("month_idx") / lit(12.0) * lit(2 * math.Pi)) * 0.05).as("sr_b5"))
+        (lit(0.10) + pmod(col("sid") * 69069L + 12345L, lit(99991L))
+          .cast(DoubleType) / 99991.0 * 0.15).as("sr_b4"),
+        (lit(0.20) + pmod(col("sid") * 1103515245L + 54321L, lit(99989L))
+          .cast(DoubleType) / 99989.0 * 0.35
+          + element_at(seasArr, pmod(col("month_idx"), lit(12)).cast("int") + 1))
+          .as("sr_b5"))
       // day-granular acquisition date (uniform over the month incl. day
       // 29/30/31) so the GEE month-end quirk is observable
       .withColumn("date", expr(
         """date_add(month_start, cast(least(
-             pmod(xxhash64(cell_id, month_idx, 11), 31),
+             pmod(cell_id * 2654435761 + month_idx * 999983 + 7, 99991) % 31,
              datediff(last_day(month_start), month_start)) as int))"""))
       .drop("month_start", "cell_id", "month_idx")
   }
@@ -722,12 +754,147 @@ object Spatial {
     Some(q235OracleSql),
     "xxhash64 parcel jitter gated exactly: kernel centroids of the jittered UTM boxes, decimal-quantized to 1e-4 m, replayed in DuckDB via HUGEINT XXH64 (q46's float-free complement)")
 
-  // ---- driver-contract queries (q40/q43/q44/q45 remain rows-only:
-  // their pipelines run the xxhash64-noised SCENES fixture whose NDVI
-  // band values feed unquantized float aggregates — gated instead by a
-  // golden (q49/FlagshipGoldenSpec), an exact twin (q70/q71/q59/q60),
-  // or a composition twin (q200/q201/q212/q213);
-  // q41/q42/q46/q47 flipped to DIRECT oracles in r13) ----
+  /** DuckDB replay of the [[scenes]] fixture (engine-neutral since r13:
+    * LCG noise, rational seasonal table, events-derived sizing — every
+    * sr_b4/sr_b5 double is bit-identical across engines). Returns the
+    * CTE chain ending in `scg(mi, day, cell_lon, cell_lat, sr_b4,
+    * sr_b5)`. The grid math mirrors the engine expression-for-expression
+    * (same literals via shortest-roundtrip Double.toString, same IEEE op
+    * order), so lon/lat group keys compare exactly. */
+  private val scenesGridSql: String = {
+    val seas = seasonal05.mkString("[", ", ", "]")
+    val dLon = s"(($lonMax - $lonMin) / nx)"
+    val dLat = s"(($latMax - $latMin) / nx)"
+    s"""sg0 AS (SELECT GREATEST(7200, 6 * (SELECT COUNT(*) FROM events)) AS tr),
+    sg1 AS (SELECT CAST(ceil(sqrt(CAST(tr // 72 AS DOUBLE))) AS BIGINT) AS nx FROM sg0),
+    sg2 AS (SELECT unnest(range(0, nx * nx * 72)) AS id, nx FROM sg1),
+    sg3 AS (SELECT id % (nx * nx) AS cell_id, id // (nx * nx) AS mi, nx FROM sg2
+            WHERE id // (nx * nx) <> 14),
+    sg4 AS (SELECT cell_id, mi, nx, cell_id * 100 + mi AS sid,
+                   make_date(2018 + CAST(mi // 12 AS INTEGER),
+                             CAST(mi % 12 AS INTEGER) + 1, 1) AS ms
+            FROM sg3
+            WHERE ((cell_id * 100003 + mi * 7919 + 12345) % 99991) % 37 <> 0),
+    scg AS (SELECT mi,
+             1 + least((cell_id * 2654435761 + mi * 999983 + 7) % 99991 % 31,
+                       datediff('day', ms, last_day(ms))) AS day,
+             $lonMin + (cell_id % nx) * $dLon + $dLon / 2 AS cell_lon,
+             $latMin + (cell_id // nx) * $dLat + $dLat / 2 AS cell_lat,
+             0.1 + ((sid * 69069 + 12345) % 99991) / 99991.0 * 0.15 AS sr_b4,
+             0.2 + ((sid * 1103515245 + 54321) % 99989) / 99989.0 * 0.35
+                 + $seas[CAST(mi % 12 AS INTEGER) + 1] AS sr_b5
+            FROM sg4)"""
+  }
+
+  /** DuckDB replay of the parcel quads in EPSG:4326 + the bucketed PIP
+    * join against [[scenesGridSql]]'s cells: parcel grid (XXH64 jitter,
+    * [[parcelGridSql]]) → 4 corners → TM inverse ([[tmInverseSql]]) →
+    * per-parcel corner pivot with bbox → covering-bucket explode →
+    * bucket equi-join + padded bbox prefilter + 4 CCW half-plane tests
+    * (transformed boxes stay convex; conformal transforms preserve
+    * winding). Boundary-flip margin, MEASURED not assumed: scene centers
+    * are exact rationals; cross-engine corner drift is 2.8e-14° max
+    * (tools/CornerDump vs the qt2 replay, 12.4k corners at sf0.1) while
+    * the min point-to-edge-line distance over every candidate pair is
+    * 1.1e-10° at sf1 / 1.6e-10° at sf0.1 / 2.3e-7° at the sf0.01 driver
+    * gate (tools/PipMargin) — ≥3 orders everywhere. The CTE chain
+    * ends in `jn(id, keterangan, mi, day, cell_lon, cell_lat, sr_b4,
+    * sr_b5)`; `filterSql` prunes the parcel side (e.g. mangrove ids). */
+  private def scenesParcelJoinSql(filterSql: String): String = {
+    val (grid, gridLast, cx, cy) = parcelGridSql
+    val (xip, etap) = tmInverseSql("ux", "uy")
+    val c = graft.geo.Crs.sqlOracleConsts
+    s"""$grid,
+    $scenesGridSql,
+    qc AS (SELECT id, ${ketSql("id")} AS keterangan,
+             GREATEST(0.002, ($XMax - $XMin) / cols / 111000.0) AS bdeg, c.i AS ci,
+             CASE c.i WHEN 1 THEN $cx - half WHEN 2 THEN $cx + half
+                      WHEN 3 THEN $cx + half ELSE $cx - half END AS ux,
+             CASE c.i WHEN 1 THEN $cy - half WHEN 2 THEN $cy - half
+                      WHEN 3 THEN $cy + half ELSE $cy + half END AS uy
+           FROM $gridLast, (SELECT unnest([1, 2, 3, 4]) AS i) c
+           WHERE $filterSql),
+    qt0 AS (SELECT id, keterangan, bdeg, ci, $xip AS xip, $etap AS etap FROM qc),
+    qt1 AS (SELECT id, keterangan, bdeg, ci,
+             asin(sin(xip) / ((exp(etap) + exp(-etap)) / 2)) AS chi,
+             atan2((exp(etap) - exp(-etap)) / 2, cos(xip)) AS lam FROM qt0),
+    qt2 AS (SELECT id, keterangan, bdeg, ci,
+             degrees(lam + ${c("lon0")}) AS lon,
+             degrees(chi + ${c("chiC2")} * sin(2 * chi) + ${c("chiC4")} * sin(4 * chi)
+               + ${c("chiC6")} * sin(6 * chi) + ${c("chiC8")} * sin(8 * chi)) AS lat FROM qt1),
+    qd AS (SELECT id, keterangan, ANY_VALUE(bdeg) AS bdeg,
+             MAX(CASE ci WHEN 1 THEN lon END) AS x1, MAX(CASE ci WHEN 1 THEN lat END) AS y1,
+             MAX(CASE ci WHEN 2 THEN lon END) AS x2, MAX(CASE ci WHEN 2 THEN lat END) AS y2,
+             MAX(CASE ci WHEN 3 THEN lon END) AS x3, MAX(CASE ci WHEN 3 THEN lat END) AS y3,
+             MAX(CASE ci WHEN 4 THEN lon END) AS x4, MAX(CASE ci WHEN 4 THEN lat END) AS y4,
+             MIN(lon) AS xmn, MAX(lon) AS xmx, MIN(lat) AS ymn, MAX(lat) AS ymx
+           FROM qt2 GROUP BY id, keterangan),
+    qbx AS (SELECT *, unnest(range(CAST(floor((xmn - 1e-9) / bdeg) AS BIGINT),
+                                   CAST(floor((xmx + 1e-9) / bdeg) AS BIGINT) + 1)) AS bx
+            FROM qd),
+    qbb AS (SELECT *, unnest(range(CAST(floor((ymn - 1e-9) / bdeg) AS BIGINT),
+                                   CAST(floor((ymx + 1e-9) / bdeg) AS BIGINT) + 1)) AS by
+            FROM qbx),
+    scp AS (SELECT s.*, CAST(floor(s.cell_lon / b.bdeg) AS BIGINT) AS pbx,
+                        CAST(floor(s.cell_lat / b.bdeg) AS BIGINT) AS pby
+            FROM scg s, (SELECT ANY_VALUE(bdeg) AS bdeg FROM qd) b),
+    jn AS (SELECT q.id, q.keterangan, s.mi, s.day,
+                  s.cell_lon, s.cell_lat, s.sr_b4, s.sr_b5
+           FROM scp s JOIN qbb q
+             ON s.pbx = q.bx AND s.pby = q.by
+            AND s.cell_lon >= q.xmn - 1e-9 AND s.cell_lon <= q.xmx + 1e-9
+            AND s.cell_lat >= q.ymn - 1e-9 AND s.cell_lat <= q.ymx + 1e-9
+            AND (q.x2 - q.x1) * (s.cell_lat - q.y1) - (q.y2 - q.y1) * (s.cell_lon - q.x1) > 0
+            AND (q.x3 - q.x2) * (s.cell_lat - q.y2) - (q.y3 - q.y2) * (s.cell_lon - q.x2) > 0
+            AND (q.x4 - q.x3) * (s.cell_lat - q.y3) - (q.y4 - q.y3) * (s.cell_lon - q.x3) > 0
+            AND (q.x1 - q.x4) * (s.cell_lat - q.y4) - (q.y1 - q.y4) * (s.cell_lon - q.x4) > 0)"""
+  }
+
+  /** q43/q44's DIRECT oracle: the full R2/R3 pipeline replayed — scenes
+    * replay × transformed mangrove quads (PIP), GEE month window, NDVI
+    * (one IEEE division of bit-identical doubles), per-cell-month median
+    * (selection/midpoint of bit-identical values), per-category
+    * DECIMAL(28,14) mean rounded at the engine's own 6-dp grain, month
+    * spine with nulls. `miLo..miHi` selects the scene months (q43: 2023
+    * = 60..71; q44: all 72). */
+  private def ndviDirectOracleSql(miLo: Int, miHi: Int): String = {
+    s"""WITH ${scenesParcelJoinSql("(id % 17) IN (0, 1)")},
+    jnf AS (SELECT * FROM jn
+            WHERE mi BETWEEN $miLo AND $miHi
+              AND day < CASE WHEN mi % 12 = 1 THEN 28 ELSE 30 END),
+    med AS (SELECT keterangan, cell_lon, cell_lat, mi,
+              median((sr_b5 - sr_b4) / (sr_b5 + sr_b4)) AS ndvi_med
+            FROM jnf GROUP BY 1, 2, 3, 4),
+    agg AS (SELECT keterangan, mi,
+              round(CAST(SUM(CAST(ndvi_med AS DECIMAL(28,14))) AS DOUBLE)
+                    / COUNT(*), 6) AS ndvi
+            FROM med GROUP BY 1, 2),
+    spine AS (SELECT k.s AS keterangan, m.g AS mi
+              FROM (SELECT unnest(['Mangrove Sungai Sanrumukti',
+                                   'Mangrove Pesisir Timur']) AS s) k,
+                   generate_series($miLo, $miHi) m(g))
+    SELECT spine.keterangan,
+           CAST(2018 + spine.mi // 12 AS VARCHAR) || '-' ||
+             lpad(CAST(spine.mi % 12 + 1 AS VARCHAR), 2, '0') AS month,
+           agg.ndvi AS ndvi
+    FROM spine LEFT JOIN agg
+      ON spine.keterangan = agg.keterangan AND spine.mi = agg.mi
+    ORDER BY 1 ASC NULLS FIRST, 2 ASC NULLS FIRST"""
+  }
+
+  /** q45's DIRECT oracle: scene count per parcel over ALL parcels (no
+    * month window, no year filter), inner-join semantics (sceneless
+    * parcels absent), 1-based output ids like [[parcels]]. */
+  private val q45OracleSql: String =
+    s"""WITH ${scenesParcelJoinSql("TRUE")}
+    SELECT id + 1 AS id, COUNT(*) AS n_scenes
+    FROM jn GROUP BY 1 ORDER BY id ASC NULLS FIRST"""
+
+  // ---- driver-contract queries (q40 remains rows-only — its report
+  // composes q43/q46/q07-shape pieces each gated separately, plus the
+  // golden byte-diff (q49/FlagshipGoldenSpec);
+  // q41/q42/q46/q47 flipped to DIRECT oracles in r13,
+  // q43/q44/q45 likewise once the scenes fixture went engine-neutral) ----
 
   private val q40 = Q("q40_flagship_report", (s, dir) => report(s, dir),
     None, "flagship §3.2 pipeline → summary report (ref load_report.py:452-523)")
@@ -744,10 +911,12 @@ object Spatial {
     "A8 histogram of zonal means, DIRECT DuckDB oracle since r13 (ref spatial_analysis_indonesia.r:58-66)")
   private val q43 = Q("q43_ndvi_monthly", (s, dir) =>
     monthlyNdvi(s, dir, 2023).orderBy(asc_nulls_first("keterangan"), asc_nulls_first("month")),
-    None, "R2 monthly NDVI with month-spine nulls (ref load_report.py:60-89)")
+    Some(ndviDirectOracleSql(60, 71)),
+    "R2 monthly NDVI with month-spine nulls, DIRECT DuckDB oracle since r13 (ref load_report.py:60-89)")
   private val q44 = Q("q44_ndvi_series", (s, dir) =>
     annualNdviSeries(s, dir).orderBy(asc_nulls_first("keterangan"), asc_nulls_first("month")),
-    None, "R3 multi-year NDVI series (ref load_report.py:118-169)")
+    Some(ndviDirectOracleSql(0, 71)),
+    "R3 multi-year NDVI series, DIRECT DuckDB oracle since r13 (ref load_report.py:118-169)")
   private val q45 = Q("q45_parcel_scene_count", (s, dir) => {
     val sc = scenes(s, dir)
     // parcels are dimension-sized (3.1k rows at sf0.1) → broadcast; the
@@ -758,7 +927,8 @@ object Spatial {
       "cell_lon", "cell_lat", "geom", bucketSizeDeg(dir))
       .groupBy(col("id")).agg(count(lit(1)).as("n_scenes"))
       .orderBy(asc_nulls_first("id"))
-  }, None, "J3 scenes×parcels spatial join at full fan-out (ref load_report.py:74,136,487-508)")
+  }, Some(q45OracleSql),
+    "J3 scenes×parcels spatial join at full fan-out, DIRECT DuckDB oracle since r13 (ref load_report.py:74,136,487-508)")
   private val q46 = Q("q46_area_by_category", (s, dir) =>
     linkedView(s, dir)
       .withColumn("geom3857", G.stTransform(col("geom"), col("geom_srid"), lit(Crs.WebMercator)))
