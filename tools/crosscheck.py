@@ -23,16 +23,39 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
             df[c] = df[c].astype("datetime64[us]")
     return df.reset_index(drop=True)
 
-def main(sf_dir: str, out_dir: str, json_out: str = None) -> int:
-    report = {}
+def connect(sf_dir: str):
     con = duckdb.connect()
+    # big-fixture replays (sf1/sf10) can push DuckDB past the VM's RAM
+    # when run alongside a Spark JVM; a memory_limit makes it spill to
+    # temp disk instead of getting OOM-killed mid-gate
+    mem = os.environ.get("GRAFT_DUCK_MEM")
+    if mem:
+        con.execute(f"SET memory_limit='{mem}'")
+        # per-PID spill dir: DuckDB temp filenames are only unique within
+        # a process, so two concurrent crosschecks sharing one dir delete
+        # each other's files and abort
+        con.execute(f"SET temp_directory='/tmp/duck_spill_{os.getpid()}'")
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    return con
+
+
+def main(sf_dir: str, out_dir: str, json_out: str = None) -> int:
+    report = {}
+    # fresh connection per query when a memory cap is set: DuckDB's spill
+    # temp files are released only when the connection closes, so one
+    # shared connection accumulates every prior oracle's spill and later
+    # queries fail on disk space, not on merit
+    per_query = bool(os.environ.get("GRAFT_DUCK_MEM"))
+    con = connect(sf_dir)
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_ok = n_bad = 0
     for name, sql in sorted(oracle.items()):
+        if per_query:
+            con.close()
+            con = connect(sf_dir)
         spark_files = glob.glob(f"{out_dir}/{name}/*.parquet")
         def rec(err=None, rows=None, schema=None, rows_m=None, hashes=None):
             # per-stage verdicts: None = stage not reached (earlier stage failed)
