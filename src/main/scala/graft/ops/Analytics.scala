@@ -1331,16 +1331,28 @@ object Analytics {
     * keyed on the basket id, so both sides shuffle ONCE on l_orderkey
     * and pairs generate inside each co-partition; the `<` ordering halves
     * the pair space and canonicalizes (a,b). Per-basket fan-out is
-    * quadratic in basket size — bounded here (TPC-H baskets ≤ 7 lines);
-    * at 100 TB cap items per basket first (row_number ≤ K per order, the
-    * q133 pattern) so a pathological basket cannot explode a partition. */
+    * quadratic in basket size — capped at `maxBasket` items per basket
+    * (deterministic row_number ≤ K, lowest part keys win — the q133
+    * pattern) so a pathological basket cannot explode a partition: the
+    * per-basket fan-out ceiling is K(K−1)/2 regardless of input. The
+    * default 256 is far above any fixture basket (TPC-H ≤ 7 lines), so
+    * the cap is answer-identical under the oracle while bounding the
+    * 100 TB worst case; the window's hash(ok) partitioning is the same
+    * the self-join needs, so the cap costs one per-partition sort, not
+    * an extra exchange. */
   /** q176's pair kernel on an (ok, pk) basket frame — exposed so
     * AqeSkewJoinSpec can drive the IDENTICAL join shape with a planted
     * hot basket (a pathological order whose quadratic pair fan-out lands
     * in one shuffle partition on both sides of the self-join) and prove
-    * the AQE skew split fires on it. */
-  def cooccurrencePairs(l: DataFrame): DataFrame = {
-    val pairs = l.join(l.select(col("ok"), col("pk").as("pk2")), Seq("ok"))
+    * both defenses: the AQE skew split (maxBasket = Int.MaxValue) and
+    * the basket cap (default). */
+  def cooccurrencePairs(l: DataFrame, maxBasket: Int = 256): DataFrame = {
+    val capped =
+      if (maxBasket == Int.MaxValue) l
+      else l.withColumn("rn",
+          row_number().over(Window.partitionBy(col("ok")).orderBy(asc("pk"))))
+        .filter(col("rn") <= maxBasket).drop("rn")
+    val pairs = capped.join(capped.select(col("ok"), col("pk").as("pk2")), Seq("ok"))
       .filter(col("pk") < col("pk2"))
     pairs.groupBy(col("pk").as("part_a"), col("pk2").as("part_b"))
       .agg(count(lit(1)).as("n_orders"))
@@ -1745,21 +1757,29 @@ object Analytics {
           coalesce(sum(col("cnt")).over(
             Window.orderBy(asc("vb")).rowsBetween(Window.unboundedPreceding, -1)),
             lit(0L)))
-      val total = offsets.agg(sum(col("cnt"))).head().getLong(0)
-      val w = Window.partitionBy(col("vb")).orderBy(asc("cents"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      vals.join(broadcast(offsets.select(col("vb"), col("off"))), Seq("vb"))
-        .withColumn("s", col("off") + coalesce(sum(col("cnt")).over(w), lit(0L)))
-        .withColumn("e", col("s") + col("cnt"))
-        .select(col("cents"), col("s"), col("e"),
-          explode(expr(s"sequence((8 * s) div $total, (8 * (e - 1)) div $total)")).as("b8"))
-        .withColumn("n",
-          least(col("e"), expr(s"((b8 + 1) * $total + 7) div 8"))
-            - greatest(col("s"), expr(s"(b8 * $total + 7) div 8")))
-        .groupBy(col("b8"))
-        .agg(sum(col("n")).as("n_rows"), min(col("cents")).as("min_cents"),
-          max(col("cents")).as("max_cents"))
-        .orderBy(asc_nulls_first("b8"))
+      // coalesce: sum() is null on an empty fact table (getLong would
+      // NPE); total == 0 also guards the `div $total` bucket exprs below
+      val total = offsets.agg(coalesce(sum(col("cnt")), lit(0L))).head().getLong(0)
+      if (total == 0L)
+        vals.select(col("cents").as("b8"), col("cnt").as("n_rows"),
+          col("cents").as("min_cents"), col("cents").as("max_cents"))
+          .limit(0) // vals is empty when total is: schema-only result
+      else {
+        val w = Window.partitionBy(col("vb")).orderBy(asc("cents"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        vals.join(broadcast(offsets.select(col("vb"), col("off"))), Seq("vb"))
+          .withColumn("s", col("off") + coalesce(sum(col("cnt")).over(w), lit(0L)))
+          .withColumn("e", col("s") + col("cnt"))
+          .select(col("cents"), col("s"), col("e"),
+            explode(expr(s"sequence((8 * s) div $total, (8 * (e - 1)) div $total)")).as("b8"))
+          .withColumn("n",
+            least(col("e"), expr(s"((b8 + 1) * $total + 7) div 8"))
+              - greatest(col("s"), expr(s"(b8 * $total + 7) div 8")))
+          .groupBy(col("b8"))
+          .agg(sum(col("n")).as("n_rows"), min(col("cents")).as("min_cents"),
+            max(col("cents")).as("max_cents"))
+          .orderBy(asc_nulls_first("b8"))
+      }
     },
     Some("""WITH t AS (
         SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,

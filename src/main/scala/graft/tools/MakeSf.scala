@@ -91,15 +91,20 @@ object MakeSf {
     // (gen1 copy 0 → gen2 copy k) IDENTICAL strings — measured 45 000
     // planted exact-clone doc pairs at sf10 (9 per base doc, the {0,k}
     // copy-pair family), turning every pair query super-linear by
-    // construction. The salt letter is derived from the SOURCE span
-    // (digit count — differs per application since the span grows 10×)
-    // and repeated 3× so cross-generation salts also stay ≥3 edits
-    // apart for q89's dist ≤ 2 predicate.
+    // construction. The salt embeds the SOURCE span VALUE with every
+    // digit tripled: post-replication span = copies × source span, so
+    // spans provably differ at every application for ANY copies ≥ 2
+    // (the earlier digit-COUNT letter only changed when the span gained
+    // a decimal digit — true for copies=10, silently false for 2..9),
+    // and two distinct tripled-digit strings are ≥3 edits apart (every
+    // digit occupies a homogeneous 3-block, so any difference perturbs
+    // a whole block), keeping q89's dist ≤ 2 predicate copy-local.
     val part = rd("part"); val pk = span(part, "p_partkey")
-    val pg = ('a' + pk.toString.length).toChar
+    def salt3(sp: Long): String = sp.toString.flatMap(c => s"$c$c$c")
+    val pg = salt3(pk)
     write("part", replicate(part, Map("p_partkey" -> pk)) { (d, k) =>
       if (k == 0) d
-      else d.withColumn("p_name", concat(col("p_name"), lit(s" $pg$pg$pg$k$k$k")))
+      else d.withColumn("p_name", concat(col("p_name"), lit(s" $pg$k$k$k")))
     }, 8)
 
     val ord = rd("orders"); val ok = span(ord, "o_orderkey")
@@ -113,15 +118,21 @@ object MakeSf {
     val ek = span(ev, "event_id"); val uk = span(ev, "user_id")
     write("events", replicate(ev, Map("event_id" -> ek, "user_id" -> uk))(), 32)
 
-    // The salt letter is span-derived (see p_name note): a fixed "c"
-    // collided across generations on the {0,k} copy pairs — shingle
-    // sets only need cross-copy DISTINCTNESS, so one tag char suffices.
+    // The salt is span-derived (see p_name note): a fixed "c" collided
+    // across generations on the {0,k} copy pairs. Shingle sets only need
+    // cross-copy DISTINCTNESS (no edit-distance floor like p_name), so a
+    // compact base-36 encoding of the span value suffices — and unlike
+    // the earlier digit-count letter it differs at EVERY application for
+    // any copies ≥ 2, since post-replication span = copies × source span.
     val docs = rd("documents"); val dk = span(docs, "doc_id")
-    val dg = ('a' + dk.toString.length).toChar
+    val dg = java.lang.Long.toString(dk, 36)
     write("documents", replicate(docs, Map("doc_id" -> dk)) { (d, k) =>
       if (k == 0) d
       else d
-        .withColumn("text", regexp_replace(col("text"), "(\\S+)", s"$$1$dg$k"))
+        // "_" separates span tag from copy index: base-36 may end in a
+        // digit, so "$dg$k" alone could collide across generations
+        // (e.g. span "x2" copy 13 vs span "x21" copy 3)
+        .withColumn("text", regexp_replace(col("text"), "(\\S+)", s"$$1${dg}_$k"))
         .withColumn("n_chars", length(col("text")))
     }, 32)
 

@@ -126,7 +126,9 @@ class AqeSkewJoinSpec extends AnyFunSuite {
         (lit(1000L) + expr("id div 3")).as("ok"),      // 200 orders x 3 parts
         (lit(100000L) + col("id")).as("pk"))           // unique parts -> no pairs
       val baskets = hot.unionAll(cold)
-      val res = graft.ops.Analytics.cooccurrencePairs(baskets)
+      // cap disabled here: this test proves the AQE runtime defense in
+      // isolation; the basket-cap defense has its own test below
+      val res = graft.ops.Analytics.cooccurrencePairs(baskets, maxBasket = Int.MaxValue)
       val qe = res.queryExecution
       val n = qe.toRdd.count()
       // both hot baskets hold the same 1000 parts, so every canonical
@@ -138,5 +140,29 @@ class AqeSkewJoinSpec extends AnyFunSuite {
     } finally old.foreach { case (k, ov) =>
       ov.fold(spark.conf.unset(k))(v => spark.conf.set(k, v))
     }
+  }
+
+  test("q176 basket cap bounds a pathological basket and is a no-op below the cap") {
+    // the 100 TB defense the scaladoc prescribes (q133 row_number ≤ K):
+    // a planted 1000-part basket must contribute at most K(K−1)/2 pairs,
+    // and the cap keeps the lowest-pk items, deterministically
+    val hot = spark.range(0, 2000).select(
+      (lit(42L) + expr("id div 1000")).as("ok"),     // orders 42 and 43
+      pmod(col("id"), lit(1000L)).as("pk"))          // identical 1000-part baskets
+    val cold = spark.range(0, 600).select(
+      (lit(1000L) + expr("id div 3")).as("ok"),      // 200 orders x 3 parts
+      (lit(100000L) + col("id")).as("pk"))
+    val capped = graft.ops.Analytics.cooccurrencePairs(hot.unionAll(cold), maxBasket = 16)
+      .collect()
+    // both hot baskets keep parts 0..15 (lowest pk win) -> every canonical
+    // pair among them has support 2; cold parts unique -> no pairs
+    assert(capped.length === 16 * 15 / 2)
+    assert(capped.forall(r => r.getLong(0) < 16 && r.getLong(1) < 16))
+    // no-op equivalence when every basket is at or below the cap
+    val small = spark.range(0, 900).select(
+      (col("id") % 300).as("ok"), (col("id") * 7 % 10000).as("pk")).distinct()
+    val withCap = graft.ops.Analytics.cooccurrencePairs(small, maxBasket = 16).collect()
+    val noCap = graft.ops.Analytics.cooccurrencePairs(small, maxBasket = Int.MaxValue).collect()
+    assert(withCap.toSeq === noCap.toSeq)
   }
 }

@@ -8,9 +8,21 @@ compares against the Spark result parquet written by graft.Verify:
 row count, column names/dtypes, and exact value equality after sorting
 columns by name. NOT part of the shipped engine — the engine is pure Scala.
 """
-import json, sys, glob, os
+import json, sys, glob, os, atexit, shutil, tempfile
 import duckdb
 import pandas as pd
+
+# one spill dir per RUN (not per PID): unique via mkdtemp so a recycled
+# PID never inherits a crashed run's leftovers, and removed at exit so
+# repeated big-fixture crosschecks don't accumulate stale dirs on /tmp
+_SPILL_DIR = None
+
+def _spill_dir() -> str:
+    global _SPILL_DIR
+    if _SPILL_DIR is None:
+        _SPILL_DIR = tempfile.mkdtemp(prefix="duck_spill_", dir="/tmp")
+        atexit.register(shutil.rmtree, _SPILL_DIR, ignore_errors=True)
+    return _SPILL_DIR
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -31,10 +43,10 @@ def connect(sf_dir: str):
     mem = os.environ.get("GRAFT_DUCK_MEM")
     if mem:
         con.execute(f"SET memory_limit='{mem}'")
-        # per-PID spill dir: DuckDB temp filenames are only unique within
+        # per-run spill dir: DuckDB temp filenames are only unique within
         # a process, so two concurrent crosschecks sharing one dir delete
         # each other's files and abort
-        con.execute(f"SET temp_directory='/tmp/duck_spill_{os.getpid()}'")
+        con.execute(f"SET temp_directory='{_spill_dir()}'")
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
         if os.path.exists(p):
