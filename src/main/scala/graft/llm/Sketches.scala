@@ -103,18 +103,24 @@ object Sketches extends Serializable {
   }
 
   /** q77: heavy-hitter tokens over the documents corpus (threshold scales
-    * with the corpus so the row set stays stable across sf). No oracle —
-    * sketch internals differ across engines by design (same call as q67);
-    * the CMS guarantees are spec-checked. */
+    * with the corpus so the row set stays stable across sf). DIRECT
+    * oracle since r14: the production sketch is the mod-p pairwise-
+    * independent family ((a·x+b) mod p mod w — the hash family Cormode &
+    * Muthukrishnan's own analysis assumes), which DuckDB replays counter
+    * for counter, so the estimate column joins the hash gate instead of
+    * being declared engine-specific. The switch is perf-neutral (the
+    * token key hashes ONCE, then d affine maps — cheaper than d Murmur
+    * passes) and strictly stronger analytically: 2-universality is what
+    * the εN bound is proved against. */
   private val q77 = Q(
     "q77_heavy_hitters",
     (s, dir) => {
       val docs = T(s, dir, "documents")
       val n = docs.count()
-      heavyHitters(s, docs, math.max(10L, n / 2))
+      heavyHittersModP(s, docs, math.max(10L, n / 2))
     },
-    None,
-    "count-min-sketch heavy hitters + exact verify of candidates (novel-sketch slot, q67 sibling)")
+    Some(cmsOracleSql(2)),
+    "count-min-sketch heavy hitters + exact verify of candidates (novel-sketch slot, q67 sibling); mod-p counters hash-gated")
 
   /** q100: the WHOLE sketch→candidates→exact-verify pipeline under the
     * oracle gate. The CMS estimate is one-sided (never undercounts), so
@@ -234,19 +240,14 @@ object Sketches extends Serializable {
     * single-char token short-circuits to its code on both engines (Scala
     * fold from 0 vs list_reduce's first-element seed agree because
     * 0·257 + c = c). */
-  private val tokenHashSql =
+  private def tokenHashSql: String =
     """list_reduce(list_transform(range(1, length(token) + 1),
          i -> CAST(ascii(substr(token, CAST(i AS INTEGER), 1)) AS BIGINT)),
        (a, c) -> (a * 257 + c) % 1000003)"""
 
-  private val q216 = Q(
-    "q216_cms_estimate_oracle",
-    (s, dir) => {
-      val docs = T(s, dir, "documents")
-      val n = docs.count()
-      heavyHittersModP(s, docs, math.max(10L, n / 50))
-    },
-    Some(s"""WITH tok AS (
+  /** The CMS replay SQL shared by q216 (threshold n/`div` = n/50, dense
+    * candidates on salted fixtures) and q77 (the production n/2). */
+  private def cmsOracleSql(div: Int): String = s"""WITH tok AS (
         SELECT token FROM (
           SELECT unnest(string_split_regex(text, '\\s+')) AS token FROM documents)
         WHERE length(token) > 0),
@@ -262,7 +263,7 @@ object Sketches extends Serializable {
       cand AS (
         SELECT token, any_value(x) AS x, COUNT(*) AS exact_n
         FROM tx GROUP BY token
-        HAVING COUNT(*) >= greatest(10, (SELECT COUNT(*) // 50 FROM documents))),
+        HAVING COUNT(*) >= greatest(10, (SELECT COUNT(*) // $div FROM documents))),
       est AS (
         SELECT cand.token, cand.exact_n, MIN(ctr.c) AS cms_estimate
         FROM cand JOIN ctr
@@ -270,7 +271,16 @@ object Sketches extends Serializable {
                              + ((40503 * (ctr.r + 7)) % $PMod)) % $PMod) % $WidthP
         GROUP BY cand.token, cand.exact_n)
       SELECT token, exact_n, cms_estimate FROM est
-      ORDER BY exact_n DESC NULLS LAST, token ASC NULLS FIRST"""),
+      ORDER BY exact_n DESC NULLS LAST, token ASC NULLS FIRST"""
+
+  private val q216 = Q(
+    "q216_cms_estimate_oracle",
+    (s, dir) => {
+      val docs = T(s, dir, "documents")
+      val n = docs.count()
+      heavyHittersModP(s, docs, math.max(10L, n / 50))
+    },
+    Some(cmsOracleSql(50)),
     "count-min counter/estimate arithmetic under the DuckDB hash gate: mod-p row hashes, GROUP-BY counter replay, min-over-rows estimates")
 
   // ---- HLL register arithmetic under the ORACLE gate (q217) -------------
