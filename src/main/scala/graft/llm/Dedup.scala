@@ -28,8 +28,18 @@ object Dedup {
   val NumHashes = 64
   val BandRows = 4 // → 16 bands
 
-  private val minhashUdf = udf((text: String) => Hashing.minhash(text, NumHashes))
-  private val bandsUdf = udf((sig: Seq[Long]) => Hashing.bands(sig.toArray, BandRows))
+  /** Production MinHash kernel — SQL-replayable since r14: distinct
+    * mod-p token-triple shingle values ([[polyShingles]]) through the
+    * classic universal-hash permutation family h_s(x) = (a_s·x + b_s)
+    * mod p (the construction MinHash's collision analysis assumes —
+    * Broder et al. 1998 use exactly min-wise-independent linear
+    * permutations), 64 seeded mins banded 16×4. The earlier 64-bit
+    * splitmix mixes were DuckDB-opaque, which kept q25/q101/q135/q142
+    * rows-only; this family is replayed term for term by the oracle
+    * (every intermediate < 2⁶³ in both engines) at the same UDF cost —
+    * one Horner pass per token, then 64 affine maps per shingle. */
+  private val minhashUdf = udf((text: String) => modPMins(polyShingles(text), NumHashes))
+  private val bandsUdf = udf((sig: Seq[Long]) => bandsFromMins(sig.toArray, BandRows))
   private val simhashUdf = udf((text: String) => Hashing.simhash(text))
   private val fingerprintUdf = udf((text: String) => Hashing.fingerprint(text))
 
@@ -133,7 +143,10 @@ object Dedup {
     * jaccard 1.0 rather than exploding quadratically inside a bucket. */
   def minhashPairs(s: SparkSession, docs: DataFrame,
       maxBucket: Int = MaxBucketSize): DataFrame = {
-    val sigs = docs.select(col("doc_id"), xxhash64(col("text")).as("h"),
+    // md5 (not xxhash64) for the exact collapse since r14: same content-
+    // equality semantics, native codegen on both engines — which lets the
+    // oracle replay the collapse (DuckDB has md5, not Spark's xxhash64)
+    val sigs = docs.select(col("doc_id"), md5(col("text").cast("binary")).as("h"),
       minhashUdf(col("text")).as("sig"))
     val (withRep, exact) = collapseExact(sigs)
     val exactPairs = exact
@@ -172,11 +185,17 @@ object Dedup {
       .orderBy(asc_nulls_first("doc_a"), asc_nulls_first("doc_b"))
   }
 
-  private val q25 = Q(
+  /** DIRECT oracle since r14 (the kernel switch above): DuckDB replays
+    * the md5 exact collapse, the 64 seeded mins + 16 band keys, the
+    * >1/≤cap bucket rule, the signature-agreement estimate, and the
+    * string-shingle verify — every decision minhashPairs makes.
+    * Lazy: the SQL builder reads seed/modulus state declared further
+    * down the object (the q77 init-order lesson). */
+  private lazy val q25 = Q(
     "q25_minhash_pairs",
     (s, dir) => minhashPairs(s, T.spread(s, T(s, dir, "documents"))),
-    None,
-    "MinHash-LSH candidate pairs + exact n-gram Jaccard verify (dedup surface)")
+    Some(q25OracleSql),
+    "MinHash-LSH candidate pairs + exact n-gram Jaccard verify (dedup surface); mod-p kernel hash-gated")
 
   /** Incremental dedup: classify a DELTA batch against an EXISTING corpus
     * without re-running corpus×corpus — the daily-ingest shape of a
@@ -200,7 +219,7 @@ object Dedup {
     // exactly what [[graft.streaming.Streams]]' q142 does); here they
     // materialize once per call (lazy checkpoint — the corpus scan must
     // not re-run per consumer)
-    val corpusHashes = corpus.select(col("doc_id"), xxhash64(col("text")).as("h"))
+    val corpusHashes = corpus.select(col("doc_id"), md5(col("text").cast("binary")).as("h"))
       .localCheckpoint(false)
     val corpusBands = corpus
       .select(col("doc_id"), posexplode(bandsUdf(minhashUdf(col("text")))).as(Seq("band", "bh")))
@@ -214,7 +233,7 @@ object Dedup {
     * ([[classifyAgainstIndex]]) and the index append (streaming q142),
     * the way a production signature store works. */
   def deltaSignatures(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), xxhash64(col("text")).as("h"),
+    docs.select(col("doc_id"), md5(col("text").cast("binary")).as("h"),
       minhashUdf(col("text")).as("sig")).localCheckpoint(false)
 
   /** The (hash, band) index rows derived from [[deltaSignatures]] output —
@@ -283,14 +302,14 @@ object Dedup {
     * 3-shingle with its source). Rows-only by design (LSH banding is not
     * SQL-replayable — q101 precedent); DedupSpec pins the exact planted
     * expectation per kind. */
-  private val q135 = Q(
+  private lazy val q135 = Q(
     "q135_incremental_dedup",
     (s, dir) => {
       val corpus = T(s, dir, "documents").select(col("doc_id"), col("text"))
       incrementalDedup(s, corpus, plantedDelta(corpus), 0.8)
     },
-    None,
-    "incremental delta-vs-corpus dedup: exact-hash hit, band-index near probe, or unique (daily-ingest shape)")
+    Some(q135OracleSql),
+    "incremental delta-vs-corpus dedup: exact-hash hit, band-index near probe, or unique (daily-ingest shape); probe decisions hash-gated")
 
   /** SimHash near-dup pairs: exact-hash collapse → 4×16-bit chunk
     * bucketing over representatives (a pair within Hamming distance 3
@@ -566,33 +585,47 @@ object Dedup {
     out
   }
 
-  private lazy val seedsA: Array[Long] = Array.tabulate(MinhashK)(s =>
+  /** Seed tables sized for the PRODUCTION k (64); the k=16 twins index
+    * the same prefix, so every historical twin value is unchanged. */
+  private lazy val seedsA: Array[Long] = Array.tabulate(NumHashes)(s =>
     (planeInt(1000L + s) + 1073741823L) % (PlaneP - 1) + 1)
-  private lazy val seedsB: Array[Long] = Array.tabulate(MinhashK)(s =>
+  private lazy val seedsB: Array[Long] = Array.tabulate(NumHashes)(s =>
     (planeInt(2000L + s) + 1073741823L) % PlaneP)
 
-  /** Band keys from a shingle set: k=16 seeded mins folded into
-    * 16/4 = 4 keys via a base-31 Horner seeded with the band index. */
-  private[llm] def polyBands(xs: Array[Long]): Array[Long] = {
-    val mins = Array.fill(MinhashK)(Long.MaxValue)
+  /** k seeded mins over a mod-p shingle-value set — the permutation-min
+    * core shared by the production kernel (k=64) and the q206 twins
+    * (k=16). */
+  private[llm] def modPMins(xs: Array[Long], k: Int): Array[Long] = {
+    val mins = Array.fill(k)(Long.MaxValue)
     var i = 0
     while (i < xs.length) {
       var s = 0
-      while (s < MinhashK) {
+      while (s < k) {
         val h = (seedsA(s) * xs(i) + seedsB(s)) % PlaneP
         if (h < mins(s)) mins(s) = h
         s += 1
       }
       i += 1
     }
-    val nBands = MinhashK / PolyBandRows
+    mins
+  }
+
+  /** Band keys over a signature: mins folded `rows` at a time via a
+    * base-31 Horner seeded with the band index (mod p — replayable). */
+  private[llm] def bandsFromMins(mins: Array[Long], rows: Int): Array[Long] = {
+    val nBands = mins.length / rows
     Array.tabulate(nBands) { b =>
       var acc = b.toLong
       var r = 0
-      while (r < PolyBandRows) { acc = (acc * 31 + mins(b * PolyBandRows + r)) % PlaneP; r += 1 }
+      while (r < rows) { acc = (acc * 31 + mins(b * rows + r)) % PlaneP; r += 1 }
       acc
     }
   }
+
+  /** Band keys from a shingle set: k=16 seeded mins folded into
+    * 16/4 = 4 keys via a base-31 Horner seeded with the band index. */
+  private[llm] def polyBands(xs: Array[Long]): Array[Long] =
+    bandsFromMins(modPMins(xs, MinhashK), PolyBandRows)
 
   private val polyShinglesUdf = udf((text: String) => polyShingles(text))
   private val polyBandsUdf = udf((xs: Seq[Long]) => polyBands(xs.toArray))
@@ -635,15 +668,16 @@ object Dedup {
     * signed relation lets the q210/q211 oracles sign a corpus AND a
     * delta with the identical arithmetic the q206 self-join signs
     * `documents` with. */
-  private[graft] def modpSigCtes(src: String, p: String): String = {
-    val mins = (0 until MinhashK)
+  private[graft] def modpSigCtes(src: String, p: String,
+      k: Int = MinhashK, bandRows: Int = PolyBandRows): String = {
+    val mins = (0 until k)
       .map(s => s"MIN((${seedsA(s)} * x + ${seedsB(s)}) % $PlaneP) AS m$s")
       .mkString(",\n          ")
     def bandKey(b: Int): String =
-      (0 until PolyBandRows).foldLeft(b.toString) { (acc, r) =>
-        s"(($acc * 31 + m${b * PolyBandRows + r}) % $PlaneP)"
+      (0 until bandRows).foldLeft(b.toString) { (acc, r) =>
+        s"(($acc * 31 + m${b * bandRows + r}) % $PlaneP)"
       }
-    val bands = (0 until MinhashK / PolyBandRows)
+    val bands = (0 until k / bandRows)
       .map(b => s"SELECT doc_id, $b AS band, ${bandKey(b)} AS bh FROM ${p}sigs")
       .mkString("\n        UNION ALL ")
     s"""${p}toks AS (
@@ -698,6 +732,116 @@ object Dedup {
     (s, dir) => minhashPairsExact(s, T.spread(s, T(s, dir, "documents"))),
     Some(q206OracleSql),
     "integer-exact MinHash-LSH twin: q25's shingle->seeded-mins->band-bucket-join->verify pipeline in mod-p arithmetic DuckDB replays; banding decisions and exact (inter, uni) both hash-gated")
+
+  // ---- the PRODUCTION minhashPairs replay (q25/q101 direct oracles) ----
+
+  /** CTE chain replaying [[minhashPairs]] decision for decision, ending
+    * at `allpairs(doc_a, doc_b, est_jaccard, jaccard)`: md5 exact
+    * collapse (linear rep→member pairs at 1.0/1.0), 64 seeded mins +
+    * 16 band keys over representatives only, the >1/≤cap bucket rule,
+    * signature-agreement estimate (integer count / 64.0 — exact binary
+    * division, so the rounded doubles agree bit for bit), and the
+    * string-shingle Jaccard verify in the q94 list form. Shared by the
+    * q25 oracle and the q101 pipeline composition. */
+  private[llm] def prodPairsCtes(src: String = "documents"): String = {
+    val agree = (0 until NumHashes)
+      .map(i => s"CASE WHEN sa.m$i = sb.m$i THEN 1 ELSE 0 END")
+      .mkString("\n                 + ")
+    s"""${modpSigCtes(src, "", NumHashes, BandRows)},
+      hx AS (SELECT doc_id, md5(text) AS h FROM $src),
+      rep AS (SELECT doc_id, MIN(doc_id) OVER (PARTITION BY h) AS rep_id FROM hx),
+      exactp AS (SELECT rep_id AS doc_a, doc_id AS doc_b FROM rep WHERE doc_id <> rep_id),
+      rb AS (SELECT b.doc_id, b.band, b.bh FROM banded b
+             JOIN rep r ON r.doc_id = b.doc_id WHERE r.doc_id = r.rep_id),
+      okb AS (SELECT band, bh FROM rb GROUP BY band, bh
+              HAVING COUNT(*) > 1 AND COUNT(*) <= $MaxBucketSize),
+      cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+               FROM rb a JOIN okb oa ON oa.band = a.band AND oa.bh = a.bh
+               JOIN rb b ON b.band = a.band AND b.bh = a.bh AND a.doc_id < b.doc_id),
+      est AS (SELECT c.doc_a, c.doc_b,
+                round(($agree) / 64.0, 4) AS est_jaccard
+              FROM cand c JOIN sigs sa ON sa.doc_id = c.doc_a
+              JOIN sigs sb ON sb.doc_id = c.doc_b),
+      cids AS (SELECT doc_a AS doc_id FROM cand UNION SELECT doc_b FROM cand),
+      ssh AS (SELECT d.doc_id,
+               CASE WHEN len(d.ws) >= 3 THEN
+                 list_distinct([array_to_string(d.ws[i:i+2], ' ')
+                                FOR i IN generate_series(1, len(d.ws) - 2)])
+               ELSE [d.text] END AS sh
+              FROM (SELECT doc_id, text, string_split(text, ' ') AS ws
+                    FROM $src) d
+              JOIN cids i ON i.doc_id = d.doc_id),
+      allpairs AS (
+        SELECT e.doc_a, e.doc_b, e.est_jaccard,
+               round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                     / len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
+        FROM est e JOIN ssh a ON a.doc_id = e.doc_a
+        JOIN ssh b ON b.doc_id = e.doc_b
+        UNION ALL
+        SELECT doc_a, doc_b, 1.0, 1.0 FROM exactp)"""
+  }
+
+  private[llm] def q25OracleSql: String = s"""WITH ${prodPairsCtes()}
+      SELECT doc_a, doc_b, est_jaccard, jaccard FROM allpairs
+      ORDER BY doc_a ASC NULLS FIRST, doc_b ASC NULLS FIRST"""
+
+  /** String-shingle sets (the production [[shingles]] column) for every
+    * doc of `src`, in DuckDB's q94 list form. */
+  private def sshAllSql(src: String, name: String): String =
+    s"""$name AS (SELECT d.doc_id,
+          CASE WHEN len(d.ws) >= 3 THEN
+            list_distinct([array_to_string(d.ws[i:i+2], ' ')
+                           FOR i IN generate_series(1, len(d.ws) - 2)])
+          ELSE [d.text] END AS sh
+        FROM (SELECT doc_id, text, string_split(text, ' ') AS ws FROM $src) d)"""
+
+  /** [[classifyAgainstIndex]] replayed over (corpus `csrc`, delta CTE
+    * `delta`): md5 exact precedence, 64-min/16-band probe with the
+    * corpus-side hot-bucket cap, string-shingle jaccard ≥ `thrNum/10`
+    * filter on identical rounded doubles, and the (jaccard DESC,
+    * corpus_id ASC) best-match argmax. Shared by the q135 and q142
+    * oracles (the latter adds arrival-wave prefix scoping). */
+  private[graft] def classifyOracleCtes(csrc: String): String =
+    s"""${modpSigCtes(csrc, "c_", NumHashes, BandRows)},
+      ${modpSigCtes("delta", "d_", NumHashes, BandRows)},
+      ch AS (SELECT doc_id, md5(text) AS h FROM $csrc),
+      dh AS (SELECT doc_id, md5(text) AS h FROM delta),
+      ex AS (SELECT d.doc_id, MIN(c.doc_id) AS dup_of
+             FROM dh d JOIN ch c ON c.h = d.h GROUP BY d.doc_id),
+      hot AS (SELECT band, bh FROM c_banded
+              GROUP BY band, bh HAVING COUNT(*) > $MaxBucketSize),
+      cand AS (
+        SELECT DISTINCT d.doc_id AS delta_id, c.doc_id AS corpus_id
+        FROM d_banded d
+        JOIN c_banded c ON c.band = d.band AND c.bh = d.bh
+        LEFT JOIN hot h ON h.band = d.band AND h.bh = d.bh
+        LEFT JOIN ex ON ex.doc_id = d.doc_id
+        WHERE h.band IS NULL AND ex.doc_id IS NULL),
+      ${sshAllSql(csrc, "cssh")},
+      ${sshAllSql("delta", "dssh")},
+      nearq AS (
+        SELECT c.delta_id, c.corpus_id,
+               round(CAST(len(list_intersect(ds.sh, cs.sh)) AS DOUBLE)
+                     / len(list_distinct(list_concat(ds.sh, cs.sh))), 4) AS jaccard
+        FROM cand c JOIN dssh ds ON ds.doc_id = c.delta_id
+        JOIN cssh cs ON cs.doc_id = c.corpus_id),
+      near AS (
+        SELECT delta_id AS doc_id, corpus_id AS dup_of, jaccard
+        FROM (SELECT *, row_number() OVER (PARTITION BY delta_id
+                ORDER BY jaccard DESC, corpus_id ASC) AS rk
+              FROM nearq WHERE jaccard >= 0.8)
+        WHERE rk = 1),
+      cls AS (SELECT doc_id, 'exact' AS kind, dup_of, CAST(1.0 AS DOUBLE) AS jaccard FROM ex
+              UNION ALL SELECT doc_id, 'near', dup_of, jaccard FROM near)"""
+
+  /** q135's oracle (direct since r14): the production incremental probe
+    * replayed end to end over the planted delta. */
+  private def q135OracleSql: String = s"""WITH delta AS (
+      ${plantedDeltaSql}),
+      ${classifyOracleCtes("documents")}
+      SELECT d.doc_id, COALESCE(c.kind, 'unique') AS kind, c.dup_of, c.jaccard
+      FROM delta d LEFT JOIN cls c ON c.doc_id = d.doc_id
+      ORDER BY d.doc_id ASC NULLS FIRST"""
 
   // ---- dedup pipeline capstone under the ORACLE gate -------------------
 
@@ -1627,7 +1771,29 @@ object Dedup {
     * 40th an exact clone. Deterministic end to end (hash signatures,
     * banding, CC), so DedupSpec pins the exact expectation: planted ids
     * cluster with their source and only the source keeps. */
-  private val q101 = Q(
+  /** q101's oracle (direct since r14): the production pair replay
+    * ([[prodPairsCtes]]) over the planted corpus, the jaccard ≥ 0.8
+    * edge filter on the SAME rounded doubles both engines compute, and
+    * the q82 reachability closure with min-id canonical selection. */
+  private def q101OracleSql: String = s"""WITH RECURSIVE docs101 AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 300000, text || ' appended near dup suffix'
+      FROM documents WHERE doc_id % 25 = 0
+      UNION ALL
+      SELECT doc_id + 400000, text FROM documents WHERE doc_id % 40 = 0),
+      ${prodPairsCtes("docs101")},
+      edges AS (SELECT doc_a AS a, doc_b AS b FROM allpairs WHERE jaccard >= 0.8),
+      -- MATERIALIZED: DuckDB re-evaluates inlined CTEs per recursive step
+      ud AS MATERIALIZED (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+      reach AS (SELECT doc_id AS src, doc_id AS dst FROM docs101
+                UNION
+                SELECT r.src, ud.b FROM reach r JOIN ud ON ud.a = r.dst),
+      comp AS (SELECT src AS doc_id, min(dst) AS component FROM reach GROUP BY src)
+      SELECT doc_id, component AS cluster, doc_id = component AS keep
+      FROM comp ORDER BY doc_id ASC NULLS FIRST"""
+
+  private lazy val q101 = Q(
     "q101_dedup_pipeline",
     (s, dir) => {
       // T.spread: the minhash signature UDF downstream is compute-dense
@@ -1640,8 +1806,8 @@ object Dedup {
         .select((col("doc_id") + 400000).as("doc_id"), col("text"))
       dedupPipeline(s, base.unionByName(near).unionByName(exact), 0.8)
     },
-    None,
-    "capstone dedup: MinHash-LSH pairs -> connected components -> canonical doc per cluster (keep flags)")
+    Some(q101OracleSql),
+    "capstone dedup: MinHash-LSH pairs -> connected components -> canonical doc per cluster (keep flags); full chain hash-gated")
 
   /** q163: sorted-neighborhood dedup (Hernández & Stolfo 1995) — the
     * third candidate-generation family next to LSH banding (q25) and

@@ -748,7 +748,7 @@ object Streams {
   def streamIncrementalDedup(s: SparkSession, corpus0: DataFrame,
       threshold: Double, stageKey: Option[String] = None): DataFrame =
     streamIngestDedup(s, corpus0, stageKey,
-      hType = LongType,
+      hType = StringType, // md5 hex since r14 (the oracle-replayable collapse hash)
       oSchema = StructType(Seq(StructField("doc_id", LongType),
         StructField("kind", StringType), StructField("dup_of", LongType),
         StructField("jaccard", DoubleType))),
@@ -1031,12 +1031,72 @@ object Streams {
       ORDER BY window_start ASC NULLS FIRST, event_type ASC NULLS FIRST"""),
     "watermark late-drop audit: staged out-of-order arrival, oracle replays the pre-batch watermark rule from first principles (streaming-exactness surface)")
 
-  private val q142 = Q(
+  /** q142's oracle (direct since r14, the kernel switch in [[graft.llm
+    * .Dedup]]): q211's wave-scoped prefix replay with the PRODUCTION
+    * arithmetic — md5 exact precedence, 64-min/16-band probe with
+    * per-wave hot caps, string-shingle float jaccard ≥ 0.8 on identical
+    * rounded doubles, (jaccard DESC, corpus_id ASC) argmax. */
+  private def q142OracleSql: String = s"""WITH alldocs AS (
+      SELECT doc_id, 0 AS wave, text FROM documents
+      UNION ALL
+      SELECT doc_id + 500000, 1, text || ' appended near dup suffix'
+      FROM documents WHERE doc_id % 20 = 0
+      UNION ALL
+      SELECT doc_id + 600000, 2, text FROM documents WHERE doc_id % 50 = 0
+      UNION ALL
+      SELECT doc_id + 700000, 3,
+             array_to_string(list_reverse(string_split(text, ' ')), ' ')
+      FROM documents WHERE doc_id % 100 = 0),
+      ${graft.llm.Dedup.modpSigCtes("alldocs", "a_",
+        graft.llm.Dedup.NumHashes, graft.llm.Dedup.BandRows)},
+      bw AS (SELECT b.doc_id, a.wave, b.band, b.bh
+             FROM a_banded b JOIN alldocs a USING (doc_id)),
+      hsh AS (SELECT doc_id, wave, md5(text) AS h FROM alldocs),
+      ex AS (SELECT d.doc_id, MIN(c.doc_id) AS dup_of
+             FROM hsh d JOIN hsh c ON c.h = d.h AND c.wave < d.wave
+             GROUP BY d.doc_id),
+      hot AS (SELECT w.w, b.band, b.bh FROM (SELECT unnest([1, 2, 3]) AS w) w
+              JOIN bw b ON b.wave < w.w
+              GROUP BY w.w, b.band, b.bh
+              HAVING COUNT(*) > ${graft.llm.Dedup.MaxBucketSize}),
+      cand AS (
+        SELECT DISTINCT d.doc_id AS delta_id, c.doc_id AS corpus_id
+        FROM bw d
+        JOIN bw c ON c.band = d.band AND c.bh = d.bh AND c.wave < d.wave
+        LEFT JOIN hot h ON h.w = d.wave AND h.band = d.band AND h.bh = d.bh
+        LEFT JOIN ex ON ex.doc_id = d.doc_id
+        WHERE h.w IS NULL AND ex.doc_id IS NULL),
+      ssh AS (SELECT d.doc_id,
+               CASE WHEN len(d.ws) >= 3 THEN
+                 list_distinct([array_to_string(d.ws[i:i+2], ' ')
+                                FOR i IN generate_series(1, len(d.ws) - 2)])
+               ELSE [d.text] END AS sh
+              FROM (SELECT doc_id, text, string_split(text, ' ') AS ws
+                    FROM alldocs) d),
+      nearq AS (
+        SELECT c.delta_id, c.corpus_id,
+               round(CAST(len(list_intersect(ds.sh, cs.sh)) AS DOUBLE)
+                     / len(list_distinct(list_concat(ds.sh, cs.sh))), 4) AS jaccard
+        FROM cand c JOIN ssh ds ON ds.doc_id = c.delta_id
+        JOIN ssh cs ON cs.doc_id = c.corpus_id),
+      near AS (
+        SELECT delta_id AS doc_id, corpus_id AS dup_of, jaccard
+        FROM (SELECT *, row_number() OVER (PARTITION BY delta_id
+                ORDER BY jaccard DESC, corpus_id ASC) AS rk
+              FROM nearq WHERE jaccard >= 0.8)
+        WHERE rk = 1),
+      cls AS (SELECT doc_id, 'exact' AS kind, dup_of, CAST(1.0 AS DOUBLE) AS jaccard FROM ex
+              UNION ALL SELECT doc_id, 'near', dup_of, jaccard FROM near)
+      SELECT a.doc_id, COALESCE(c.kind, 'unique') AS kind, c.dup_of, c.jaccard
+      FROM alldocs a LEFT JOIN cls c ON c.doc_id = a.doc_id
+      ORDER BY a.doc_id ASC NULLS FIRST"""
+
+  private lazy val q142 = Q(
     "q142_stream_incremental_dedup",
     (s, dir) => streamIncrementalDedup(s, T(s, dir, "documents"), 0.8,
       Some(dir.hashCode.toHexString)),
-    None,
-    "streaming ingest near-dup dedup: per-batch classify vs the self-maintained signature index (prefix arrival semantics, idempotent batches)")
+    Some(q142OracleSql),
+    "streaming ingest near-dup dedup: per-batch classify vs the self-maintained signature index (prefix arrival semantics, idempotent batches); prefix decisions hash-gated")
 
   /** q211's oracle replays the PREFIX semantics from first principles:
     * every doc carries its wave number, the exact hit and the band
