@@ -40,7 +40,15 @@ object Dedup {
     * one Horner pass per token, then 64 affine maps per shingle. */
   private val minhashUdf = udf((text: String) => modPMins(polyShingles(text), NumHashes))
   private val bandsUdf = udf((sig: Seq[Long]) => bandsFromMins(sig.toArray, BandRows))
-  private val simhashUdf = udf((text: String) => Hashing.simhash(text))
+
+  /** Production SimHash — SQL-replayable since r14: a 60-bit fingerprint
+    * from TWO Horner token hashes (bases 257/263 mod 2³¹−1, 30 bits
+    * each), per-occurrence ±1 bit votes (Charikar 2002), bucketed as
+    * 4×15-bit chunks (pigeonhole-complete for the ham ≤ 3 radius, as
+    * 4×16 was for 64 bits). Tokenless texts get the −1 sentinel and are
+    * excluded from banding — they carry no vote evidence; identical
+    * ones still collapse via the exact hash. */
+  private val simhashUdf = udf((text: String) => simhashPoly60(text))
   private val fingerprintUdf = udf((text: String) => Hashing.fingerprint(text))
 
   /** Distinct word 3-shingles of column `c` (whole value when shorter
@@ -82,7 +90,36 @@ object Dedup {
     * `array<bigint>`: the driver's pandas hash-compare sorts rows and cannot
     * sort numpy-array cells, and a flat string is just as joinable for
     * downstream equality checks. */
-  private val q24 = Q(
+  /** q24's oracle (direct since r14 — every signature kernel is now
+    * replayable): md5, the min-Karp–Rabin-8-gram fingerprint (short
+    * texts hash whole via the guarded Horner), the 60-bit SimHash vote
+    * (tokenless → −1), and the 64 mod-p mins comma-joined. */
+  private def q24OracleSql: String = {
+    // one list literal, not a || chain — 64 nested binary concats blow
+    // DuckDB's 128-deep binder recursion limit
+    val sigCat = (0 until NumHashes).map(i => s"CAST(g.m$i AS VARCHAR)")
+      .mkString("array_to_string([", ", ", "], ',')")
+    s"""WITH ${simhash60Ctes("documents", "sh_")},
+      ${modpSigCtes("documents", "mh_", NumHashes, BandRows)},
+      fg AS (
+        SELECT doc_id, MIN($hornerBigSql) AS fp FROM (
+          SELECT doc_id, substr(text, pos, $KgramLen) AS g FROM (
+            SELECT doc_id, text,
+                   unnest(generate_series(1, length(text) - ${KgramLen - 1})) AS pos
+            FROM documents WHERE length(text) >= $KgramLen))
+        GROUP BY doc_id)
+      SELECT d.doc_id, md5(d.text) AS exact_hash,
+             COALESCE(fg.fp, ${hornerShortSql("d.text")}) AS fingerprint,
+             COALESCE(CAST(s.f AS BIGINT), CAST(-1 AS BIGINT)) AS simhash,
+             $sigCat AS minhash_sig
+      FROM documents d
+      LEFT JOIN fg ON fg.doc_id = d.doc_id
+      LEFT JOIN sh_fp s ON s.doc_id = d.doc_id
+      JOIN mh_sigs g ON g.doc_id = d.doc_id
+      ORDER BY d.doc_id ASC NULLS FIRST"""
+  }
+
+  private lazy val q24 = Q(
     "q24_dedup_signatures",
     (s, dir) =>
       T(s, dir, "documents")
@@ -92,8 +129,8 @@ object Dedup {
           concat_ws(",", minhashUdf(col("text"))
             .cast(ArrayType(org.apache.spark.sql.types.StringType))).as("minhash_sig"))
         .orderBy(asc_nulls_first("doc_id")),
-    None,
-    "per-doc dedup signatures: md5, winnowing fingerprint, simhash, minhash (dedup surface)")
+    Some(q24OracleSql),
+    "per-doc dedup signatures: md5, winnowing fingerprint, simhash, minhash (dedup surface); every kernel hash-gated")
 
   /** Default LSH bucket cap: a band/chunk bucket larger than this is
     * dropped from candidate generation. A degenerate bucket (boilerplate
@@ -317,15 +354,16 @@ object Dedup {
     * Exact duplicates surface as linear (rep, member) hamming-0 pairs. */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
       maxBucket: Int = MaxBucketSize): DataFrame = {
-    val sigs = docs.select(col("doc_id"), xxhash64(col("text")).as("h"),
+    val sigs = docs.select(col("doc_id"), md5(col("text").cast("binary")).as("h"),
       simhashUdf(col("text")).as("simhash"))
     val (withRep, exact) = collapseExact(sigs)
     val exactPairs = exact.select(col("doc_a"), col("doc_b"),
       lit(0).cast("int").as("hamming"))
-    val chunks = withRep.filter(col("doc_id") === col("rep_id"))
+    // simhash >= 0: the −1 sentinel (tokenless text) never bands
+    val chunks = withRep.filter(col("doc_id") === col("rep_id") && col("simhash") >= 0)
       .select(col("doc_id"), col("simhash"),
         posexplode(array((0 until 4).map(c =>
-          shiftrightunsigned(col("simhash"), c * 16).bitwiseAND(lit(0xFFFFL))): _*))
+          shiftrightunsigned(col("simhash"), c * 15).bitwiseAND(lit(0x7FFFL))): _*))
           .as(Seq("chunk", "ch")))
     val pruned = capBuckets(chunks, Seq("chunk", "ch"), maxBucket)
     val a = pruned.alias("a")
@@ -344,11 +382,60 @@ object Dedup {
       .orderBy(asc_nulls_first("doc_a"), asc_nulls_first("doc_b"))
   }
 
-  private val q26 = Q(
+  /** q26's oracle (direct since r14): the 60-bit two-Horner fingerprint
+    * vote, md5 collapse, rep-only 4×15-bit chunk buckets with the
+    * >1/≤cap rule, and the bit_count hamming verify — all replayed. */
+  /** The 60-bit production SimHash fingerprint as CTEs over `src`
+    * (prefix `p`): token Horner pairs → per-bit occurrence votes →
+    * `${p}fp(doc_id, f)`. Tokenless docs emit NO row (callers COALESCE
+    * to the −1 sentinel). Shared by the q26 and q24 oracles. */
+  private def simhash60Ctes(src: String, p: String): String = s"""${p}toks AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), t -> len(t) > 0) AS ts
+        FROM $src WHERE text IS NOT NULL),
+      ${p}th AS (
+        SELECT doc_id, ${horner16Sql("u.t")} AS h1, ${horner16Sql("u.t", 263)} AS h2
+        FROM ${p}toks, unnest(ts) AS u(t)),
+      ${p}bits AS (
+        SELECT doc_id, j.j,
+               CASE WHEN SUM(((CASE WHEN j.j < 30 THEN h1 >> CAST(j.j AS INTEGER)
+                                    ELSE h2 >> CAST(j.j - 30 AS INTEGER) END) & 1)
+                             * 2 - 1) > 0
+                    THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS b
+        FROM ${p}th, (SELECT unnest(range(0, 60)) AS j) j
+        GROUP BY doc_id, j.j),
+      ${p}fp AS (
+        SELECT doc_id, SUM(b * (CAST(1 AS BIGINT) << CAST(j AS INTEGER))) AS f
+        FROM ${p}bits GROUP BY doc_id)"""
+
+  private def q26OracleSql: String = s"""WITH ${simhash60Ctes("documents", "")},
+      hx AS (SELECT doc_id, md5(text) AS h FROM documents),
+      rep AS (SELECT doc_id, MIN(doc_id) OVER (PARTITION BY h) AS rep_id FROM hx),
+      exactp AS (SELECT rep_id AS doc_a, doc_id AS doc_b FROM rep WHERE doc_id <> rep_id),
+      chunks AS (
+        SELECT f.doc_id, c.c, (f.f >> CAST(c.c * 15 AS INTEGER)) & 32767 AS cv
+        FROM fp f JOIN rep r ON r.doc_id = f.doc_id AND r.doc_id = r.rep_id,
+             (SELECT unnest(range(0, 4)) AS c) c),
+      okb AS (SELECT c, cv FROM chunks GROUP BY c, cv
+              HAVING COUNT(*) > 1 AND COUNT(*) <= $MaxBucketSize),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM chunks a JOIN okb o ON o.c = a.c AND o.cv = a.cv
+        JOIN chunks b ON b.c = a.c AND b.cv = a.cv AND a.doc_id < b.doc_id)
+      SELECT c.doc_a, c.doc_b,
+             CAST(bit_count(xor(fa.f, fb.f)) AS INTEGER) AS hamming
+      FROM cand c
+      JOIN fp fa ON fa.doc_id = c.doc_a
+      JOIN fp fb ON fb.doc_id = c.doc_b
+      WHERE bit_count(xor(fa.f, fb.f)) <= 3
+      UNION ALL
+      SELECT doc_a, doc_b, CAST(0 AS INTEGER) FROM exactp
+      ORDER BY doc_a ASC NULLS FIRST, doc_b ASC NULLS FIRST"""
+
+  private lazy val q26 = Q(
     "q26_simhash_pairs",
     (s, dir) => simhashPairs(T.spread(s, T(s, dir, "documents"))),
-    None,
-    "SimHash chunk-bucketed near-dup pairs (dedup surface)")
+    Some(q26OracleSql),
+    "SimHash chunk-bucketed near-dup pairs (dedup surface); 60-bit two-Horner fingerprint hash-gated")
 
   // ---- embedding near-dup / ANN via random-hyperplane LSH ---------------
 
@@ -547,7 +634,7 @@ object Dedup {
   val MinhashK = 16
   val PolyBandRows = 4
 
-  private def tokHashPoly(t: String): Long = {
+  private def tokHashPolyBase(t: String, base: Long): Long = {
     var h = 0L
     var j = 0 // code-point index — DuckDB's substr/ascii are
     var i = 0 // character-based, so UTF-16 surrogate pairs must hash
@@ -556,10 +643,37 @@ object Dedup {
         if (i < t.length) {
           val cp = t.codePointAt(i); i += Character.charCount(cp); cp.toLong
         } else 0L
-      h = (h * 257 + c) % PlaneP
+      h = (h * base + c) % PlaneP
       j += 1
     }
     h
+  }
+
+  private def tokHashPoly(t: String): Long = tokHashPolyBase(t, 257L)
+
+  /** Production SimHash fingerprint: 60 bits from two Horner token
+    * hashes (30 low bits each of base 257 and base 263), ±1 votes per
+    * token OCCURRENCE; −1 sentinel for tokenless text. */
+  private[llm] def simhashPoly60(text: String): Long = {
+    val ts = text.split(" ").filter(_.nonEmpty)
+    if (ts.isEmpty) return -1L
+    val sums = new Array[Int](60)
+    var i = 0
+    while (i < ts.length) {
+      val h1 = tokHashPolyBase(ts(i), 257L)
+      val h2 = tokHashPolyBase(ts(i), 263L)
+      var j = 0
+      while (j < 30) {
+        sums(j) += (((h1 >> j) & 1L).toInt * 2 - 1)
+        sums(30 + j) += (((h2 >> j) & 1L).toInt * 2 - 1)
+        j += 1
+      }
+      i += 1
+    }
+    var f = 0L
+    var j = 0
+    while (j < 60) { if (sums(j) > 0) f |= (1L << j); j += 1 }
+    f
   }
 
   /** Distinct mod-p shingle values: token-triple hashes at positions
@@ -657,9 +771,9 @@ object Dedup {
       .orderBy(asc_nulls_first("doc_a"), asc_nulls_first("doc_b"))
   }
 
-  private def horner16Sql(col: String): String =
+  private def horner16Sql(col: String, base: Int = 257): String =
     (1 to 16).foldLeft("CAST(0 AS BIGINT)") { (acc, j) =>
-      s"(($acc * 257 + ascii(substr($col, $j, 1))) % $PlaneP)"
+      s"(($acc * $base + ascii(substr($col, $j, 1))) % $PlaneP)"
     }
 
   /** The mod-p signature CTE family over relation `src`, CTE names
@@ -1468,11 +1582,39 @@ object Dedup {
     winnowBestContainment(probes, docs)
   }
 
-  private val q92 = Q(
+  /** q92's oracle (direct since r14, the [[Hashing.winnow]] Karp–Rabin
+    * switch): q215's windowed-MIN selection replay at the PRODUCTION
+    * modulus, plus the short-text branch (texts under one k-gram
+    * fingerprint as their whole-text hash — replayed as 7 guarded
+    * Horner steps). */
+  private def q92OracleSql: String = s"""WITH probes AS (
+        SELECT doc_id + 200000 AS probe_id, substr(text, 11, 240) AS text
+        FROM documents WHERE doc_id % 50 = 0),
+      pgrams AS (${winnowGramSql("probes", "probe_id", hornerBigSql)}),
+      cgrams AS (${winnowGramSql("documents", "doc_id", hornerBigSql)}),
+      pfp AS (${winnowFpSql("pgrams")}
+              UNION SELECT probe_id AS id, ${hornerShortSql("text")} AS fp
+                    FROM probes WHERE length(text) < $KgramLen),
+      cfp AS (${winnowFpSql("cgrams")}
+              UNION SELECT doc_id AS id, ${hornerShortSql("text")} AS fp
+                    FROM documents WHERE length(text) < $KgramLen),
+      nf AS (SELECT id AS probe_id, COUNT(*) AS n_fp FROM pfp GROUP BY id),
+      sc AS (SELECT pfp.id AS probe_id, cfp.id AS doc_id, COUNT(*) AS shared
+             FROM cfp JOIN pfp USING (fp) GROUP BY pfp.id, cfp.id),
+      r AS (SELECT sc.probe_id, sc.doc_id AS matched_id,
+                   round(CAST(shared AS DOUBLE) / n_fp, 4) AS containment,
+                   row_number() OVER (PARTITION BY sc.probe_id
+                     ORDER BY round(CAST(shared AS DOUBLE) / n_fp, 4) DESC NULLS LAST,
+                              sc.doc_id ASC NULLS FIRST) AS rn
+            FROM sc JOIN nf ON sc.probe_id = nf.probe_id)
+      SELECT probe_id, matched_id, containment FROM r WHERE rn = 1
+      ORDER BY probe_id ASC NULLS FIRST"""
+
+  private lazy val q92 = Q(
     "q92_winnow_containment",
     (s, dir) => excerptContainment(T.spread(s, T(s, dir, "documents"))),
-    None,
-    "winnowing-fingerprint containment: excerpt probes recover their source docs (SWA 2003 local guarantee)")
+    Some(q92OracleSql),
+    "winnowing-fingerprint containment: excerpt probes recover their source docs (SWA 2003 local guarantee); Karp-Rabin selection hash-gated")
 
   // ---- containment under the ORACLE gate (q92's SQL-expressible twin) ---
 
@@ -1654,14 +1796,34 @@ object Dedup {
   }
 
   /** Gram table (doc id, 1-based pos, Horner hash) for `src`; `idCol` is
-    * emitted as `id`. */
-  private def winnowGramSql(src: String, idCol: String): String =
-    s"""SELECT id, pos, n_gram, $hornerSql AS h FROM (
+    * emitted as `id`. `horner` defaults to the q215 twin's 10⁶ modulus;
+    * the q92 production oracle passes the [[Hashing.BigP]] form. */
+  private def winnowGramSql(src: String, idCol: String,
+      horner: String = hornerSql): String =
+    s"""SELECT id, pos, n_gram, $horner AS h FROM (
           SELECT $idCol AS id, length(text) - ${KgramLen - 1} AS n_gram, pos,
                  substr(text, pos, $KgramLen) AS g FROM (
             SELECT $idCol, text,
                    unnest(generate_series(1, length(text) - ${KgramLen - 1})) AS pos
             FROM $src WHERE length(text) >= $KgramLen))"""
+
+  /** The production winnow gram hash (Karp–Rabin base 257 mod
+    * [[Hashing.BigP]]) as SQL — every intermediate < 2⁶³ (seeded from a
+    * BIGINT so DuckDB binds the whole chain 64-bit). */
+  private def hornerBigSql: String =
+    (1 to KgramLen).foldLeft("CAST(0 AS BIGINT)") { (acc, j) =>
+      s"(($acc * 257 + ascii(substr(g, $j, 1))) % ${Hashing.BigP})"
+    }
+
+  /** [[Hashing.polyModP]] of a whole sub-8-char text as SQL: 7 guarded
+    * Horner steps (position j contributes only when the text reaches it)
+    * — the short-text fingerprint branch `winnow` takes. */
+  private def hornerShortSql(textCol: String): String =
+    (1 to KgramLen - 1).foldLeft("CAST(0 AS BIGINT)") { (acc, j) =>
+      s"""(CASE WHEN length($textCol) >= $j
+           THEN ($acc * 257 + ascii(substr($textCol, $j, 1))) % ${Hashing.BigP}
+           ELSE $acc END)"""
+    }
 
   /** DISTINCT window-minimum fingerprint set over a gram table. */
   private def winnowFpSql(grams: String): String =

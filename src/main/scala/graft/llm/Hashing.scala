@@ -8,6 +8,24 @@ object Hashing {
 
   val Golden = 0x9e3779b97f4a7c15L
 
+  /** Modulus of the replayable Karp–Rabin gram hash (largest prime we
+    * searched above 3.5·10¹⁶): (P−1)·257 + 127 < 2⁶³, so the Horner
+    * step (h·257 + c) mod P is pure int64 in Spark AND DuckDB — which
+    * puts the winnow/fingerprint kernels under the hash gate — while
+    * the ~2⁵⁵ value space keeps fingerprint equi-join collisions
+    * negligible at 100 TB (the reason the q215 twin's 10⁶ modulus was
+    * never promoted to production). */
+  final val BigP = 35000000000000023L
+
+  /** Karp–Rabin polynomial hash of a char range, base 257 mod [[BigP]]
+    * (the rolling-hash family the winnowing paper itself builds on). */
+  @inline def polyModP(s: String, from: Int, until: Int): Long = {
+    var h = 0L
+    var i = from
+    while (i < until) { h = (h * 257L + s.charAt(i)) % BigP; i += 1 }
+    h
+  }
+
   /** splitmix64 avalanche finalizer. */
   @inline def mix(z0: Long): Long = {
     var z = z0
@@ -78,14 +96,16 @@ object Hashing {
     out
   }
 
-  /** Winnowing-style fingerprint: min seeded hash over char 8-grams. */
+  /** Winnowing-style fingerprint: min [[polyModP]] hash over char
+    * 8-grams (whole text when shorter) — replayable as a plain SQL MIN
+    * over the same Horner grams since r14. */
   def fingerprint(text: String): Long = {
     if (text.isEmpty) return 0L
     var best = Long.MaxValue
     val n = math.max(1, text.length - 7)
     var i = 0
     while (i < n) {
-      val h = mix(poly(text, i, math.min(i + 8, text.length)))
+      val h = polyModP(text, i, math.min(i + 8, text.length))
       if (h < best) best = h
       i += 1
     }
@@ -101,10 +121,13 @@ object Hashing {
     * case MinHash misses when lengths differ a lot. */
   def winnow(text: String, k: Int, w: Int): Array[Long] = {
     val n = text.length - k + 1
-    if (n <= 0) return Array(mix(poly(text, 0, text.length)))
+    if (n <= 0) return Array(polyModP(text, 0, text.length))
     val hs = new Array[Long](n)
     var i = 0
-    while (i < n) { hs(i) = mix(poly(text, i, i + k)); i += 1 }
+    // gram hash = Karp–Rabin mod BigP since r14 (was a 64-bit avalanche
+    // mix): identical selection semantics, DuckDB-replayable — q92 gains
+    // a direct oracle; collision space ~2⁵⁵ stays join-safe at scale
+    while (i < n) { hs(i) = polyModP(text, i, i + k); i += 1 }
     val out = new java.util.LinkedHashSet[java.lang.Long]()
     var prevPos = -1
     var j = 0

@@ -349,40 +349,91 @@ object Ingest {
       ORDER BY col_name ASC NULLS FIRST"""),
     "single-scan ANALYZE: min/max/exact-NDV/null-count per column, unpivoted (CBO/pruning-manifest stats)")
 
-  /** q131: the 100 TB sibling of q126 — same single-scan stack() unpivot,
-    * with exact countDistinct swapped for approx_count_distinct (HLL++,
-    * default rsd 0.05). The exact form's multi-column DISTINCT expands
-    * every row once PER profiled column before the partial aggregate —
-    * at 100 TB that is an n-fold scan blow-up; the sketch keeps the pass
-    * one map-combinable scan with fixed few-KB state per column.
-    * Rows-only by design: DuckDB's approx sketch differs, so values
-    * cannot hash-match an oracle — TableStatsApproxSpec bounds the
-    * relative NDV error against q126's exact answer instead (min/max/
-    * null-count remain exact and are asserted equal). */
+  /** HLL readout constant α₁₀₂₄·m²·2²² (m = 1024 — 4× q217's gate
+    * registers for CBO-grade accuracy; the 2²² clears the scaled
+    * harmonic numerator), emitted as ONE shortest-round-trip
+    * double literal into BOTH plans so raw = LIT / S is a single
+    * identical IEEE division — bit-equal across engines by construction. */
+  private val HllReadoutLit: Double =
+    (0.7213 / (1.0 + 1.079 / 1024.0)) * 1048576.0 * 4194304.0
+
+  /** q131: the 100 TB sibling of q126 — approximate ANALYZE in one
+    * map-combinable pass (the exact form's multi-column DISTINCT expands
+    * every row once PER profiled column; the register pass partial-
+    * aggregates to ≤ 3·256 rows per partition before one narrow
+    * shuffle). DIRECT oracle since r14: NDV comes from q217/q220's
+    * SQL-replayable HLL registers with the published readout — raw
+    * α·m²·2²⁴/S, linear counting m·ln(m/V) when raw ≤ 2.5m and empty
+    * registers remain (Flajolet et al. 2007) — rounded to integer
+    * counts. Cross-engine float safety: the raw branch is one shared-
+    * literal division (bit-identical by construction) and the ln branch
+    * has a FINITE input domain (V ∈ 1..255) that SketchesSpec
+    * enumerates, proving every possible value sits ≥ 10⁻⁶ from a
+    * rounding boundary — libm ulp drift cannot flip the integer. */
   private val q131 = Q(
     "q131_table_stats_approx",
     (s, dir) => {
-      val l = T(s, dir, "lineitem")
-      val stats = l.agg(
-        min(col("l_quantity")).as("min1"), max(col("l_quantity")).as("max1"),
-        approx_count_distinct(col("l_quantity")).as("ndv1"),
-        sum(col("l_quantity").isNull.cast(LongType)).as("null1"),
-        min(col("l_extendedprice")).as("min2"), max(col("l_extendedprice")).as("max2"),
-        approx_count_distinct(col("l_extendedprice")).as("ndv2"),
-        sum(col("l_extendedprice").isNull.cast(LongType)).as("null2"),
-        min(col("l_discount")).as("min3"), max(col("l_discount")).as("max3"),
-        approx_count_distinct(col("l_discount")).as("ndv3"),
-        sum(col("l_discount").isNull.cast(LongType)).as("null3"))
-      stats.select(expr(
-        """stack(3,
-           'l_quantity', min1, max1, ndv1, null1,
-           'l_extendedprice', min2, max2, ndv2, null2,
-           'l_discount', min3, max3, ndv3, null3)
-           AS (col_name, vmin, vmax, ndv, n_nulls)"""))
+      val keyed = T(s, dir, "lineitem").select(expr(
+        """stack(3, 'l_quantity', l_quantity, 'l_extendedprice', l_extendedprice,
+           'l_discount', l_discount) AS (col_name, v)"""))
+      val base = keyed.groupBy(col("col_name")).agg(
+        min(col("v")).as("vmin"), max(col("v")).as("vmax"),
+        sum(col("v").isNull.cast(LongType)).as("n_nulls"))
+      val regs = keyed.filter(col("v").isNotNull)
+        .select(col("col_name"),
+          ((abs(floor(col("v") * 100).cast(LongType)) * lit(2654435761L) + lit(12345L))
+            % lit(2147483647L)).as("h"))
+        .select(col("col_name"), (col("h") % 1024).as("register"), expr("h div 1024").as("w"))
+        .select(col("col_name"), col("register"),
+          when(col("w") === 0, lit(22L))
+            .otherwise(expr("cast(bit_count((w & -w) - 1) + 1 as bigint)")).as("rho"))
+        .groupBy(col("col_name"), col("register")).agg(max(col("rho")).as("r"))
+      val hll = regs.groupBy(col("col_name"))
+        .agg(count(lit(1)).as("n_regs"),
+          (sum(expr("shiftleft(cast(1 as bigint), cast(22 - r as int))"))
+            + (lit(1024L) - count(lit(1))) * lit(4194304L)).as("s_hll"))
+      val raw = lit(HllReadoutLit) / col("s_hll").cast(DoubleType)
+      val ndv = when(raw > lit(2560.0) || col("n_regs") === 1024,
+          round(raw).cast(LongType))
+        .otherwise(round(lit(1024.0) *
+          log(lit(1024.0) / (lit(1024L) - col("n_regs")).cast(DoubleType))).cast(LongType))
+      base.join(hll, Seq("col_name"))
+        .select(col("col_name"), col("vmin"), col("vmax"),
+          ndv.as("ndv"), col("n_nulls"))
         .orderBy(asc_nulls_first("col_name"))
     },
-    None,
-    "approximate ANALYZE: single scan, HLL++ NDV per column — the sketch-backed stats pass a CBO runs at 100 TB")
+    Some(s"""WITH keyed AS (
+        SELECT 'l_quantity' AS col_name, l_quantity AS v FROM lineitem
+        UNION ALL
+        SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+        UNION ALL
+        SELECT 'l_discount', l_discount FROM lineitem),
+      base AS (SELECT col_name, min(v) AS vmin, max(v) AS vmax,
+                 CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls
+               FROM keyed GROUP BY col_name),
+      rr AS (SELECT col_name, h % 1024 AS register,
+               CASE WHEN h // 1024 = 0 THEN 22
+                    ELSE bit_count(((h // 1024) & -(h // 1024)) - 1) + 1 END AS rho
+             FROM (SELECT col_name,
+                     (abs(CAST(floor(v * 100) AS BIGINT)) * 2654435761 + 12345)
+                       % 2147483647 AS h
+                   FROM keyed WHERE v IS NOT NULL)),
+      reg AS (SELECT col_name, register, MAX(rho) AS r FROM rr GROUP BY 1, 2),
+      hll AS (SELECT col_name, COUNT(*) AS n_regs,
+                CAST(SUM(CAST(1 AS BIGINT) << CAST(22 - r AS INTEGER))
+                  + (1024 - COUNT(*)) * 4194304 AS BIGINT) AS s_hll
+              FROM reg GROUP BY 1)
+      SELECT col_name, vmin, vmax,
+             CASE WHEN (${HllReadoutLit} / CAST(s_hll AS DOUBLE)) > 2560.0
+                       OR n_regs = 1024
+                  THEN CAST(round(${HllReadoutLit} / CAST(s_hll AS DOUBLE)) AS BIGINT)
+                  ELSE CAST(round(1024.0 * ln(1024.0 / CAST(1024 - n_regs AS DOUBLE)))
+                            AS BIGINT)
+             END AS ndv,
+             n_nulls
+      FROM base JOIN hll USING (col_name)
+      ORDER BY col_name ASC NULLS FIRST"""),
+    "approximate ANALYZE: single scan, replayable HLL-register NDV per column — the sketch-backed stats pass a CBO runs at 100 TB, hash-gated")
 
   /** q220: q131's approximate-ANALYZE shape with the NDV sketch replaced
     * by q217's SQL-replayable HLL registers, so the LAST engine-specific

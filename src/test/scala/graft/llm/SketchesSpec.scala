@@ -171,4 +171,18 @@ class SketchesSpec extends AnyFunSuite {
         assert(r.getLong(4) === r.getLong(5), s"$t exact-branch estimate")
     }
   }
+
+  test("q131 linear-counting readout: every possible ln input is far from a rounding boundary") {
+    // q131's only cross-engine float risk is the linear-counting branch
+    // (Spark's Math.log vs DuckDB's libm ln may differ by ulps). Its input
+    // domain is FINITE — V = empty registers in 1..1023 — so enumerate it:
+    // each 1024*ln(1024/V) must sit >= 1e-6 from a .5 rounding boundary,
+    // and ulp-scale drift (~1e-13 relative) can then never flip round().
+    for (v <- 1 until 1024) {
+      val x = 1024.0 * math.log(1024.0 / v)
+      val frac = x - math.floor(x)
+      assert(math.abs(frac - 0.5) > 1e-6,
+        s"V=$v: 1024*ln(1024/$v)=$x is within 1e-6 of a rounding boundary")
+    }
+  }
 }
