@@ -177,6 +177,15 @@ object Bench {
     try {
       val p = java.nio.file.Paths.get("BENCH_DETAIL.json")
       java.nio.file.Files.write(p, detail.getBytes("UTF-8"))
+      // append-only history: BENCH_r{N}.json keeps only a truncated tail
+      // of stdout, so round-over-round per-query diffs read THIS file —
+      // one complete JSON line per bench run, never tail-window-lucky
+      val h = java.nio.file.Paths.get("BENCH_HISTORY.jsonl")
+      val stamped = detail.stripSuffix("}") +
+        s""","ts":"${java.time.Instant.now()}"}\n"""
+      java.nio.file.Files.write(h, stamped.getBytes("UTF-8"),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
     } catch { case _: Throwable => () }
     val common = s""""total_min":${r2(totalMin)},"total_median":${r2(totalMedian)},""" +
       s""""reps":$reps,"failed":$failedJson,"sf":$sfNum"""

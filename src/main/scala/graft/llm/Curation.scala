@@ -518,13 +518,23 @@ object Curation {
       // vs q146's own 51 s on the same input).
       val scores = bigramScores(s, dir).select(col("doc_id"), col("avg_ppm"))
         .localCheckpoint()
-      val ranked = scores
-        .withColumn("rn", row_number().over(
-          Window.orderBy(asc("avg_ppm"), asc("doc_id"))).cast(LongType))
-        .withColumn("cnt", count(lit(1)).over(Window.partitionBy()))
-      val isBoundary = (1 to 9).map(k => col("rn") === expr(s"($k * cnt) div 10"))
-        .reduce(_ || _)
-      val thr = ranked.filter(isBoundary)
+      // Decile boundaries via VALUE RUNS (the q189 technique, r14): the
+      // value at global rank r is determined by how ranks fall across
+      // runs of equal avg_ppm, so the corpus-sized single-partition
+      // row_number window the r13 shape used collapses to one
+      // map-combinable distinct-value aggregate plus a window over the
+      // DOMAIN (integer ppm — bounded regardless of corpus size). One
+      // boundary value is emitted PER k, duplicates included, exactly as
+      // the row_number form collected them (two ranks inside one run ⇒
+      // the same value twice in ts — the banding filter counts it twice).
+      val tot = scores.count()
+      val vals = scores.groupBy(col("avg_ppm")).agg(count(lit(1)).as("c"))
+        .withColumn("cum", sum(col("c")).over(Window.orderBy(asc("avg_ppm"))))
+      val ranks = (1 to 9).map(k => (k * tot) / 10)
+      val thr = vals
+        .select(col("avg_ppm"), col("cum"), col("c"),
+          explode(lit(ranks.toArray)).as("r"))
+        .filter(col("cum") >= col("r") && col("cum") - col("c") < col("r"))
         .agg(sort_array(collect_list(col("avg_ppm"))).as("ts"))
       val banded = scores.crossJoin(broadcast(thr))
         .select(col("doc_id"),
