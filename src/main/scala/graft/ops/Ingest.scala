@@ -46,6 +46,37 @@ object Ingest {
   def registerStaging(df: DataFrame, name: String): Unit =
     df.createOrReplaceTempView(s"staging_$name")
 
+  /** S3 integration surface (reference: load_report.py:35-42 reads over
+    * a live PostGIS socket). Offline there is no JDBC driver jar, so the
+    * ONE declared-missing capability is the socket itself; everything a
+    * deployment configures — url/dbtable plumbing, fetch sizing,
+    * predicate/aggregate/limit pushdown flags, partitioned parallel
+    * reads (the thing that makes a 100 TB JDBC ingest not a single
+    * connection) — is built here and pinned by IngestSpec. A live
+    * deployment runs `spark.read.format("jdbc").options(jdbcOptions(...))
+    * .load()` verbatim. */
+  def jdbcOptions(url: String, table: String,
+      partitionColumn: Option[(String, Long, Long, Int)] = None,
+      fetchSize: Int = 10000): Map[String, String] = {
+    val base = Map(
+      "url" -> url,
+      "dbtable" -> table,
+      "fetchsize" -> fetchSize.toString,
+      // Spark's JDBC source pushes filters/aggregates/LIMIT to the
+      // database when these are on — the moral equivalent of parquet
+      // PushedFilters for the S3 path
+      "pushDownPredicate" -> "true",
+      "pushDownAggregate" -> "true",
+      "pushDownLimit" -> "true")
+    partitionColumn.fold(base) { case (c, lo, hi, n) =>
+      base ++ Map(
+        "partitionColumn" -> c,
+        "lowerBound" -> lo.toString,
+        "upperBound" -> hi.toString,
+        "numPartitions" -> n.toString)
+    }
+  }
+
   /** S12 + the reference's ACTUAL view on its ACTUAL data:
     * lu.gpkg ⋈ lu.csv on TEMA projecting id/TEMA/LUSE/KETERANGAN/JENIS/
     * SUMBER (query/view_linked_data.sql:1-13) — runnable end-to-end from

@@ -47,4 +47,35 @@ class IngestSpec extends AnyFunSuite {
     Ingest.registerStaging(Seq(1, 2).toDF("x"), "t1")
     assert(spark.sql("select count(*) from staging_t1").collect().head.getLong(0) === 2)
   }
+
+  test("S3 jdbc integration surface: option plumbing + partitioned-read shape") {
+    // offline boundary for the one declared-missing capability (no JDBC
+    // driver jar): the options a live deployment feeds
+    // spark.read.format("jdbc") are constructed here and pinned — url
+    // and table plumbing, fetch sizing, the three pushdown flags, and
+    // the 4-tuple partitioned-read config that parallelizes the scan
+    val plain = Ingest.jdbcOptions("jdbc:postgresql://db:5432/gis", "staging.lu")
+    assert(plain("url") === "jdbc:postgresql://db:5432/gis")
+    assert(plain("dbtable") === "staging.lu")
+    assert(plain("fetchsize") === "10000")
+    assert(Seq("pushDownPredicate", "pushDownAggregate", "pushDownLimit")
+      .forall(plain(_) === "true"))
+    assert(!plain.contains("partitionColumn"))
+    val part = Ingest.jdbcOptions("jdbc:postgresql://db:5432/gis", "staging.lu",
+      partitionColumn = Some(("id", 1L, 1000000L, 64)))
+    assert(part("partitionColumn") === "id")
+    assert(part("lowerBound") === "1" && part("upperBound") === "1000000")
+    assert(part("numPartitions") === "64")
+    // every key is one Spark's JDBC source actually reads (JDBCOptions
+    // would throw on load() for a typo'd name; cross-check the names
+    // against the shipped constants so the spec fails at build time,
+    // not in a deployment)
+    import org.apache.spark.sql.execution.datasources.jdbc.JDBCOptions._
+    val known = Set(JDBC_URL, JDBC_TABLE_NAME, JDBC_BATCH_FETCH_SIZE,
+      JDBC_PUSHDOWN_PREDICATE, JDBC_PUSHDOWN_AGGREGATE, JDBC_PUSHDOWN_LIMIT,
+      JDBC_PARTITION_COLUMN, JDBC_LOWER_BOUND, JDBC_UPPER_BOUND,
+      JDBC_NUM_PARTITIONS)
+    assert(part.keySet.subsetOf(known),
+      s"unknown jdbc option keys: ${part.keySet -- known}")
+  }
 }
