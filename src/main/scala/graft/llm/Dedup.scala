@@ -803,12 +803,12 @@ object Dedup {
                COALESCE(ts[CAST(i AS INTEGER) + 1], '') AS t2,
                COALESCE(ts[CAST(i AS INTEGER) + 2], '') AS t3
         FROM ${p}toks, unnest(range(1, greatest(2, len(ts) - 1))) AS u(i)),
-      ${p}shing AS (
+      ${p}shing AS MATERIALIZED (
         SELECT DISTINCT doc_id,
           (((${horner16Sql("t1")} * 1000003 + ${horner16Sql("t2")}) % $PlaneP)
             * 1000003 + ${horner16Sql("t3")}) % $PlaneP AS x
         FROM ${p}tok3),
-      ${p}sigs AS (
+      ${p}sigs AS MATERIALIZED (
         SELECT doc_id,
           $mins
         FROM ${p}shing GROUP BY doc_id),
@@ -865,11 +865,11 @@ object Dedup {
       hx AS (SELECT doc_id, md5(text) AS h FROM $src),
       rep AS (SELECT doc_id, MIN(doc_id) OVER (PARTITION BY h) AS rep_id FROM hx),
       exactp AS (SELECT rep_id AS doc_a, doc_id AS doc_b FROM rep WHERE doc_id <> rep_id),
-      rb AS (SELECT b.doc_id, b.band, b.bh FROM banded b
+      rb AS MATERIALIZED (SELECT b.doc_id, b.band, b.bh FROM banded b
              JOIN rep r ON r.doc_id = b.doc_id WHERE r.doc_id = r.rep_id),
       okb AS (SELECT band, bh FROM rb GROUP BY band, bh
               HAVING COUNT(*) > 1 AND COUNT(*) <= $MaxBucketSize),
-      cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      cand AS MATERIALIZED (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
                FROM rb a JOIN okb oa ON oa.band = a.band AND oa.bh = a.bh
                JOIN rb b ON b.band = a.band AND b.bh = a.bh AND a.doc_id < b.doc_id),
       est AS (SELECT c.doc_a, c.doc_b,
@@ -877,7 +877,7 @@ object Dedup {
               FROM cand c JOIN sigs sa ON sa.doc_id = c.doc_a
               JOIN sigs sb ON sb.doc_id = c.doc_b),
       cids AS (SELECT doc_a AS doc_id FROM cand UNION SELECT doc_b FROM cand),
-      ssh AS (SELECT d.doc_id,
+      ssh AS MATERIALIZED (SELECT d.doc_id,
                CASE WHEN len(d.ws) >= 3 THEN
                  list_distinct([array_to_string(d.ws[i:i+2], ' ')
                                 FOR i IN generate_series(1, len(d.ws) - 2)])
