@@ -1096,28 +1096,45 @@ object Dedup {
       corpusSigs.select(col("doc_id"), col("xs")))
   }
 
+  /** Planted-family id offsets are SPAN-DERIVED (r14): family k lives
+    * at [(k+1)·span, (k+2)·span) where span = max(doc_id)+1. The earlier
+    * CONSTANT offsets (+500000/+600000/+700000) silently collided once
+    * the corpus span passed 100k — at sf10 the near and exact families
+    * overlapped each other (and q101's +300000 family overlapped the
+    * corpus itself), planting duplicate doc_ids that the sf10 law gate
+    * caught. Span-multiples are collision-free at EVERY scale. */
+  private[graft] def docSpan(docs: DataFrame): Long =
+    docs.agg(max(col("doc_id"))).head().getLong(0) + 1
+
+  /** `(k+1)·span` as a SQL scalar over `documents` (the oracle's form
+    * of the same offset rule). */
+  private def spanOffSql(k: Int): String =
+    s"($k + 1) * (SELECT MAX(doc_id) + 1 FROM documents)"
+
   /** The q135 planted delta (near / exact / reversed-unique families)
     * as SQL over `documents` — byte-identical text construction on both
     * engines. */
   private[llm] def plantedDeltaSql: String =
-    """SELECT doc_id + 500000 AS doc_id, text || ' appended near dup suffix' AS text
+    s"""SELECT doc_id + ${spanOffSql(1)} AS doc_id,
+             text || ' appended near dup suffix' AS text
       FROM documents WHERE doc_id % 20 = 0
       UNION ALL
-      SELECT doc_id + 600000, text FROM documents WHERE doc_id % 50 = 0
+      SELECT doc_id + ${spanOffSql(2)}, text FROM documents WHERE doc_id % 50 = 0
       UNION ALL
-      SELECT doc_id + 700000,
+      SELECT doc_id + ${spanOffSql(3)},
              array_to_string(list_reverse(string_split(text, ' ')), ' ')
       FROM documents WHERE doc_id % 100 = 0"""
 
   /** The same planted delta as a frame (q135's construction verbatim). */
   private[llm] def plantedDelta(corpus: DataFrame): DataFrame = {
+    val span = docSpan(corpus)
     val near = corpus.filter(col("doc_id") % 20 === 0)
-      .select((col("doc_id") + 500000L).as("doc_id"),
+      .select((col("doc_id") + lit(2L * span)).as("doc_id"),
         concat(col("text"), lit(" appended near dup suffix")).as("text"))
     val exact = corpus.filter(col("doc_id") % 50 === 0)
-      .select((col("doc_id") + 600000L).as("doc_id"), col("text"))
+      .select((col("doc_id") + lit(3L * span)).as("doc_id"), col("text"))
     val fresh = corpus.filter(col("doc_id") % 100 === 0)
-      .select((col("doc_id") + 700000L).as("doc_id"),
+      .select((col("doc_id") + lit(4L * span)).as("doc_id"),
         array_join(reverse(split(col("text"), " ")), " ").as("text"))
     near.unionByName(exact).unionByName(fresh)
   }
@@ -1940,10 +1957,10 @@ object Dedup {
   private def q101OracleSql: String = s"""WITH RECURSIVE docs101 AS (
       SELECT doc_id, text FROM documents
       UNION ALL
-      SELECT doc_id + 300000, text || ' appended near dup suffix'
+      SELECT doc_id + ${spanOffSql(1)}, text || ' appended near dup suffix'
       FROM documents WHERE doc_id % 25 = 0
       UNION ALL
-      SELECT doc_id + 400000, text FROM documents WHERE doc_id % 40 = 0),
+      SELECT doc_id + ${spanOffSql(2)}, text FROM documents WHERE doc_id % 40 = 0),
       ${prodPairsCtes("docs101")},
       edges AS (SELECT doc_a AS a, doc_b AS b FROM allpairs WHERE jaccard >= 0.8),
       -- MATERIALIZED: DuckDB re-evaluates inlined CTEs per recursive step
@@ -1961,11 +1978,12 @@ object Dedup {
       // T.spread: the minhash signature UDF downstream is compute-dense
       // and the single-file scan is one task without it
       val base = T.spread(s, T(s, dir, "documents")).select(col("doc_id"), col("text"))
+      val span = docSpan(base)
       val near = base.filter(col("doc_id") % 25 === 0)
-        .select((col("doc_id") + 300000).as("doc_id"),
+        .select((col("doc_id") + lit(2L * span)).as("doc_id"),
           concat(col("text"), lit(" appended near dup suffix")).as("text"))
       val exact = base.filter(col("doc_id") % 40 === 0)
-        .select((col("doc_id") + 400000).as("doc_id"), col("text"))
+        .select((col("doc_id") + lit(3L * span)).as("doc_id"), col("text"))
       dedupPipeline(s, base.unionByName(near).unionByName(exact), 0.8)
     },
     Some(q101OracleSql),

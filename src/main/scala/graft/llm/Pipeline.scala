@@ -39,12 +39,15 @@ object Pipeline {
   def plantedCorpus(s: SparkSession, dir: String): DataFrame = {
     val base = T(s, dir, "documents")
       .select(col("doc_id"), col("text"), col("source"), col("n_chars"))
+    // span-derived family offsets (the Dedup r14 rule: constants
+    // collided past span 100k — caught by the sf10 law gate)
+    val span = Dedup.docSpan(base)
     val near = base.filter(col("doc_id") % 25 === 0)
       .withColumn("text", concat(col("text"), lit(" appended near dup suffix")))
-      .select((col("doc_id") + 300000).as("doc_id"), col("text"),
+      .select((col("doc_id") + lit(2L * span)).as("doc_id"), col("text"),
         col("source"), length(col("text")).cast(LongType).as("n_chars"))
     val exact = base.filter(col("doc_id") % 40 === 0)
-      .select((col("doc_id") + 400000).as("doc_id"), col("text"),
+      .select((col("doc_id") + lit(3L * span)).as("doc_id"), col("text"),
         col("source"), col("n_chars"))
     base.unionByName(near).unionByName(exact)
   }

@@ -812,15 +812,18 @@ object Streams {
       // a dir without the marker is a partially-staged leftover: the
       // append-mode wave writes below are not restartable, so restage
       stageKey.foreach(k => graft.Scratch.fresh(s"sid_stage_$k"))
+      // span-derived family offsets (the Dedup r14 rule: constant
+      // offsets collided past span 100k — caught by the sf10 law gate)
+      val span = graft.llm.Dedup.docSpan(corpus)
       val waves = Seq(
         corpus,
         corpus.filter(col("doc_id") % 20 === 0)
-          .select((col("doc_id") + 500000L).as("doc_id"),
+          .select((col("doc_id") + lit(2L * span)).as("doc_id"),
             concat(col("text"), lit(" appended near dup suffix")).as("text")),
         corpus.filter(col("doc_id") % 50 === 0)
-          .select((col("doc_id") + 600000L).as("doc_id"), col("text")),
+          .select((col("doc_id") + lit(3L * span)).as("doc_id"), col("text")),
         corpus.filter(col("doc_id") % 100 === 0)
-          .select((col("doc_id") + 700000L).as("doc_id"),
+          .select((col("doc_id") + lit(4L * span)).as("doc_id"),
             array_join(reverse(split(col("text"), " ")), " ").as("text")))
       waves.foreach(_.coalesce(1).write.mode("append").parquet(stage))
       Files.createFile(Paths.get(stage, "_staged"))
@@ -1039,12 +1042,14 @@ object Streams {
   private def q142OracleSql: String = s"""WITH alldocs AS (
       SELECT doc_id, 0 AS wave, text FROM documents
       UNION ALL
-      SELECT doc_id + 500000, 1, text || ' appended near dup suffix'
+      SELECT doc_id + 2 * (SELECT MAX(doc_id) + 1 FROM documents), 1,
+             text || ' appended near dup suffix'
       FROM documents WHERE doc_id % 20 = 0
       UNION ALL
-      SELECT doc_id + 600000, 2, text FROM documents WHERE doc_id % 50 = 0
+      SELECT doc_id + 3 * (SELECT MAX(doc_id) + 1 FROM documents), 2, text
+      FROM documents WHERE doc_id % 50 = 0
       UNION ALL
-      SELECT doc_id + 700000, 3,
+      SELECT doc_id + 4 * (SELECT MAX(doc_id) + 1 FROM documents), 3,
              array_to_string(list_reverse(string_split(text, ' ')), ' ')
       FROM documents WHERE doc_id % 100 = 0),
       ${graft.llm.Dedup.modpSigCtes("alldocs", "a_",
@@ -1107,12 +1112,14 @@ object Streams {
   private def q211OracleSql: String = s"""WITH alldocs AS (
       SELECT doc_id, 0 AS wave, text FROM documents
       UNION ALL
-      SELECT doc_id + 500000, 1, text || ' appended near dup suffix'
+      SELECT doc_id + 2 * (SELECT MAX(doc_id) + 1 FROM documents), 1,
+             text || ' appended near dup suffix'
       FROM documents WHERE doc_id % 20 = 0
       UNION ALL
-      SELECT doc_id + 600000, 2, text FROM documents WHERE doc_id % 50 = 0
+      SELECT doc_id + 3 * (SELECT MAX(doc_id) + 1 FROM documents), 2, text
+      FROM documents WHERE doc_id % 50 = 0
       UNION ALL
-      SELECT doc_id + 700000, 3,
+      SELECT doc_id + 4 * (SELECT MAX(doc_id) + 1 FROM documents), 3,
              array_to_string(list_reverse(string_split(text, ' ')), ' ')
       FROM documents WHERE doc_id % 100 = 0),
       ${graft.llm.Dedup.modpSigCtes("alldocs", "a_")},

@@ -15,11 +15,12 @@ object DumpEdges101 {
     val s = graft.Sessions.build(s"local[$cpus]", cpus.toInt)
     val base = graft.T.spread(s, graft.T(s, sfDir, "documents"))
       .select(col("doc_id"), col("text"))
+    val span = graft.llm.Dedup.docSpan(base)
     val near = base.filter(col("doc_id") % 25 === 0)
-      .select((col("doc_id") + 300000).as("doc_id"),
+      .select((col("doc_id") + lit(2L * span)).as("doc_id"),
         concat(col("text"), lit(" appended near dup suffix")).as("text"))
     val exact = base.filter(col("doc_id") % 40 === 0)
-      .select((col("doc_id") + 400000).as("doc_id"), col("text"))
+      .select((col("doc_id") + lit(3L * span)).as("doc_id"), col("text"))
     graft.llm.Dedup.minhashPairs(s, base.unionByName(near).unionByName(exact))
       .filter(col("jaccard") >= 0.8)
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))

@@ -82,14 +82,16 @@ class DedupSpec extends AnyFunSuite {
     val out = graft.streaming.Streams.streamIncrementalDedup(spark, corpus, 0.8)
       .collect().map(r => r.getLong(0) -> ((r.getString(1),
         if (r.isNullAt(2)) -1L else r.getLong(2)))).toMap
-    // 100 originals + 5 near (%20) + 2 exact (%50) + 1 reversed (%100)
+    // 100 originals + 5 near (%20) + 2 exact (%50) + 1 reversed (%100);
+    // planted family k lives at (k+1)*span (span-derived offsets, r14)
+    val span = 101L // max doc_id 100 + 1
     assert(out.size === 108, s"got ${out.size} classifications")
     (1L to 100L).foreach(i => assert(out(i) === (("unique", -1L)), s"original $i: ${out(i)}"))
     Seq(20L, 40L, 60L, 80L, 100L).foreach { i =>
-      assert(out(500000L + i) === (("near", i)), s"near clone of $i: ${out(500000L + i)}") }
+      assert(out(2 * span + i) === (("near", i)), s"near clone of $i: ${out(2 * span + i)}") }
     Seq(50L, 100L).foreach { i =>
-      assert(out(600000L + i) === (("exact", i)), s"exact clone of $i: ${out(600000L + i)}") }
-    assert(out(700100L) === (("unique", -1L)), s"reversed doc: ${out(700100L)}")
+      assert(out(3 * span + i) === (("exact", i)), s"exact clone of $i: ${out(3 * span + i)}") }
+    assert(out(4 * span + 100L) === (("unique", -1L)), s"reversed doc: ${out(4 * span + 100L)}")
   }
 
   test("exact jaccard of identical docs is 1.0") {

@@ -25,13 +25,17 @@ class PipelineSpec extends AnyFunSuite {
       .localCheckpoint(true)
   }
 
+  // planted family k lives at (k+1)*span (span-derived offsets, r14)
+  private lazy val span: Long =
+    graft.llm.Dedup.docSpan(graft.T(spark, sf, "documents"))
+
   test("dedup removes exactly the true dups; every survivor lands exactly once") {
     val n = result.count()
     assert(n > 0)
     assert(result.select("doc_id").distinct().count() === n,
       "a doc must land in exactly one shard/bin row")
     // exact clones have Jaccard 1.0 — none may survive
-    assert(result.filter(col("doc_id") >= 400000).count() === 0,
+    assert(result.filter(col("doc_id") >= lit(3L * span)).count() === 0,
       "planted exact clones must all be deduplicated away")
     // a near clone is a true dup IFF its 3-shingle Jaccard with its source
     // clears the threshold — on the shortest docs the appended suffix
@@ -46,9 +50,9 @@ class PipelineSpec extends AnyFunSuite {
           .cast("double") /
           size(array_union(Dedup.shingles("ta"), Dedup.shingles("tb")))).as("j"))
       .filter(col("j") < 0.8)
-      .select((col("doc_id") + 300000).as("doc_id"))
+      .select((col("doc_id") + lit(2L * span)).as("doc_id"))
       .collect().map(_.getLong(0)).toSet
-    val got = result.filter(col("doc_id") >= 300000).select("doc_id")
+    val got = result.filter(col("doc_id") >= lit(2L * span)).select("doc_id")
       .collect().map(_.getLong(0)).toSet
     assert(got === expected,
       "surviving near-clone ids must be exactly the sub-threshold ones")

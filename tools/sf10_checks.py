@@ -79,6 +79,12 @@ def oracle_sql(out_dir, q):
     return json.load(open(f"{out_dir}/oracle_sql.json"))[q]
 
 
+def doc_span(con):
+    """max(doc_id)+1 — the planted families live at [(k+1)*span,
+    (k+2)*span) since r14 (constant offsets collided past span 100k)."""
+    return con.execute("SELECT MAX(doc_id) + 1 FROM documents").fetchone()[0]
+
+
 # --------------------------------------------------------------------------
 @check("q206_minhash_oracle")
 def q206(sf, out):
@@ -162,11 +168,12 @@ def q101(sf, out):
     edge_files = glob.glob(f"{out}/_edges_q101/*.parquet")
     assert edge_files, "run graft.tools.DumpEdges101 first (writes _edges_q101)"
     con.execute(f"CREATE VIEW edges0 AS SELECT * FROM read_parquet({edge_files!r})")
-    con.execute("""CREATE OR REPLACE VIEW orc AS (
+    sp = doc_span(con)
+    con.execute(f"""CREATE OR REPLACE VIEW orc AS (
       WITH RECURSIVE
         docs101 AS (SELECT doc_id FROM documents
-                    UNION ALL SELECT doc_id + 300000 FROM documents WHERE doc_id % 25 = 0
-                    UNION ALL SELECT doc_id + 400000 FROM documents WHERE doc_id % 40 = 0),
+                    UNION ALL SELECT doc_id + {2*sp} FROM documents WHERE doc_id % 25 = 0
+                    UNION ALL SELECT doc_id + {3*sp} FROM documents WHERE doc_id % 40 = 0),
         ud AS MATERIALIZED (SELECT src AS a, dst AS b FROM edges0
                             UNION SELECT dst, src FROM edges0),
         reach AS (SELECT doc_id AS src, doc_id AS dst FROM docs101
@@ -180,7 +187,7 @@ def q101(sf, out):
     return f"decomposed_oracle (engine edge dump -> full closure replay): {a} rows hash-equal"
 
 
-def _expected_near_string(con, sf):
+def _expected_near_string(con, sf, off):
     """Expected near set for the STRING-shingle production kernel: the
     planted %20 pairs whose q94-form shingle jaccard rounds to >= 0.8 —
     computed purely in DuckDB from the fixture."""
@@ -200,12 +207,12 @@ def _expected_near_string(con, sf):
                  ELSE [dtext] END AS sd
                FROM (SELECT doc_id, text, dtext, string_split(text, ' ') AS ws,
                             string_split(dtext, ' ') AS dws FROM src))
-      SELECT doc_id + 500000 AS doc_id FROM sh
+      SELECT doc_id + {off} AS doc_id FROM sh
       WHERE round(CAST(len(list_intersect(sd, sa)) AS DOUBLE)
                   / len(list_distinct(list_concat(sd, sa))), 4) >= 0.8""")
 
 
-def _expected_near_modp(con, sf, out):
+def _expected_near_modp(con, sf, out, off):
     """Expected near set for the mod-p twin kernel: reuse the generated
     toks/tok3/shing/sigs/banded CTE text from the q206 oracle (the
     independent SQL form of the whole signature arithmetic) over just
@@ -220,26 +227,26 @@ def _expected_near_modp(con, sf, out):
       SELECT doc_id, text FROM read_parquet('{sf}/documents.parquet')
       WHERE doc_id % 20 = 0
       UNION ALL
-      SELECT doc_id + 500000, text || ' appended near dup suffix'
+      SELECT doc_id + {off}, text || ' appended near dup suffix'
       FROM read_parquet('{sf}/documents.parquet') WHERE doc_id % 20 = 0""")
     con.execute(f"""CREATE OR REPLACE TABLE expnear AS
       WITH {frag},
         cnt AS (SELECT doc_id, COUNT(*) AS n FROM shing GROUP BY doc_id),
         iw AS (SELECT d.doc_id AS did, COUNT(*) AS i
                FROM shing d JOIN shing c
-                 ON c.doc_id = d.doc_id - 500000 AND c.x = d.x
-               WHERE d.doc_id >= 500000
+                 ON c.doc_id = d.doc_id - {off} AND c.x = d.x
+               WHERE d.doc_id >= {off}
                GROUP BY d.doc_id),
         cand AS (SELECT DISTINCT d.doc_id AS did
                  FROM banded d JOIN banded c
-                   ON c.doc_id = d.doc_id - 500000
+                   ON c.doc_id = d.doc_id - {off}
                   AND c.band = d.band AND c.bh = d.bh
-                 WHERE d.doc_id >= 500000)
+                 WHERE d.doc_id >= {off})
       SELECT d.doc_id FROM cnt d
-      JOIN cnt c ON c.doc_id = d.doc_id - 500000
+      JOIN cnt c ON c.doc_id = d.doc_id - {off}
       JOIN cand ON cand.did = d.doc_id
       LEFT JOIN iw ON iw.did = d.doc_id
-      WHERE d.doc_id >= 500000
+      WHERE d.doc_id >= {off}
         AND 5 * COALESCE(iw.i, 0) >= 4 * (d.n + c.n - COALESCE(iw.i, 0))""")
     # restore the plain view for later statements
     con.execute(f"""CREATE OR REPLACE VIEW documents AS
@@ -257,13 +264,15 @@ def _incremental_laws(sf, out, q, jcol, jexact, bands_miss_budget, modp):
     LSH banding may additionally miss at most `bands_miss_budget`."""
     con = connect(sf)
     eng_view(con, out, q)
+    sp = doc_span(con)
+    s2, s3, s4 = 2 * sp, 3 * sp, 4 * sp
     con.execute("""CREATE OR REPLACE TABLE rep AS
       SELECT doc_id, MIN(doc_id) OVER (PARTITION BY md5(text)) AS rep_id
       FROM documents""")
     if modp:
-        _expected_near_modp(con, sf, out)
+        _expected_near_modp(con, sf, out, s2)
     else:
-        _expected_near_string(con, sf)
+        _expected_near_string(con, sf, s2)
     p20, p50, p100 = con.execute(
         """SELECT COUNT(*) FILTER (doc_id % 20 = 0),
                   COUNT(*) FILTER (doc_id % 50 = 0),
@@ -274,17 +283,17 @@ def _incremental_laws(sf, out, q, jcol, jexact, bands_miss_budget, modp):
     total = con.execute("SELECT COUNT(*) FROM eng").fetchone()[0]
     assert total == p20 + p50 + p100, f"row conservation: {total} vs {p20+p50+p100}"
     bad_exact = con.execute(
-        f"""SELECT COUNT(*) FROM eng JOIN rep ON rep.doc_id = eng.doc_id - 600000
+        f"""SELECT COUNT(*) FROM eng JOIN rep ON rep.doc_id = eng.doc_id - {s3}
             WHERE kind = 'exact'
-            AND NOT (eng.doc_id >= 600000 AND dup_of = rep.rep_id
+            AND NOT (eng.doc_id >= {s3} AND dup_of = rep.rep_id
                      AND {jexact})""").fetchone()[0]
     assert bad_exact == 0, f"{bad_exact} structurally wrong exact rows"
     assert rows.get("exact", 0) == p50, f"exact count {rows.get('exact')} vs planted {p50}"
     # near rows: structurally correct AND inside the expected set
     bad_near = con.execute(
-        f"""SELECT COUNT(*) FROM eng JOIN rep ON rep.doc_id = eng.doc_id - 500000
+        f"""SELECT COUNT(*) FROM eng JOIN rep ON rep.doc_id = eng.doc_id - {s2}
             WHERE kind = 'near'
-            AND NOT (eng.doc_id >= 500000 AND eng.doc_id < 600000
+            AND NOT (eng.doc_id >= {s2} AND eng.doc_id < {s3}
                      AND dup_of = rep.rep_id AND {jcol}
                      AND eng.doc_id IN (SELECT doc_id FROM expnear))
         """).fetchone()[0]
@@ -294,8 +303,8 @@ def _incremental_laws(sf, out, q, jcol, jexact, bands_miss_budget, modp):
         f"near recall: {rows.get('near')} of expected {nexp} (miss {miss} > budget {bands_miss_budget})"
     # unique kind: reversed family + sub-threshold + banding-missed near
     bad_uni = con.execute(
-        """SELECT COUNT(*) FROM eng WHERE kind = 'unique'
-           AND NOT (doc_id >= 700000 OR (doc_id >= 500000 AND doc_id < 600000))
+        f"""SELECT COUNT(*) FROM eng WHERE kind = 'unique'
+           AND NOT (doc_id >= {s4} OR (doc_id >= {s2} AND doc_id < {s3}))
         """).fetchone()[0]
     assert bad_uni == 0, f"{bad_uni} unique rows outside the planted families"
     return (f"law_check (group-rep + independent expected-near set): "
@@ -324,6 +333,8 @@ def q211(sf, out):
     planted waves follow q210's laws."""
     con = connect(sf)
     eng_view(con, out, "q211_stream_incremental_dedup_oracle")
+    sp = doc_span(con)
+    s2, s3, s4 = 2 * sp, 3 * sp, 4 * sp
     # expected match = the source's md5-group representative (the corpus
     # has a few exact dup texts); wave-0 arrives as ONE batch, so its
     # internal dups are deliberately not cross-checked -> all unique
@@ -331,7 +342,7 @@ def q211(sf, out):
       SELECT doc_id, MIN(doc_id) OVER (PARTITION BY md5(text)) AS rep_id
       FROM documents""")
     bad0 = con.execute(
-        "SELECT COUNT(*) FROM eng WHERE doc_id < 500000 AND kind <> 'unique'"
+        f"SELECT COUNT(*) FROM eng WHERE doc_id < {s2} AND kind <> 'unique'"
     ).fetchone()[0]
     assert bad0 == 0, f"{bad0} wave-0 docs not unique"
     p20, p50, p100 = con.execute(
@@ -339,28 +350,28 @@ def q211(sf, out):
                   COUNT(*) FILTER (doc_id % 50 = 0),
                   COUNT(*) FILTER (doc_id % 100 = 0) FROM documents""").fetchone()
     ex_bad = con.execute(
-        """SELECT COUNT(*) FROM eng JOIN rep ON rep.doc_id = eng.doc_id - 600000
-           WHERE eng.doc_id >= 600000 AND eng.doc_id < 700000
+        f"""SELECT COUNT(*) FROM eng JOIN rep ON rep.doc_id = eng.doc_id - {s3}
+           WHERE eng.doc_id >= {s3} AND eng.doc_id < {s4}
            AND NOT (kind = 'exact' AND dup_of = rep.rep_id AND jq = 1000000)
         """).fetchone()[0]
     assert ex_bad == 0, f"{ex_bad} wave-2 exact rows wrong"
-    _expected_near_modp(con, sf, out)
+    _expected_near_modp(con, sf, out, s2)
     nexp = con.execute("SELECT COUNT(*) FROM expnear").fetchone()[0]
     near_n, bad_near = con.execute(
-        """SELECT COUNT(*) FILTER (kind = 'near'),
+        f"""SELECT COUNT(*) FILTER (kind = 'near'),
                   COUNT(*) FILTER (kind = 'near' AND NOT (
                     dup_of = rep.rep_id AND jq >= 800000
                     AND eng.doc_id IN (SELECT doc_id FROM expnear)))
-           FROM eng JOIN rep ON rep.doc_id = eng.doc_id - 500000
-           WHERE eng.doc_id >= 500000 AND eng.doc_id < 600000""").fetchone()
+           FROM eng JOIN rep ON rep.doc_id = eng.doc_id - {s2}
+           WHERE eng.doc_id >= {s2} AND eng.doc_id < {s3}""").fetchone()
     miss = nexp - near_n
     wrong = con.execute(
-        """SELECT COUNT(*) FROM eng WHERE doc_id >= 500000 AND doc_id < 600000
+        f"""SELECT COUNT(*) FROM eng WHERE doc_id >= {s2} AND doc_id < {s3}
            AND kind NOT IN ('near', 'unique')""").fetchone()[0]
     assert wrong == 0 and bad_near == 0 and miss == 0, \
         f"wave-1 near laws: {near_n}/{nexp} expected, bad {bad_near}, miss {miss}"
     uni_bad = con.execute(
-        """SELECT COUNT(*) FROM eng WHERE doc_id >= 700000 AND kind <> 'unique'
+        f"""SELECT COUNT(*) FROM eng WHERE doc_id >= {s4} AND kind <> 'unique'
         """).fetchone()[0]
     assert uni_bad == 0, f"{uni_bad} wave-3 reversed docs not unique"
     return (f"law_check (prefix semantics): wave0 all-unique, {p50} exact "
@@ -371,36 +382,38 @@ def q211(sf, out):
 def q142(sf, out):
     con = connect(sf)
     eng_view(con, out, "q142_stream_incremental_dedup")
+    sp = doc_span(con)
+    s2, s3, s4 = 2 * sp, 3 * sp, 4 * sp
     con.execute("""CREATE OR REPLACE TABLE rep AS
       SELECT doc_id, MIN(doc_id) OVER (PARTITION BY md5(text)) AS rep_id
       FROM documents""")
     bad0 = con.execute(
-        "SELECT COUNT(*) FROM eng WHERE doc_id < 500000 AND kind <> 'unique'"
+        f"SELECT COUNT(*) FROM eng WHERE doc_id < {s2} AND kind <> 'unique'"
     ).fetchone()[0]
     assert bad0 == 0, f"{bad0} wave-0 docs not unique"
     p50 = con.execute("SELECT COUNT(*) FROM documents WHERE doc_id % 50 = 0").fetchone()[0]
     ex_bad = con.execute(
-        """SELECT COUNT(*) FROM eng JOIN rep ON rep.doc_id = eng.doc_id - 600000
-           WHERE eng.doc_id >= 600000 AND eng.doc_id < 700000
+        f"""SELECT COUNT(*) FROM eng JOIN rep ON rep.doc_id = eng.doc_id - {s3}
+           WHERE eng.doc_id >= {s3} AND eng.doc_id < {s4}
            AND NOT (kind = 'exact' AND dup_of = rep.rep_id AND jaccard = 1.0)
         """).fetchone()[0]
     assert ex_bad == 0, f"{ex_bad} wave-2 exact rows wrong"
-    _expected_near_string(con, sf)
+    _expected_near_string(con, sf, s2)
     nexp = con.execute("SELECT COUNT(*) FROM expnear").fetchone()[0]
     # 16-band recall at j~0.98 is exact-grade: near set == expected set
     near_bad = con.execute(
-        """SELECT COUNT(*) FROM eng JOIN rep ON rep.doc_id = eng.doc_id - 500000
-           WHERE eng.doc_id >= 500000 AND eng.doc_id < 600000
+        f"""SELECT COUNT(*) FROM eng JOIN rep ON rep.doc_id = eng.doc_id - {s2}
+           WHERE eng.doc_id >= {s2} AND eng.doc_id < {s3}
            AND (kind = 'near') <> (eng.doc_id IN (SELECT doc_id FROM expnear))
         """).fetchone()[0]
     struct_bad = con.execute(
-        """SELECT COUNT(*) FROM eng JOIN rep ON rep.doc_id = eng.doc_id - 500000
-           WHERE kind = 'near' AND eng.doc_id >= 500000 AND eng.doc_id < 600000
+        f"""SELECT COUNT(*) FROM eng JOIN rep ON rep.doc_id = eng.doc_id - {s2}
+           WHERE kind = 'near' AND eng.doc_id >= {s2} AND eng.doc_id < {s3}
            AND NOT (dup_of = rep.rep_id AND jaccard >= 0.8)""").fetchone()[0]
     assert near_bad == 0 and struct_bad == 0, \
         f"wave-1 near laws: set diff {near_bad}, struct bad {struct_bad}"
     uni_bad = con.execute(
-        "SELECT COUNT(*) FROM eng WHERE doc_id >= 700000 AND kind <> 'unique'"
+        f"SELECT COUNT(*) FROM eng WHERE doc_id >= {s4} AND kind <> 'unique'"
     ).fetchone()[0]
     assert uni_bad == 0, f"{uni_bad} wave-3 reversed docs not unique"
     return (f"law_check (prefix semantics, production kernel): wave0 "
