@@ -651,17 +651,61 @@ object Dedup {
 
   private def tokHashPoly(t: String): Long = tokHashPolyBase(t, 257L)
 
+  /** Per-token Horner hashes of `text` (tokens = maximal non-space runs,
+    * i.e. split(' ') with empties dropped), each token hashed ONCE in an
+    * allocation-light scan. The r14 kernel switch made this the hot
+    * map-side loop at 100 TB, and the split-array form was measured 1.6×
+    * on sf10 signing: it allocated a String per token AND re-hashed each
+    * token up to three times across adjacent shingle windows. Values are
+    * bit-identical to [[tokHashPolyBase]] on the token substring (the
+    * 16-code-point pad loop stops at the token's trailing space). */
+  private def tokenHashes(text: String, base: Long): Array[Long] = {
+    val n = text.length
+    var count = 0
+    var i = 0
+    var inTok = false
+    while (i < n) {
+      val sp = text.charAt(i) == ' '
+      if (!sp && !inTok) count += 1
+      inTok = !sp
+      i += 1
+    }
+    val hs = new Array[Long](count)
+    var t = 0
+    i = 0
+    while (i < n) {
+      if (text.charAt(i) != ' ') {
+        var h = 0L
+        var j = 0
+        var k = i
+        while (j < 16) {
+          val c =
+            if (k < n && text.charAt(k) != ' ') {
+              val cp = text.codePointAt(k); k += Character.charCount(cp); cp.toLong
+            } else 0L
+          h = (h * base + c) % PlaneP
+          j += 1
+        }
+        hs(t) = h
+        t += 1
+        while (i < n && text.charAt(i) != ' ') i += 1
+      } else i += 1
+    }
+    hs
+  }
+
   /** Production SimHash fingerprint: 60 bits from two Horner token
     * hashes (30 low bits each of base 257 and base 263), ±1 votes per
     * token OCCURRENCE; −1 sentinel for tokenless text. */
   private[llm] def simhashPoly60(text: String): Long = {
-    val ts = text.split(" ").filter(_.nonEmpty)
-    if (ts.isEmpty) return -1L
+    val h1s = tokenHashes(text, 257L)
+    if (h1s.isEmpty) return -1L
+    val h2s = tokenHashes(text, 263L)
     val sums = new Array[Int](60)
     var i = 0
-    while (i < ts.length) {
-      val h1 = tokHashPolyBase(ts(i), 257L)
-      val h2 = tokHashPolyBase(ts(i), 263L)
+    while (i < h1s.length) {
+      val h1 = h1s(i)
+      val h2 = h2s(i)
       var j = 0
       while (j < 30) {
         sums(j) += (((h1 >> j) & 1L).toInt * 2 - 1)
@@ -677,26 +721,31 @@ object Dedup {
   }
 
   /** Distinct mod-p shingle values: token-triple hashes at positions
-    * 0..max(0, n−3), absent tokens hashing as ''. An empty/sub-3-token
-    * text still yields its one (possibly partial) shingle, so every
-    * document signs. */
+    * 0..max(0, n−3), absent tokens hashing as '' (value 0). An
+    * empty/sub-3-token text still yields its one (possibly partial)
+    * shingle, so every document signs. Returned SORTED — consumers only
+    * take sizes, mins, and intersections, so the distinct-set order is
+    * free and a primitive sort-dedup beats a boxed LinkedHashSet. */
   private[llm] def polyShingles(text: String): Array[Long] = {
-    val ts = text.split(" ").filter(_.nonEmpty)
-    val n = math.max(1, ts.length - 2)
-    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    val hs = tokenHashes(text, 257L)
+    val n = math.max(1, hs.length - 2)
+    val buf = new Array[Long](n)
     var i = 0
     while (i < n) {
-      def tok(k: Int): String = if (i + k < ts.length) ts(i + k) else ""
-      val x = ((tokHashPoly(tok(0)) * 1000003L + tokHashPoly(tok(1))) % PlaneP
-        * 1000003L + tokHashPoly(tok(2))) % PlaneP
-      seen.add(x)
+      val a = if (i < hs.length) hs(i) else 0L
+      val b = if (i + 1 < hs.length) hs(i + 1) else 0L
+      val c = if (i + 2 < hs.length) hs(i + 2) else 0L
+      buf(i) = ((a * 1000003L + b) % PlaneP * 1000003L + c) % PlaneP
       i += 1
     }
-    val out = new Array[Long](seen.size)
-    val it = seen.iterator()
-    var k = 0
-    while (it.hasNext) { out(k) = it.next(); k += 1 }
-    out
+    java.util.Arrays.sort(buf)
+    var w = 0
+    var r = 0
+    while (r < buf.length) {
+      if (r == 0 || buf(r) != buf(r - 1)) { buf(w) = buf(r); w += 1 }
+      r += 1
+    }
+    java.util.Arrays.copyOf(buf, w)
   }
 
   /** Seed tables sized for the PRODUCTION k (64); the k=16 twins index
