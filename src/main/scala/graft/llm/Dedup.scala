@@ -2112,13 +2112,13 @@ object Dedup {
         .filter(col("jacc_bp") >= 5000)
         .orderBy(asc_nulls_first("doc_a"), asc_nulls_first("doc_b"))
     },
-    Some("""WITH corpus AS (
+    Some(s"""WITH corpus AS (
         SELECT doc_id, text FROM documents
         UNION ALL
-        SELECT doc_id + 300000, text || ' appended near dup suffix'
+        SELECT doc_id + ${spanOffSql(1)}, text || ' appended near dup suffix'
         FROM documents WHERE doc_id % 25 = 0
         UNION ALL
-        SELECT doc_id + 400000, text FROM documents WHERE doc_id % 40 = 0),
+        SELECT doc_id + ${spanOffSql(2)}, text FROM documents WHERE doc_id % 40 = 0),
       t AS (SELECT doc_id, substr(text, 1, 24) AS skey,
                    list_filter(string_split(text, ' '), x -> x <> '') AS ws
             FROM corpus),
