@@ -547,16 +547,24 @@ object Dedup {
   /** The driver corpus is dup-free (max pairwise cosine ≈0.4), so the raw
     * near-dup query legitimately returns 0 rows — zero signal. q27 therefore
     * PLANTS near-duplicates derived in-query from the driver vectors (ids
-    * offset by 100000, every coordinate shifted by a small constant) and
+    * offset by the vec-id span, every coordinate shifted by a small constant) and
     * must recover exactly those planted pairs. */
   def plantedNearDups(s: SparkSession, emb: DataFrame, threshold: Double): DataFrame = {
     val base = emb.select(col("vec_id"),
       col("embedding").cast(ArrayType(DoubleType)).as("embedding"))
+    // SPAN-derived planted ids (the r14 q101 rule, vector side): the old
+    // constant +100000 collided with REAL vec_ids once the fixture span
+    // passed 100k (sf10 = 200k vectors) — two different vectors sharing
+    // an id turns the verify re-join into a cross product
     val planted = base.filter(col("vec_id") < 5)
-      .select((col("vec_id") + 100000).as("vec_id"),
+      .select((col("vec_id") + lit(vecSpan(base))).as("vec_id"),
         transform(col("embedding"), x => x + lit(0.02)).as("embedding"))
     embeddingNearDups(s, base.unionByName(planted), threshold)
   }
+
+  /** max(vec_id)+1 — collision-free planted-vector offset at EVERY sf. */
+  private[graft] def vecSpan(emb: DataFrame): Long =
+    emb.agg(max(col("vec_id"))).head().getLong(0) + 1
 
   private val q27 = Q(
     "q27_embedding_neardup",
@@ -1389,7 +1397,7 @@ object Dedup {
   })
 
   /** [[plantedNearDups]] in integer-exact arithmetic: same planting
-    * (vec_id < 5 copies shifted +0.02, ids +100000), same bucket
+    * (vec_id < 5 copies shifted +0.02, ids +span), same bucket
     * self-join shape, verification by the float-free threshold. Output
     * carries the raw integer dot so the hash gate pins the verification
     * arithmetic, not just the surviving ids.
@@ -1408,7 +1416,7 @@ object Dedup {
       col("embedding").cast(ArrayType(DoubleType)).as("e"))
     val un = base.unionByName(
       base.filter(col("vec_id") < 5)
-        .select((col("vec_id") + 100000).as("vec_id"),
+        .select((col("vec_id") + lit(vecSpan(base))).as("vec_id"),
           transform(col("e"), x => x + lit(0.02)).as("e")))
     val iv = un.select(col("vec_id"),
       expr(s"transform(sequence(1, $Dim), i -> cast(floor(coalesce(try_element_at(e, i), 0d) * 1000d) AS bigint))").as("v"))
@@ -1448,7 +1456,8 @@ object Dedup {
       un AS (
         SELECT vec_id, e FROM base
         UNION ALL
-        SELECT vec_id + 100000, list_transform(e, x -> x + CAST(0.02 AS DOUBLE))
+        SELECT vec_id + (SELECT MAX(vec_id) + 1 FROM embeddings),
+               list_transform(e, x -> x + CAST(0.02 AS DOUBLE))
         FROM base WHERE vec_id < 5),
       -- fixed $Dim-slot quantization (missing dims 0, extras dropped),
       -- identical to the Spark side's sequence(1, $Dim) layout — every
@@ -1608,6 +1617,18 @@ object Dedup {
   private val winnowUdf = udf((text: String) => Hashing.winnow(text, WinnowK, WinnowW))
   val WinnowK = 8 // char k-gram size
   val WinnowW = 16 // winnowing window (guarantee: shared substrings ≥ w+k-1 chars)
+  /** FLOOR of the corpus document-frequency cap above which a
+    * fingerprint is treated as boilerplate and ignored (MOSS's
+    * common-fingerprint suppression). The effective cap is
+    * max(this, n_docs/512) — scale-relative, because 8-char grams of
+    * common words are legitimately frequent in a large corpus (measured
+    * at sf10: a FIXED 128 cap starved 90% of probes of every
+    * fingerprint, while a ~1024 cap keeps 98.5% of probes and still
+    * cuts the fp join from 335 M to 38 M rows; the 1024 floor also
+    * keeps sf1-scale corpora un-starved, where n/512 alone would fall
+    * back to a starving 128). Never binds below 1024 docs, so the
+    * small-sf oracle fixtures see pre-cap semantics unchanged. */
+  val WinnowDfCap = 1024L
 
   /** Containment (doc-inside-doc) detection — the near-dup case MinHash
     * misses when lengths differ a lot (an excerpt's Jaccard vs its source
@@ -1624,16 +1645,38 @@ object Dedup {
     * broadcast would grow linearly and OOM executors) and AQE is still
     * free to pick a broadcast at runtime from the ACTUAL probe size.
     *
+    * Corpus-ubiquitous fingerprints are IGNORED (r15): a fingerprint in
+    * more than [[WinnowDfCap]] corpus documents is boilerplate with zero
+    * containment signal, exactly the MOSS rule (Schleimer et al. §5
+    * suppress overly common fingerprints at query time) with a
+    * scale-relative cap max([[WinnowDfCap]], n_docs/512). This is also
+    * the scale bound — without it the fp equi-join is quadratic-ish in
+    * practice (measured at sf10: 335 M (probe, doc) intermediate pairs,
+    * 56 s of q92's 73 s, with hot grams like common word boundaries
+    * matching ~1 755 docs each); with it a probe fp contributes at most
+    * DfCap candidates, so candidates/probe ≤ n_fp·DfCap independent of
+    * corpus size — the hot-bucket-cap pattern the LSH banding path uses.
+    * The cap prunes BOTH sides (index and probe denominator), so
+    * containment reads "fraction of informative probe fps shared".
+    *
     * Returns, for each probe doc, the best-containment corpus doc:
     * (probe_id, matched_id, containment = |shared fps| / |probe fps|). */
   def winnowBestContainment(probes: DataFrame, corpus: DataFrame,
       probesBounded: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val base = corpus.select(col("doc_id"), explode(winnowUdf(col("text"))).as("fp"))
+    val base0 = corpus.select(col("doc_id"), explode(winnowUdf(col("text"))).as("fp"))
+      // feeds the hot-fp count AND the pruned index — one signing pass
+      .localCheckpoint(false)
+    // fps over the df cap: ≤ |corpus fps| / cap rows by construction,
+    // always broadcastable
+    val dfCap = math.max(WinnowDfCap, corpus.count() / 512)
+    val hot = base0.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > lit(dfCap)).select(col("fp"))
+    val base = base0.join(broadcast(hot), Seq("fp"), "left_anti")
     val ex = probes
-      .select(col("probe_id"), winnowUdf(col("text")).as("fps"))
-      .withColumn("n_fp", size(col("fps")))
-      .select(col("probe_id"), col("n_fp"), explode(col("fps")).as("fp"))
+      .select(col("probe_id"), explode(winnowUdf(col("text"))).as("fp"))
+      .join(broadcast(hot), Seq("fp"), "left_anti")
+      .withColumn("n_fp", count(lit(1)).over(Window.partitionBy(col("probe_id"))))
     val scored = base.join(if (probesBounded) broadcast(ex) else ex, Seq("fp"))
       .groupBy(col("probe_id"), col("doc_id"))
       .agg(count(lit(1)).as("shared"), first(col("n_fp")).as("n_fp"))
@@ -1677,9 +1720,17 @@ object Dedup {
       cfp AS (${winnowFpSql("cgrams")}
               UNION SELECT doc_id AS id, ${hornerShortSql("text")} AS fp
                     FROM documents WHERE length(text) < $KgramLen),
-      nf AS (SELECT id AS probe_id, COUNT(*) AS n_fp FROM pfp GROUP BY id),
-      sc AS (SELECT pfp.id AS probe_id, cfp.id AS doc_id, COUNT(*) AS shared
-             FROM cfp JOIN pfp USING (fp) GROUP BY pfp.id, cfp.id),
+      -- MOSS common-fingerprint suppression, mirrored from the engine:
+      -- fps in more than max($WinnowDfCap, n_docs/512) corpus docs carry
+      -- no containment signal
+      hot AS (SELECT fp FROM cfp GROUP BY fp
+              HAVING COUNT(*) > GREATEST($WinnowDfCap,
+                (SELECT COUNT(*) FROM documents) // 512)),
+      cfpk AS (SELECT cfp.* FROM cfp ANTI JOIN hot USING (fp)),
+      pfpk AS (SELECT pfp.* FROM pfp ANTI JOIN hot USING (fp)),
+      nf AS (SELECT id AS probe_id, COUNT(*) AS n_fp FROM pfpk GROUP BY id),
+      sc AS (SELECT pfpk.id AS probe_id, cfpk.id AS doc_id, COUNT(*) AS shared
+             FROM cfpk JOIN pfpk USING (fp) GROUP BY pfpk.id, cfpk.id),
       r AS (SELECT sc.probe_id, sc.doc_id AS matched_id,
                    round(CAST(shared AS DOUBLE) / n_fp, 4) AS containment,
                    row_number() OVER (PARTITION BY sc.probe_id

@@ -171,8 +171,10 @@ class DedupSpec extends AnyFunSuite {
     val emb = graft.T(spark, "/root/testdata/sf0.001", "embeddings")
     val pairs = Dedup.plantedNearDups(spark, emb, 0.9).collect()
     assert(pairs.nonEmpty, "planted perturbed copies must surface as near-dup pairs")
-    // every surfaced pair is (i, i+100000) — the planted twin of vector i
-    assert(pairs.forall(r => r.getLong(1) === r.getLong(0) + 100000L),
+    // every surfaced pair is (i, i+span) — the planted twin of vector i
+    // (span-derived since r15: the constant +100000 collided at sf10)
+    val span = Dedup.vecSpan(emb)
+    assert(pairs.forall(r => r.getLong(1) === r.getLong(0) + span),
       pairs.map(r => (r.getLong(0), r.getLong(1))).mkString(", "))
     assert(pairs.length >= 3, s"expected most of the 5 planted pairs, got ${pairs.length}")
   }
@@ -181,7 +183,8 @@ class DedupSpec extends AnyFunSuite {
     val emb = graft.T(spark, "/root/testdata/sf0.001", "embeddings")
     val rows = Dedup.embeddingNearDupsExact(spark, emb).collect()
     assert(rows.nonEmpty, "planted quantized copies must collide in >=1 of 6 tables")
-    assert(rows.forall(r => r.getLong(1) === r.getLong(0) + 100000L),
+    val span2 = Dedup.vecSpan(emb)
+    assert(rows.forall(r => r.getLong(1) === r.getLong(0) + span2),
       rows.map(r => (r.getLong(0), r.getLong(1))).mkString(", "))
     // the carried dot is the exact integer dot — re-derivable and positive
     assert(rows.forall(_.getLong(2) > 0L))
