@@ -583,14 +583,42 @@ object Dedup {
     * approximate path slower than the exact twin. A pair colliding in
     * multiple tables recomputes one 64-dim dot per collision — cheaper
     * map-side than a dedup exchange of vectors. */
+  /** All bucket keys within Hamming distance ≤ 2 of `key` over `bits`
+    * key bits — multi-probe LSH (Lv et al., VLDB 2007): instead of more
+    * tables, probe the neighbor buckets a near-miss vector most likely
+    * fell into. Probe count 1 + bits + C(bits,2) (~106 at 14 bits) on
+    * the QUERY side only, so the cost is independent of corpus size. */
+  private def multiProbeKeys(bits: Int) = udf((key: Long) => {
+    val out = new Array[Long](1 + bits + bits * (bits - 1) / 2)
+    out(0) = key
+    var w = 1
+    var i = 0
+    while (i < bits) {
+      out(w) = key ^ (1L << i); w += 1
+      var j = i + 1
+      while (j < bits) { out(w) = key ^ (1L << i) ^ (1L << j); w += 1; j += 1 }
+      i += 1
+    }
+    out
+  })
+
   def annTopK(s: SparkSession, emb: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // T.spread: same single-file/compute-dense reason as embeddingNearDups
     val vecs = graft.T.spread(s, emb.select(col("vec_id"),
       col("embedding").cast(ArrayType(DoubleType)).as("v")))
+    val bits = bitsFor(vecs.count())
     val bucketed = lshBuckets(vecs, "v")
+    // r15 multi-probe: the adaptive bit schedule keeps the candidate
+    // join linear but dropped mid-cosine recall@10 to 0.06 at sf1/sf10
+    // (measured vs the exact DuckDB baseline — ~0.63 per-bit collision
+    // at cos 0.4 compounds to ~0.2% per 14-bit table). Probing every
+    // ≤2-flip neighbor bucket of the QUERY key multiplies only the
+    // 5-row query side; the corpus side and its single shuffle are
+    // untouched, so the scale shape is identical.
     val qside = bucketed.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("qid"), col("v").as("qv"), col("table"), col("bucket"))
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("table"),
+        explode(multiProbeKeys(bits)(col("bucket"))).as("bucket"))
     val scored = bucketed.join(broadcast(qside), Seq("table", "bucket"))
       .filter(col("qid") =!= col("vec_id"))
       .select(col("qid"), col("vec_id").as("vid"),

@@ -571,6 +571,153 @@ def q209(sf, out):
 
 
 # --------------------------------------------------------------------------
+# r15 (VERDICT r14 #8): law rows for the five remaining no-oracle queries,
+# so every sf10 row asserts something AT sf10. The ANN checks build the
+# EXACT cosine baseline in DuckDB (5 query vectors x 200k embeddings is
+# budget-trivial); recall floors were validated on /tmp/sf1 first.
+
+EXACT_TOPK = """
+  WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             FROM embeddings),
+  q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
+  s AS (SELECT q.qid, e.vec_id AS vid,
+          list_sum([pr[1] * pr[2] FOR pr IN list_zip(q.qv, e.v)])
+          / (sqrt(list_sum([x * x FOR x IN q.qv]))
+             * sqrt(list_sum([x * x FOR x IN e.v]))) AS cos
+        FROM q JOIN e ON e.vec_id <> q.qid)
+  SELECT qid, vid, round(cos, 4) AS score,
+         row_number() OVER (PARTITION BY qid
+           ORDER BY round(cos, 4) DESC, vid ASC) AS rk
+  FROM s"""
+
+
+def _ann_recall(sf, out, q, floor, score_col="score", score_law=True):
+    """Shared ANN law: (a) every emitted (qid, vid) score equals the
+    exact DuckDB cosine within 2e-4 (two independent float stacks + the
+    round(4) boundary), (b) recall@10 vs the exact top-10 >= floor."""
+    con = connect(sf)
+    eng_view(con, out, q)
+    con.execute(f"CREATE OR REPLACE TEMP TABLE exact AS ({EXACT_TOPK})")
+    if score_law:
+        bad = con.execute(f"""SELECT COUNT(*) FROM eng
+          JOIN exact USING (qid, vid)
+          WHERE abs(eng.{score_col} - exact.score) > 2e-4""").fetchone()[0]
+        assert bad == 0, f"{bad} emitted scores disagree with exact cosine"
+    n, hit = con.execute("""SELECT (SELECT COUNT(*) FROM eng),
+      (SELECT COUNT(*) FROM eng JOIN exact USING (qid, vid) WHERE exact.rk <= 10)
+      """).fetchone()
+    recall = hit / max(1, n)
+    assert n == 50, f"expected 5 qids x 10 rows, got {n}"
+    assert recall >= floor, f"recall@10 {recall:.2f} < floor {floor}"
+    return f"law_check vs exact DuckDB cosine baseline: recall@10 {recall:.2f} >= {floor}, scores exact"
+
+
+@check("q30_ann_lsh_topk")
+def q30(sf, out):
+    """LSH top-k vs the exact baseline (recall floor from the measured
+    0.84 overall; LSH holds high recall for the top of the ranking)."""
+    return _ann_recall(sf, out, "q30_ann_lsh_topk", 0.60)
+
+
+@check("q31_ann_ivf_topk")
+def q31(sf, out):
+    """IVF top-k vs the exact baseline (nprobe-pruned lists)."""
+    return _ann_recall(sf, out, "q31_ann_ivf_topk", 0.60)
+
+
+@check("q193_ivfpq_search")
+def q193(sf, out):
+    """IVF-PQ: ADC distances are code-space (not recomputable in SQL —
+    q221 gates that arithmetic), so the laws are structural + recall:
+    dense ranks 1..10 per qid ordered by d2, and recall@10 vs exact
+    (quantized distances rank coarser: lower floor)."""
+    con = connect(sf)
+    eng_view(con, out, "q193_ivfpq_search")
+    bad = con.execute("""SELECT COUNT(*) FROM (
+        SELECT rank, d2, row_number() OVER (PARTITION BY qid
+          ORDER BY d2 ASC, vid ASC) AS rr,
+          min(d2) OVER (PARTITION BY qid) AS dmin
+        FROM eng) WHERE rank <> rr OR d2 < 0""").fetchone()[0]
+    assert bad == 0, f"{bad} rows break the dense-rank/d2-order law"
+    con.execute(f"CREATE OR REPLACE TEMP TABLE exact AS ({EXACT_TOPK})")
+    n, hit = con.execute("""SELECT (SELECT COUNT(*) FROM eng),
+      (SELECT COUNT(*) FROM eng JOIN exact USING (qid, vid) WHERE exact.rk <= 10)
+      """).fetchone()
+    recall = hit / max(1, n)
+    assert n == 50, f"expected 50 rows, got {n}"
+    assert recall >= 0.40, f"PQ recall@10 {recall:.2f} < 0.40"
+    return f"law_check: ranks dense by d2, recall@10 {recall:.2f} >= 0.40 vs exact"
+
+
+@check("q27_embedding_neardup")
+def q27(sf, out):
+    """Exact planted-pair law: the driver corpus is dup-free, so the
+    engine output must be EXACTLY the 5 planted pairs (i, i+span) —
+    span-derived ids since r15 — and each emitted cosine must equal the
+    DuckDB-recomputed cosine of (v_i, v_i + 0.02) within 2e-4 and clear
+    the 0.9 threshold."""
+    con = connect(sf)
+    eng_view(con, out, "q27_embedding_neardup")
+    span = con.execute("SELECT MAX(vec_id) + 1 FROM embeddings").fetchone()[0]
+    bad = con.execute(f"""
+      WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                 FROM embeddings WHERE vec_id < 5),
+      pl AS (SELECT vec_id AS id_a, CAST(vec_id + {span} AS BIGINT) AS id_b, v,
+                    list_transform(v, x -> x + CAST(0.02 AS DOUBLE)) AS w FROM e),
+      want AS (SELECT id_a, id_b,
+                 round(list_sum([pr[1] * pr[2] FOR pr IN list_zip(v, w)])
+                   / (sqrt(list_sum([x * x FOR x IN v]))
+                      * sqrt(list_sum([x * x FOR x IN w]))), 4) AS cosine
+               FROM pl)
+      SELECT (SELECT COUNT(*) FROM eng) AS n_eng,
+             (SELECT COUNT(*) FROM want WHERE cosine >= 0.9) AS n_want,
+             (SELECT COUNT(*) FROM eng JOIN want USING (id_a, id_b)
+              WHERE abs(eng.cosine - want.cosine) > 2e-4 OR eng.cosine < 0.9) AS n_bad
+      """).fetchone()
+    n_eng, n_want, n_bad = bad
+    assert n_eng == n_want == 5 and n_bad == 0, \
+        f"planted-pair law: eng {n_eng}, expected {n_want}, mismatched {n_bad}"
+    return f"law_check: exactly the 5 planted (i, i+{span}) pairs, cosines exact"
+
+
+@check("q132_training_shards")
+def q132(sf, out):
+    """q209's law pattern anchored to the VERIFIED q101 output (same
+    production kernel, same planted corpus, same 0.8 threshold):
+    kept-doc conservation + per-doc cluster equality with q101, one
+    split per cluster, dense train positions, bin_fill <= the 4096 cap
+    and constant within each (split, source-shard, bin)."""
+    con = connect(sf)
+    eng_view(con, out, "q132_training_shards")
+    eng_view(con, out, "q101_dedup_pipeline", name="c1")
+    n, keep = con.execute(
+        "SELECT (SELECT COUNT(*) FROM eng), (SELECT COUNT(*) FILTER (keep) FROM c1)"
+    ).fetchone()
+    assert n == keep, f"kept-doc conservation: {n} shard rows vs {keep} kept"
+    cmis = con.execute("""SELECT COUNT(*) FROM eng JOIN c1 USING (doc_id)
+        WHERE eng.cluster <> c1.cluster""").fetchone()[0]
+    assert cmis == 0, f"{cmis} rows disagree with q101 clusters"
+    smix = con.execute("""SELECT COUNT(*) FROM (
+        SELECT cluster FROM eng GROUP BY cluster
+        HAVING COUNT(DISTINCT split) > 1)""").fetchone()[0]
+    assert smix == 0, f"{smix} clusters straddle splits (leakage)"
+    posbad = con.execute("""SELECT (SELECT COUNT(*) FROM (
+          SELECT pos, row_number() OVER (ORDER BY pos) - 1 AS rn
+          FROM eng WHERE pos IS NOT NULL) WHERE pos <> rn)
+        + (SELECT COUNT(*) FROM eng
+           WHERE (split = 'train') <> (pos IS NOT NULL))""").fetchone()[0]
+    assert posbad == 0, "train positions not a dense permutation"
+    # bin_fill is the RUNNING fill after each first-fit placement, so
+    # within a bin the values are distinct and capped (validated on sf1)
+    binbad = con.execute("""SELECT COUNT(*) FROM (
+        SELECT split, shard, bin FROM eng GROUP BY split, shard, bin
+        HAVING COUNT(*) <> COUNT(DISTINCT bin_fill) OR MAX(bin_fill) > 4096)""").fetchone()[0]
+    assert binbad == 0, f"{binbad} bins break the running-fill law"
+    return (f"law_check (vs verified q101): {n} kept docs conserved, clusters "
+            f"equal, splits cluster-pure, train pos dense, fills <= 4096")
+
+
+# --------------------------------------------------------------------------
 def main():
     sf, out = sys.argv[1], sys.argv[2]
     only = None

@@ -34,7 +34,12 @@ CHECKED = ["q25_minhash_pairs", "q89_edit_distance", "q101_dedup_pipeline",
            "q208_dedup_pipeline_oracle", "q209_training_shards_oracle",
            "q210_incremental_dedup_oracle",
            "q211_stream_incremental_dedup_oracle", "q221_pq_adc_oracle",
-           "q231_record_linkage"]
+           "q231_record_linkage",
+           # r15: the five formerly-no-oracle rows now carry law checks
+           # (exact planted pairs, DuckDB-exact ANN baselines + recall
+           # floors, q101-anchored shard conservation)
+           "q27_embedding_neardup", "q30_ann_lsh_topk", "q31_ann_ivf_topk",
+           "q132_training_shards", "q193_ivfpq_search"]
 
 
 def sh(cmd, env=None, log=None):
