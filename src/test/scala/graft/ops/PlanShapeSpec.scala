@@ -89,14 +89,29 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(nParts <= 2, s"expected <=2 selected partitions, got $nParts")
   }
 
+  /** Subtrees of every broadcast hint in the analyzed plan. The r15
+    * hot-fingerprint prune legitimately hints its df-capped fp set
+    * (bounded by construction: ≤ |corpus fps| / cap rows), so the
+    * invariant is no longer "zero hints" but "no hint wraps the
+    * corpus-fraction PROBE side". */
+  private def hintSubtrees(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.queryExecution.analyzed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint =>
+        h.child.toString
+    }
+
   test("q92 winnow containment: unbounded probe side carries NO broadcast hint") {
     // probes are corpus/50 (grow with the corpus): a forced broadcast of
     // the exploded probe fingerprints OOMs at scale. The plan must leave
-    // the strategy to AQE — no ResolvedHint in the analyzed plan.
-    val a = SparkEntry.queries("q92_winnow_containment")(spark, dir)
-      .queryExecution.analyzed.toString
-    assert(!a.contains("ResolvedHint"),
-      "q92 must not hint a broadcast of the corpus-fraction probe side")
+    // that strategy to AQE — every hint present must be the bounded
+    // hot-fp prune (its subtree aggregates fps into the df column),
+    // never the probe relation.
+    val hints = hintSubtrees(SparkEntry.queries("q92_winnow_containment")(spark, dir))
+    assert(hints.nonEmpty, "expected the hot-fp prune's broadcast hints")
+    hints.foreach { h =>
+      assert(h.contains("AS df#") && !h.contains("probe_id"),
+        s"q92 hint must wrap only the df-capped hot-fp set, got:\n$h")
+    }
   }
 
   test("winnowBestContainment broadcasts only on the caller's bounded-probes assertion") {
@@ -106,10 +121,11 @@ class PlanShapeSpec extends AnyFunSuite {
     val probes = docs.filter(col("doc_id") < 2)
       .select(col("doc_id").as("probe_id"), col("text"))
     val bounded = Dedup.winnowBestContainment(probes, docs, probesBounded = true)
-    assert(bounded.queryExecution.analyzed.toString.contains("ResolvedHint"),
+    assert(hintSubtrees(bounded).exists(_.contains("probe_id")),
       "bounded probe set should carry the broadcast hint")
     val unbounded = Dedup.winnowBestContainment(probes, docs)
-    assert(!unbounded.queryExecution.analyzed.toString.contains("ResolvedHint"))
+    assert(!hintSubtrees(unbounded).exists(_.contains("probe_id")),
+      "unbounded probe set must not be broadcast-hinted")
   }
 
   test("q43 scene scan prunes to the one filtered year partition") {
