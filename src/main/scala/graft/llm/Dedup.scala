@@ -2211,20 +2211,25 @@ object Dedup {
         FROM documents WHERE doc_id % 25 = 0
         UNION ALL
         SELECT doc_id + ${spanOffSql(2)}, text FROM documents WHERE doc_id % 40 = 0),
-      t AS (SELECT doc_id, substr(text, 1, 24) AS skey,
+      t AS MATERIALIZED (SELECT doc_id, substr(text, 1, 24) AS skey,
                    list_filter(string_split(text, ' '), x -> x <> '') AS ws
             FROM corpus),
-      sh AS (SELECT doc_id, skey,
+      sh AS MATERIALIZED (SELECT doc_id, skey,
                     list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
                                    FOR i IN generate_series(1, len(ws) - 2)]) AS sh
              FROM t),
-      p AS (SELECT doc_id, sh,
+      p AS MATERIALIZED (SELECT doc_id, sh,
                    ROW_NUMBER() OVER (ORDER BY skey ASC, doc_id ASC) - 1 AS pos
             FROM sh),
+      -- window offsets as an EQUI-join (b.pos = a.pos + k, k in 1..w-1):
+      -- the b.pos - a.pos BETWEEN form planned as a nested loop in DuckDB
+      -- and ran 85+ min at sf1; the hashable form replays in 12 s
       pairs AS (SELECT a.doc_id AS ida, b.doc_id AS idb,
                        len(list_intersect(a.sh, b.sh)) AS inter,
                        len(a.sh) + len(b.sh) AS tot
-                FROM p a JOIN p b ON b.pos - a.pos BETWEEN 1 AND 3)
+                FROM p a
+                JOIN (VALUES (1), (2), (3)) ks(k) ON TRUE
+                JOIN p b ON b.pos = a.pos + ks.k)
       SELECT least(ida, idb) AS doc_a, greatest(ida, idb) AS doc_b,
              CAST((10000 * inter) // (tot - inter) AS BIGINT) AS jacc_bp
       FROM pairs WHERE tot - inter > 0 AND (10000 * inter) // (tot - inter) >= 5000
