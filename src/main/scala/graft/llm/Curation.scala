@@ -207,17 +207,44 @@ object Curation {
     * doc-score shuffle carries partial sums only. */
   /** The q146 score frame — (doc_id, n_bigrams, score, avg_ppm), unsorted
     * (q151 composes it; q146 adds the presentation sort). */
+  /** Adjacent token pairs in ONE tight Scala pass. The Catalyst form
+    * (filter HOF → transform(sequence) building 26.6 M structs) runs
+    * interpreted — HigherOrderFunctions are CodegenFallback — and the
+    * sf10 profile charged 14–17 s PER PASS to it (graft.tools
+    * .BigramParts); the q163/modPGrams lesson again: one Scala loop per
+    * row beats a generated-expression explode. Pair content identical:
+    * tokens are maximal non-space runs, pairs (ws[i−1], ws[i]). */
+  private val bigramPairsUdf = udf((text: String) => {
+    if (text == null) Array.empty[(String, String)]
+    else {
+      val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      var prev: String = null
+      var i = 0
+      val n = text.length
+      while (i < n) {
+        if (text.charAt(i) != ' ') {
+          var j = i
+          while (j < n && text.charAt(j) != ' ') j += 1
+          val tok = text.substring(i, j)
+          if (prev != null) out += ((prev, tok))
+          prev = tok
+          i = j
+        } else i += 1
+      }
+      out.toArray
+    }
+  })
+
   def bigramScores(s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
       val bigrams = T(s, dir, "documents")
-        .select(col("doc_id"), expr("filter(split(text, ' '), x -> x <> '')").as("ws"))
-        .select(col("doc_id"),
-          // sequence(1, 0) would step BACKWARDS for a 1-token doc — guard
-          explode(expr(
-            "CASE WHEN size(ws) >= 2 THEN transform(sequence(1, size(ws) - 1), " +
-              "i -> struct(ws[i - 1] AS w1, ws[i] AS w2)) ELSE array() END"))
-            .as("b"))
-        .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+        .select(col("doc_id"), explode(bigramPairsUdf(col("text"))).as("b"))
+        .select(col("doc_id"), col("b._1").as("w1"), col("b._2").as("w2"))
+      // vocab²-bounded (93 k pairs at sf10) and consumed TWICE (cnt1
+      // derivation + the weights join) — without the checkpoint each
+      // consumer re-ran the whole 26.6 M-row explode (sf10 profile:
+      // ~3 explode passes ≈ 45 of the query's 50 s)
       val cnt2 = bigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+        .localCheckpoint()
       val cnt1 = cnt2.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
       val weights = cnt2.join(cnt1, "w1")
         .select(col("w1"), col("w2"), expr("(1000000L * c2) div c1").as("ppm"))
