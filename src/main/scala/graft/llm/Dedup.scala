@@ -588,7 +588,7 @@ object Dedup {
     * tables, probe the neighbor buckets a near-miss vector most likely
     * fell into. Probe count 1 + bits + C(bits,2) (~106 at 14 bits) on
     * the QUERY side only, so the cost is independent of corpus size. */
-  private def multiProbeKeys(bits: Int) = udf((key: Long) => {
+  private[llm] def multiProbeKeys(bits: Int) = udf((key: Long) => {
     val out = new Array[Long](1 + bits + bits * (bits - 1) / 2)
     out(0) = key
     var w = 1

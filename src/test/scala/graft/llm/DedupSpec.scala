@@ -268,6 +268,24 @@ class DedupSpec extends AnyFunSuite {
     assert(rows === Seq((3L, 3L, true), (5L, 5L, true), (9L, 5L, false), (11L, 5L, false)))
   }
 
+  test("multi-probe keys are exactly the Hamming<=2 neighborhood of the query key") {
+    // the r15 recall fix probes every <=2-flip bucket of the QUERY key
+    // (Lv et al. 2007); the probe set must be the full distinct
+    // neighborhood or recall silently degrades / duplicates inflate cost
+    import spark.implicits._
+    for (bits <- Seq(7, 12, 14)) {
+      val key = 0x5a5a5a5aL & ((1L << bits) - 1)
+      val got = Seq(key).toDF("k")
+        .select(explode(Dedup.multiProbeKeys(bits)(col("k"))).as("p"))
+        .as[Long].collect().toSeq
+      val want = (0L until (1L << bits))
+        .filter(m => java.lang.Long.bitCount(m) <= 2).map(key ^ _)
+      assert(got.size === got.distinct.size, s"bits=$bits: duplicate probes")
+      assert(got.toSet === want.toSet, s"bits=$bits: probe set wrong")
+      assert(got.head === key, "the exact key probes first")
+    }
+  }
+
   test("ann top-k returns at most k per query with scores in [-1,1]") {
     import spark.implicits._
     val r = new scala.util.Random(13)
