@@ -214,7 +214,7 @@ object Curation {
     * .BigramParts); the q163/modPGrams lesson again: one Scala loop per
     * row beats a generated-expression explode. Pair content identical:
     * tokens are maximal non-space runs, pairs (ws[i−1], ws[i]). */
-  private val bigramPairsUdf = udf((text: String) => {
+  private[llm] val bigramPairsUdf = udf((text: String) => {
     if (text == null) Array.empty[(String, String)]
     else {
       val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
@@ -243,8 +243,11 @@ object Curation {
       // derivation + the weights join) — without the checkpoint each
       // consumer re-ran the whole 26.6 M-row explode (sf10 profile:
       // ~3 explode passes ≈ 45 of the query's 50 s)
+      // lazy checkpoint: materializes on FIRST action and is then reused
+      // by both consumers — the eager form ran the 26.6 M-row explode at
+      // frame-CONSTRUCTION time (plan inspection, registry enumeration)
       val cnt2 = bigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       val cnt1 = cnt2.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
       val weights = cnt2.join(cnt1, "w1")
         .select(col("w1"), col("w2"), expr("(1000000L * c2) div c1").as("ppm"))

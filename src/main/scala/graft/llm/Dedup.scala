@@ -562,9 +562,14 @@ object Dedup {
     embeddingNearDups(s, base.unionByName(planted), threshold)
   }
 
-  /** max(vec_id)+1 — collision-free planted-vector offset at EVERY sf. */
-  private[graft] def vecSpan(emb: DataFrame): Long =
-    emb.agg(max(col("vec_id"))).head().getLong(0) + 1
+  /** max(vec_id)+1 — collision-free planted-vector offset at EVERY sf.
+    * max() over zero rows is NULL; fail with a real message instead of
+    * the opaque NPE `getLong` would throw on an empty embeddings frame. */
+  private[graft] def vecSpan(emb: DataFrame): Long = {
+    val row = emb.agg(max(col("vec_id"))).head()
+    require(!row.isNullAt(0), "vecSpan: embeddings frame is empty (no vec_id to span)")
+    row.getLong(0) + 1
+  }
 
   private val q27 = Q(
     "q27_embedding_neardup",
@@ -1201,8 +1206,11 @@ object Dedup {
     * overlapped each other (and q101's +300000 family overlapped the
     * corpus itself), planting duplicate doc_ids that the sf10 law gate
     * caught. Span-multiples are collision-free at EVERY scale. */
-  private[graft] def docSpan(docs: DataFrame): Long =
-    docs.agg(max(col("doc_id"))).head().getLong(0) + 1
+  private[graft] def docSpan(docs: DataFrame): Long = {
+    val row = docs.agg(max(col("doc_id"))).head()
+    require(!row.isNullAt(0), "docSpan: documents frame is empty (no doc_id to span)")
+    row.getLong(0) + 1
+  }
 
   /** `(k+1)·span` as a SQL scalar over `documents` (the oracle's form
     * of the same offset rule). */
@@ -1717,17 +1725,16 @@ object Dedup {
   }
 
   /** q92: derive excerpt probes in-query (a 240-char slice of every 50th
-    * document, ids offset by 200000) and recover each excerpt's source via
+    * document, ids offset by the SPAN-derived max(doc_id)+1 — the r14/r15
+    * rule; the earlier +200000 constant overlapped real doc_ids once the
+    * corpus span passed it) and recover each excerpt's source via
     * fingerprint containment. The probe set is corpus/50 — it GROWS with
-    * the corpus, so `probesBounded` stays false (no broadcast hint). No
-    * oracle (the fingerprint hash is not SQL-expressible; q93 puts the
-    * same containment JOIN+argmax shape under the DuckDB hash gate with a
-    * SQL-expressible k-gram selection); WinnowSpec asserts the w+k−1
-    * shared-substring guarantee and that every excerpt's top match IS its
-    * source. */
+    * the corpus, so `probesBounded` stays false (no broadcast hint).
+    * WinnowSpec asserts the w+k−1 shared-substring guarantee and that
+    * every excerpt's top match IS its source. */
   def excerptContainment(docs: DataFrame): DataFrame = {
     val probes = docs.filter(col("doc_id") % 50 === 0)
-      .select((col("doc_id") + 200000).as("probe_id"),
+      .select((col("doc_id") + lit(docSpan(docs))).as("probe_id"),
         substring(col("text"), 11, 240).as("text"))
     winnowBestContainment(probes, docs)
   }
@@ -1738,7 +1745,7 @@ object Dedup {
     * fingerprint as their whole-text hash — replayed as 7 guarded
     * Horner steps). */
   private def q92OracleSql: String = s"""WITH probes AS (
-        SELECT doc_id + 200000 AS probe_id, substr(text, 11, 240) AS text
+        SELECT doc_id + ${spanOffSql(0)} AS probe_id, substr(text, 11, 240) AS text
         FROM documents WHERE doc_id % 50 = 0),
       pgrams AS (${winnowGramSql("probes", "probe_id", hornerBigSql)}),
       cgrams AS (${winnowGramSql("documents", "doc_id", hornerBigSql)}),

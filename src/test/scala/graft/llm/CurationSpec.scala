@@ -104,6 +104,44 @@ class CurationSpec extends AnyFunSuite {
       "the 1-token doc contributes no bigram rows and no head counts")
   }
 
+  test("bigramPairsUdf matches the old Catalyst HOF form on an exhaustive edge-case corpus") {
+    import spark.implicits._
+    // The r15 rewrite (one-pass Scala UDF, Curation.scala) replaced the
+    // interpreted HOF chain filter(split)→transform(sequence) for speed;
+    // this differential pins the TOKENIZATION unchanged — same rule as
+    // HashingRollSpec pinned the Mersenne/Barrett kernel rewrites.
+    // Corpus: every string over {'a','b',' '} up to length 5 (covers
+    // leading/trailing/multiple spaces, empty, 1-token), a few longer
+    // multi-space shapes, and null.
+    val alpha = Seq('a', 'b', ' ')
+    val exhaustive = (0 to 5).flatMap { n =>
+      (0 until math.pow(3, n).toInt).map { k =>
+        var (x, s) = (k, new StringBuilder)
+        (0 until n).foreach { _ => s += alpha(x % 3); x /= 3 }
+        s.toString
+      }
+    }
+    val extras = Seq("  leading two", "trailing two  ", "a  b   c    d",
+      " ", "     ", "one", "pair of tokens", null)
+    val docs = (exhaustive ++ extras).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val newForm = docs
+      .select(col("doc_id"), explode(Curation.bigramPairsUdf(col("text"))).as("b"))
+      .select(col("doc_id"), col("b._1").as("w1"), col("b._2").as("w2"))
+    val oldForm = docs
+      .select(col("doc_id"), expr("filter(split(text, ' '), x -> x <> '')").as("ws"))
+      .select(col("doc_id"), explode(expr(
+        "CASE WHEN size(ws) >= 2 THEN transform(sequence(1, size(ws) - 1), " +
+          "i -> struct(ws[i - 1] AS w1, ws[i] AS w2)) ELSE array() END")).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val a = newForm.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .sorted.toSeq
+    val b = oldForm.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .sorted.toSeq
+    assert(a === b, "UDF and Catalyst HOF bigram streams must be identical")
+    assert(a.nonEmpty, "differential corpus must actually produce bigrams")
+  }
+
   test("hard negatives never return a same-label vector and rank by cosine") {
     import spark.implicits._
     val dir = graft.Scratch.dir("curation_hardneg").toString
