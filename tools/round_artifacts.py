@@ -143,17 +143,23 @@ def delta():
         return 1
     part = "/tmp/skew_delta.json"
     env = dict(os.environ, GRAFT_DUCK_MEM=os.environ.get("GRAFT_DUCK_MEM", "24GB"))
-    r = sh([sys.executable, os.path.join(TOOLS, "crosscheck.py"), SKEW, out, part],
-           env=env)
-    if r.returncode != 0:
-        print("[round_artifacts] --delta: skew crosscheck FAILED")
+    # crosscheck sees the FULL oracle_sql.json but only the filtered
+    # queries' parquet — its exit code counts every unfiltered query as
+    # "no spark result", so judge the gated queries' rows directly
+    sh([sys.executable, os.path.join(TOOLS, "crosscheck.py"), SKEW, out, part],
+       env=env)
+    rows = json.load(open(part))
+    bad = [q for q in qs
+           if q not in rows
+           or (rows[q].get("err") not in (None, "no_oracle"))
+           or (rows[q].get("err") is None and rows[q].get("hash_match") is not True)]
+    if bad:
+        print(f"[round_artifacts] --delta: skew FAIL for {' '.join(bad)}")
         return 1
     art_path = os.path.join(REPO, SKEW_ART)
     full = json.load(open(art_path))
-    rows = json.load(open(part))
     for q in qs:
-        if q in rows:
-            full[q] = rows[q]
+        full[q] = rows[q]
     json.dump(dict(sorted(full.items())), open(art_path, "w"), indent=1)
     stamp(manifest, SKEW_ART, fixture=SKEW, crosscheck_exit=0,
           delta_of=ref, delta_queries=qs)
