@@ -8,7 +8,7 @@ compares against the Spark result parquet written by graft.Verify:
 row count, column names/dtypes, and exact value equality after sorting
 columns by name. NOT part of the shipped engine — the engine is pure Scala.
 """
-import json, sys, glob, os, atexit, shutil, tempfile
+import json, sys, glob, os, atexit, shutil, tempfile, threading
 import duckdb
 import pandas as pd
 
@@ -75,11 +75,31 @@ def main(sf_dir: str, out_dir: str, json_out: str = None) -> int:
                             "hash_match": hashes, "spark_rows": rows, "err": err}
         if not spark_files:
             print(f"FAIL {name}: no spark result"); rec("no spark result"); n_bad += 1; continue
+        # optional per-oracle wall-clock budget (GRAFT_DUCK_TIMEOUT, sec):
+        # a big-fixture gate must record "oracle over budget" and move on
+        # instead of hanging the whole run on one corpus-sized replay
+        timeout = float(os.environ.get("GRAFT_DUCK_TIMEOUT", "0") or 0)
+        timer = None
+        timed_out = threading.Event()
+        if timeout > 0:
+            def _interrupt(c=con):
+                timed_out.set()
+                c.interrupt()
+            timer = threading.Timer(timeout, _interrupt)
+            timer.start()
         try:
             got = norm(pd.concat([pd.read_parquet(f) for f in spark_files]))
             want = norm(con.execute(sql).df())
         except Exception as e:
-            print(f"FAIL {name}: {e}"); rec(str(e)[:300]); n_bad += 1; continue
+            if timed_out.is_set():
+                print(f"TIMEOUT {name}: oracle exceeded {timeout:.0f}s")
+                rec(f"oracle_timeout_{timeout:.0f}s"); n_bad += 1
+            else:
+                print(f"FAIL {name}: {e}"); rec(str(e)[:300]); n_bad += 1
+            continue
+        finally:
+            if timer:
+                timer.cancel()
         if list(got.columns) != list(want.columns):
             print(f"FAIL {name}: cols {list(got.columns)} vs {list(want.columns)}"); rec("schema mismatch", len(got), schema=False); n_bad += 1; continue
         if len(got) != len(want):

@@ -718,6 +718,286 @@ def q132(sf, out):
 
 
 # --------------------------------------------------------------------------
+# Full-surface scale laws (r16, VERDICT r15 item 3): the 15 registry
+# rows-only queries must assert something at sf1 the way the sf10 spot
+# surface already does. These checks are sf-GENERIC like everything above
+# (tools/sf1_gate.py runs them at /tmp/sf1; nothing pins them to one sf).
+# --------------------------------------------------------------------------
+@check("q67_approx_distinct")
+def q67(sf, out):
+    """HLL++ error law: n_events exact per type; approx_users within 5%
+    of the exact distinct (rsd 0.02 -> 5% is 2.5 sigma)."""
+    con = connect(sf)
+    eng_view(con, out, "q67_approx_distinct")
+    n_types, bad_n, bad_err = con.execute("""
+      WITH x AS (SELECT event_type, COUNT(DISTINCT user_id) AS exact_u,
+                        COUNT(*) AS n FROM events GROUP BY 1)
+      SELECT (SELECT COUNT(*) FROM x),
+             (SELECT COUNT(*) FROM eng JOIN x USING (event_type)
+              WHERE eng.n_events <> x.n),
+             (SELECT COUNT(*) FROM eng JOIN x USING (event_type)
+              WHERE abs(eng.approx_users - x.exact_u) >
+                    greatest(1, 0.05 * x.exact_u))""").fetchone()
+    n_eng = con.execute("SELECT COUNT(*) FROM eng").fetchone()[0]
+    assert n_eng == n_types, f"{n_eng} rows vs {n_types} event types"
+    assert bad_n == 0, f"{bad_n} types with wrong exact n_events"
+    assert bad_err == 0, f"{bad_err} types beyond 5% HLL error"
+    return f"law_check: {n_eng} types, n_events exact, HLL err <= 5% vs exact"
+
+
+@check("q76_approx_percentile")
+def q76(sf, out):
+    """Greenwald-Khanna rank-error law: accuracy 1000 permits rank error
+    <= n/1000, so each pXX must lie between the exact discrete quantiles
+    at p -/+ 0.002 (0.001 + rounding slack); n exact per flag."""
+    con = connect(sf)
+    eng_view(con, out, "q76_approx_percentile")
+    bad = con.execute("""
+      WITH x AS (SELECT l_returnflag,
+          quantile_disc(l_extendedprice, 0.248) AS lo25,
+          quantile_disc(l_extendedprice, 0.252) AS hi25,
+          quantile_disc(l_extendedprice, 0.498) AS lo50,
+          quantile_disc(l_extendedprice, 0.502) AS hi50,
+          quantile_disc(l_extendedprice, 0.948) AS lo95,
+          quantile_disc(l_extendedprice, 0.952) AS hi95,
+          COUNT(*) AS n
+        FROM lineitem GROUP BY 1)
+      SELECT COUNT(*) FROM eng JOIN x USING (l_returnflag)
+      WHERE eng.n <> x.n
+         OR eng.p25 < lo25 OR eng.p25 > hi25
+         OR eng.p50 < lo50 OR eng.p50 > hi50
+         OR eng.p95 < lo95 OR eng.p95 > hi95""").fetchone()[0]
+    n = con.execute("SELECT COUNT(*) FROM eng").fetchone()[0]
+    flags = con.execute(
+        "SELECT COUNT(DISTINCT l_returnflag) FROM lineitem").fetchone()[0]
+    assert n == flags, f"{n} rows vs {flags} flags"
+    assert bad == 0, f"{bad} flags outside the GK rank-error band"
+    return f"law_check: {n} flags, n exact, p25/p50/p95 within rank band +/-0.002"
+
+
+@check("q162_hll_sketch_rollup")
+def q162(sf, out):
+    """Sketch laws: union-of-daily-partials == direct sketch EXACTLY
+    (lossless merge); n_days/n_events/exact_users exact vs DuckDB; both
+    estimates within 5% of exact (lgK=12 -> rsd ~1.6%)."""
+    con = connect(sf)
+    eng_view(con, out, "q162_hll_sketch_rollup")
+    merged_ne, bad = con.execute("""
+      WITH x AS (SELECT event_type,
+          COUNT(DISTINCT strftime(ts, '%Y-%m-%d')) AS days,
+          COUNT(*) AS n, COUNT(DISTINCT user_id) AS exact_u
+        FROM events GROUP BY 1)
+      SELECT (SELECT COUNT(*) FROM eng WHERE merged_estimate <> direct_estimate),
+             (SELECT COUNT(*) FROM eng JOIN x USING (event_type)
+              WHERE eng.n_days <> x.days OR eng.n_events <> x.n
+                 OR eng.exact_users <> x.exact_u
+                 OR abs(eng.direct_estimate - x.exact_u) >
+                    greatest(1, 0.05 * x.exact_u))""").fetchone()
+    assert merged_ne == 0, f"{merged_ne} types break the lossless-merge law"
+    assert bad == 0, f"{bad} types with wrong exact columns or >5% estimate error"
+    n = con.execute("SELECT COUNT(*) FROM eng").fetchone()[0]
+    return f"law_check: {n} types, merged==direct, exacts exact, HLL err <= 5%"
+
+
+@check("q160_mmr_rerank")
+def q160(sf, out):
+    """MMR structural + retrieval laws against the exact DuckDB cosine:
+    5 qids x dense ranks 1..8, distinct vids, vid != qid; every pick is
+    inside the exact top-20 retrieval pool (eps margin at the cutoff);
+    the rank-1 pick attains the pool's max cosine (lambda=0.7 greedy
+    picks pure relevance first). The float lambda-mix ordering itself is
+    q204's integer-exact twin's job."""
+    con = connect(sf)
+    eng_view(con, out, "q160_mmr_rerank")
+    bad_shape = con.execute("""SELECT COUNT(*) FROM (
+        SELECT qid, rank, vid,
+          row_number() OVER (PARTITION BY qid ORDER BY rank) AS rr,
+          COUNT(*) OVER (PARTITION BY qid, vid) AS dup
+        FROM eng) WHERE rank <> rr OR dup > 1 OR vid = qid""").fetchone()[0]
+    assert bad_shape == 0, f"{bad_shape} rows break dense-rank/distinct/self laws"
+    n, nq = con.execute(
+        "SELECT COUNT(*), COUNT(DISTINCT qid) FROM eng").fetchone()
+    assert (n, nq) == (40, 5), f"expected 5 qids x 8 rows, got {nq} x -> {n}"
+    con.execute("""CREATE OR REPLACE TEMP TABLE pool AS
+      WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+                 WHERE vec_id < 5),
+      s AS (SELECT qid, e.vec_id AS vid,
+              list_cosine_similarity(qv, e.embedding) AS c
+            FROM q JOIN embeddings e ON e.vec_id <> qid),
+      r AS (SELECT *, row_number() OVER (PARTITION BY qid
+              ORDER BY c DESC, vid ASC) AS rk FROM s),
+      cut AS (SELECT qid, min(c) AS c20 FROM r WHERE rk <= 20 GROUP BY qid)
+      SELECT s.qid, s.vid, s.c FROM s JOIN cut USING (qid)
+      WHERE s.c >= cut.c20 - 1e-6""")
+    out_pool = con.execute("""SELECT COUNT(*) FROM eng
+      LEFT JOIN pool USING (qid, vid) WHERE pool.vid IS NULL""").fetchone()[0]
+    assert out_pool == 0, f"{out_pool} picks outside the exact top-20 pool"
+    bad_first = con.execute("""SELECT COUNT(*) FROM eng
+      JOIN pool USING (qid, vid)
+      JOIN (SELECT qid, max(c) AS cmax FROM pool GROUP BY qid) m USING (qid)
+      WHERE eng.rank = 1 AND pool.c < m.cmax - 1e-6""").fetchone()[0]
+    assert bad_first == 0, f"{bad_first} rank-1 picks are not the max-cosine hit"
+    return "law_check vs exact cosine pool: shape, top-20 membership, rank-1 argmax"
+
+
+@check("q49_gpkg_golden_area")
+def q49(sf, out):
+    """sf-independent (reads the reference's own lu.gpkg, not the sf
+    tables): assert the published golden — one mangrove row, 4.16 ha."""
+    con = connect(sf)
+    eng_view(con, out, "q49_gpkg_golden_area")
+    rows = con.execute(
+        "SELECT keterangan, area_ha, n_features FROM eng").fetchall()
+    assert len(rows) == 1, f"expected 1 golden row, got {len(rows)}"
+    ket, ha, nf = rows[0]
+    assert "mangrove" in ket.lower() and ha == 4.16 and nf >= 1, rows
+    return f"golden: {ket!r} area_ha=4.16 (reference summary_report.csv)"
+
+
+@check("q51_reference_linked_view")
+def q51(sf, out):
+    """sf-independent (reference lu.gpkg x lu.csv): 31 rows, ID a dense
+    1..31 permutation, no null attributes out of the join."""
+    con = connect(sf)
+    eng_view(con, out, "q51_reference_linked_view")
+    n, ids, nulls = con.execute("""SELECT
+      (SELECT COUNT(*) FROM eng),
+      (SELECT COUNT(*) FROM (SELECT "ID",
+         row_number() OVER (ORDER BY "ID") AS rn FROM eng) WHERE "ID" <> rn),
+      (SELECT COUNT(*) FROM eng WHERE "TEMA" IS NULL OR "LUSE" IS NULL
+         OR "KETERANGAN" IS NULL OR "JENIS" IS NULL OR "SUMBER" IS NULL)
+      """).fetchone()
+    assert (n, ids, nulls) == (31, 0, 0), (n, ids, nulls)
+    return "golden: 31 rows, ID dense 1..31, all view attributes joined"
+
+
+@check("q61_gpkg_roundtrip")
+def q61(sf, out):
+    """Write->read round trip vs q46's DIRECT-oracle-verified per-category
+    aggregate: identical keterangan/count partition. Areas differ by
+    construction (q61 areas native-CRS pre-transform; q46 Web-Mercator),
+    so the shared law is the (keterangan, n) partition + positive areas."""
+    con = connect(sf)
+    eng_view(con, out, "q61_gpkg_roundtrip")
+    eng_view(con, out, "q46_area_by_category", name="q46eng")
+    a, b, d = symdiff(con, "keterangan, n",
+                      a="(SELECT keterangan, n FROM eng)",
+                      b="(SELECT keterangan, n_parcels AS n FROM q46eng)")
+    assert d == 0 and a == b, f"partition mismatch: {a} vs {b}, diff {d}"
+    neg = con.execute(
+        "SELECT COUNT(*) FROM eng WHERE area_ha <= 0").fetchone()[0]
+    assert neg == 0, f"{neg} non-positive roundtrip areas"
+    return f"decomposed vs verified q46: {a} categories, counts equal, areas > 0"
+
+
+@check("q40_flagship_report")
+def q40(sf, out):
+    """Decomposed oracle vs two verified upstreams: Total Mangrove Area
+    re-derived from q46 (direct oracle) restricted to mangrove
+    categories (per-category 2dp rounding -> tolerance); Highest
+    Variation argmax/variance/inference re-derived from q43's verified
+    monthly NDVI (exact argmax + inference string; variance to 1e-9)."""
+    con = connect(sf)
+    eng_view(con, out, "q40_flagship_report")
+    eng_view(con, out, "q46_area_by_category", name="q46eng")
+    eng_view(con, out, "q43_ndvi_monthly", name="q43eng")
+    vals = dict(con.execute('SELECT "Metric", "Value" FROM eng').fetchall())
+    expect_metrics = {"Analysis Type", "Total Mangrove Area (hectares)",
+                      "Highest Variation Area",
+                      "Variance of Highest Variation", "Inference"}
+    assert set(vals) == expect_metrics, f"metric names: {sorted(vals)}"
+    assert vals["Analysis Type"] == "mangrove"
+    tot, ncat = con.execute("""SELECT SUM(area_ha), COUNT(*) FROM q46eng
+      WHERE lower(keterangan) LIKE '%mangrove%'""").fetchone()
+    got = float(vals["Total Mangrove Area (hectares)"])
+    tol = 0.01 * (ncat + 1) + abs(tot) * 1e-9
+    assert abs(got - tot) <= tol, f"area {got} vs q46-derived {tot} (tol {tol})"
+    ket, var = con.execute("""SELECT keterangan, var_samp(ndvi) FROM q43eng
+      WHERE ndvi IS NOT NULL GROUP BY 1
+      ORDER BY 2 DESC NULLS LAST, 1 ASC LIMIT 1""").fetchone()
+    assert vals["Highest Variation Area"] == ket, (vals["Highest Variation Area"], ket)
+    gotv = float(vals["Variance of Highest Variation"])
+    assert abs(gotv - var) <= 1e-9 + abs(var) * 1e-6, (gotv, var)
+    expect_inf = ("High variance observed, indicating significant changes in vegetation."
+                  if var > 0.5 else
+                  "Moderate variance observed, indicating some changes in vegetation."
+                  if var > 0.2 else
+                  "Low variance observed, indicating stable vegetation.")
+    assert vals["Inference"] == expect_inf, (vals["Inference"], expect_inf)
+    return (f"decomposed vs verified q46+q43: area {got} (tol {tol:.3f}), "
+            f"argmax {ket!r}, variance + inference law")
+
+
+def _media_laws(con, fmt_col="format"):
+    """Shared q48/q153 byte-exact container laws (engine view `eng` must
+    carry doc_id, format, n_bytes): format partition by doc_id%3, and
+    n_bytes derived EXACTLY from the text's UTF-8 length per container
+    (BMP: 54-byte header + 48-byte rows; WAV: 44 + even-padded payload;
+    bin: raw payload)."""
+    return con.execute(f"""
+      WITH d AS (SELECT doc_id, octet_length(encode(text)) AS len
+                 FROM documents)
+      SELECT COUNT(*) FROM (SELECT DISTINCT eng.doc_id, {fmt_col}, n_bytes
+                            FROM eng) e JOIN d USING (doc_id)
+      WHERE ({fmt_col} <> CASE doc_id % 3 WHEN 0 THEN 'img'
+                          WHEN 1 THEN 'audio' ELSE 'bin' END)
+         OR (doc_id % 3 = 0 AND n_bytes <> 54 + 48 * greatest(1, (len + 47) // 48))
+         OR (doc_id % 3 = 1 AND n_bytes <> 44 + len + (len % 2))
+         OR (doc_id % 3 = 2 AND n_bytes <> len)""").fetchone()[0]
+
+
+@check("q48_multimodal_features")
+def q48(sf, out):
+    """Container laws, byte-exact: one row per document; format/codec
+    partition by doc_id%3 (bmp/wav/stub); n_bytes exactly the wrapped
+    UTF-8 payload size; BMP geometry (width 16, height = payload rows);
+    WAV rate/channels in the geometry slots; features are normalized
+    histogram fractions in [0,1]."""
+    con = connect(sf)
+    eng_view(con, out, "q48_multimodal_features")
+    n, nd = con.execute("""SELECT (SELECT COUNT(*) FROM eng),
+      (SELECT COUNT(*) FROM documents)""").fetchone()
+    assert n == nd, f"{n} rows vs {nd} documents"
+    bad = _media_laws(con)
+    assert bad == 0, f"{bad} rows break the container byte laws"
+    bad2 = con.execute("""
+      WITH d AS (SELECT doc_id, octet_length(encode(text)) AS len
+                 FROM documents)
+      SELECT COUNT(*) FROM eng JOIN d USING (doc_id)
+      WHERE (doc_id % 3 = 0 AND (codec <> 'bmp' OR width <> 16
+              OR height <> greatest(1, (len + 47) // 48)))
+         OR (doc_id % 3 = 1 AND (codec <> 'wav' OR width <> 16000 OR height <> 1))
+         OR (doc_id % 3 = 2 AND codec <> 'stub')
+         OR f0 < 0 OR f0 > 1 OR f7 < 0 OR f7 > 1""").fetchone()[0]
+    assert bad2 == 0, f"{bad2} rows break codec/geometry/feature laws"
+    return f"law_check: {n} docs, container bytes + codec geometry exact"
+
+
+@check("q153_multimodal_resize_frames")
+def q153(sf, out):
+    """Resize + frame-sample laws: 4 dense frames per document (rows =
+    4 x docs), serving geometry 224x224 everywhere, same byte-exact
+    container laws as q48, frame features normalized."""
+    con = connect(sf)
+    eng_view(con, out, "q153_multimodal_resize_frames")
+    n, nd = con.execute("""SELECT (SELECT COUNT(*) FROM eng),
+      (SELECT COUNT(*) FROM documents)""").fetchone()
+    assert n == 4 * nd, f"{n} rows vs 4 x {nd} documents"
+    bad_shape = con.execute("""SELECT COUNT(*) FROM (
+        SELECT doc_id, frame, row_number() OVER (PARTITION BY doc_id
+          ORDER BY frame) - 1 AS rf FROM eng)
+      WHERE frame <> rf""").fetchone()[0]
+    assert bad_shape == 0, f"{bad_shape} rows break the dense-frame law"
+    bad = _media_laws(con)
+    assert bad == 0, f"{bad} rows break the container byte laws"
+    bad2 = con.execute("""SELECT COUNT(*) FROM eng
+      WHERE width <> 224 OR height <> 224
+         OR f0 < 0 OR f0 > 1 OR frame_f0 < 0 OR frame_f0 > 1""").fetchone()[0]
+    assert bad2 == 0, f"{bad2} rows break geometry/feature laws"
+    return f"law_check: {nd} docs x 4 dense frames, 224x224, container bytes exact"
+
+
+# --------------------------------------------------------------------------
 def main():
     sf, out = sys.argv[1], sys.argv[2]
     only = None
