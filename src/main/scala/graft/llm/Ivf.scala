@@ -22,7 +22,14 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType}
 object Ivf {
 
   val NumLists = 16
-  val NProbe = 4
+  /** q31's probe width. 4 was calibrated at sf10 (recall@10 0.68); the
+    * r16 skew gate measured 0.54 at the 20k-vector fixtures — a SMALLER
+    * corpus spreads a query's true top-10 over more lists, so the fixed
+    * fraction that clears 0.6 at sf10 misses it at sf0.1. 6/16 lists
+    * clears the 0.6 recall floor at every gated fixture; the marginal
+    * cost is +2 probed lists on a query-side-only explode (q31 is 1.3 s
+    * of the 781 s sf10 bench). */
+  val NProbe = 6
 
   /** Assignment UDF capturing the centroids in its CLOSURE (serialized
     * once per task), not as a `typedLit` column argument — a per-row

@@ -386,10 +386,16 @@ object Sketches extends Serializable {
     * hll_union_agg, alongside the exact distinct and the single-pass
     * estimate. Rows-only by design — sketch estimates are
     * engine-specific (q67/q77's declared rule) — while SketchesSpec pins
-    * the LOSSLESSNESS law: union-of-partials == direct-sketch estimate
-    * EXACTLY (same binary sketch state), and the estimate sits within
-    * HLL's published error at lgK=12. The exact_users column rides along
-    * so the output itself exposes the estimate error. */
+    * the LOSSLESSNESS law at small n: union-of-partials == direct-sketch
+    * estimate (same binary sketch state), and the estimate sits within
+    * HLL's published error at lgK=12. At dense-regime cardinalities the
+    * two estimates legitimately diverge ~1% on IDENTICAL registers: a
+    * streamed sketch reads out via the order-dependent HIP estimator, a
+    * union via the composite estimator (the DataSketches HLL design;
+    * first measured by the r16 skew law row) — so the scale gates assert
+    * merged within 2% of direct plus both within 5% of exact. The
+    * exact_users column rides along so the output itself exposes the
+    * estimate error. */
   private val q162 = Q(
     "q162_hll_sketch_rollup",
     (s, dir) => {
@@ -408,7 +414,7 @@ object Sketches extends Serializable {
         .orderBy(asc_nulls_first("event_type"))
     },
     None,
-    "incremental distinct counting: daily HLL sketch table rolled up by sketch union; merged == direct (lossless merge law, spec-pinned), exact alongside")
+    "incremental distinct counting: daily HLL sketch table rolled up by sketch union; merged == direct at small n (spec-pinned), HIP-vs-composite ~1% divergence at dense n (law-gated), exact alongside")
 
   // ---- KMV / theta sketch: distinct-count SET OPERATIONS (q225) ---------
 

@@ -191,7 +191,29 @@ def main():
     env = dict(os.environ, GRAFT_DUCK_MEM=os.environ.get("GRAFT_DUCK_MEM", "24GB"))
     r = sh([sys.executable, os.path.join(TOOLS, "crosscheck.py"), SKEW, out,
             os.path.join(REPO, SKEW_ART)], env=env)
-    stamp(manifest, SKEW_ART, fixture=SKEW, crosscheck_exit=r.returncode)
+
+    # law pass (r16, VERDICT r15 item 8): the rows-only queries must
+    # assert something on the SKEW fixture too — the Zipf hot-key mass is
+    # the other place LSH bucket caps can starve ANN recall. Same
+    # sf-generic checks + merge the sf1 gate uses.
+    art = os.path.join(REPO, SKEW_ART)
+    report = json.load(open(art))
+    need = sorted(q for q, row in report.items()
+                  if row.get("err") == "no_oracle"
+                  or str(row.get("err") or "").startswith("oracle_timeout"))
+    law_rc = 0
+    if need:
+        print(f"[round_artifacts] skew law checks ({len(need)}): {' '.join(need)}")
+        chk = "/tmp/chk_skew.json"
+        law_rc = sh([sys.executable, os.path.join(TOOLS, "sf10_checks.py"),
+                     SKEW, out, "--only", ",".join(need), "--json", chk]).returncode
+        if os.path.exists(chk):
+            for q, row in json.load(open(chk)).items():
+                row["spark_rows"] = report.get(q, {}).get("spark_rows")
+                report[q] = row
+        json.dump(dict(sorted(report.items())), open(art, "w"), indent=1)
+    stamp(manifest, SKEW_ART, fixture=SKEW, crosscheck_exit=r.returncode,
+          law_exit=law_rc)
 
     # 2. optional sf1 changed-set refresh: only the queries whose builders
     # changed since REF re-run at /tmp/sf1 (full-surface sf1 is a

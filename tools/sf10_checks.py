@@ -777,9 +777,14 @@ def q76(sf, out):
 
 @check("q162_hll_sketch_rollup")
 def q162(sf, out):
-    """Sketch laws: union-of-daily-partials == direct sketch EXACTLY
-    (lossless merge); n_days/n_events/exact_users exact vs DuckDB; both
-    estimates within 5% of exact (lgK=12 -> rsd ~1.6%)."""
+    """Sketch laws: n_days/n_events/exact_users exact vs DuckDB; BOTH
+    estimates within 5% of exact (lgK=12 -> rsd ~1.6%); merged within 2%
+    of direct. merged == direct EXACTLY only holds in the small/sparse
+    regime (SketchesSpec's "near-exact at small n") — a streamed sketch
+    reads out through the order-dependent HIP estimator while a union
+    must use the composite estimator, so at dense-regime cardinalities
+    the two differ by ~1% on identical registers (first observed by this
+    check at the skew fixture, r16)."""
     con = connect(sf)
     eng_view(con, out, "q162_hll_sketch_rollup")
     merged_ne, bad = con.execute("""
@@ -787,16 +792,20 @@ def q162(sf, out):
           COUNT(DISTINCT strftime(ts, '%Y-%m-%d')) AS days,
           COUNT(*) AS n, COUNT(DISTINCT user_id) AS exact_u
         FROM events GROUP BY 1)
-      SELECT (SELECT COUNT(*) FROM eng WHERE merged_estimate <> direct_estimate),
+      SELECT (SELECT COUNT(*) FROM eng
+              WHERE abs(merged_estimate - direct_estimate) >
+                    greatest(2, 0.02 * direct_estimate)),
              (SELECT COUNT(*) FROM eng JOIN x USING (event_type)
               WHERE eng.n_days <> x.days OR eng.n_events <> x.n
                  OR eng.exact_users <> x.exact_u
                  OR abs(eng.direct_estimate - x.exact_u) >
+                    greatest(1, 0.05 * x.exact_u)
+                 OR abs(eng.merged_estimate - x.exact_u) >
                     greatest(1, 0.05 * x.exact_u))""").fetchone()
-    assert merged_ne == 0, f"{merged_ne} types break the lossless-merge law"
+    assert merged_ne == 0, f"{merged_ne} types: merged drifts >2% from direct"
     assert bad == 0, f"{bad} types with wrong exact columns or >5% estimate error"
     n = con.execute("SELECT COUNT(*) FROM eng").fetchone()[0]
-    return f"law_check: {n} types, merged==direct, exacts exact, HLL err <= 5%"
+    return f"law_check: {n} types, exacts exact, estimates <= 5% err, merged ~ direct"
 
 
 @check("q160_mmr_rerank")
