@@ -44,7 +44,33 @@ object Streams {
     }, "graft-ckpt-cleanup"))
   }
 
-  private def withStatePartitions[A](s: SparkSession, n: Int)(body: => A): A = {
+  /** Scale-aware stateful shuffle-partition count. The per-query bases
+    * (8, or 4 for the outer interval joins) were tuned at sf0.1, where
+    * the fixed per-batch commit floor dominates and fewer stores win.
+    * At sf10 the per-partition state WORK dominates instead: the r16
+    * interleaved StreamAb A/B (sf10, min of 2 reps) measured the four
+    * stream-stream interval joins at 28-35 s on their bases, 16-19 s at
+    * 16 partitions, and 18-21 s at 32 — so beyond 32 MB of staged
+    * source the count steps to 16, beyond 256 MB to 32 (the local core
+    * count; a real cluster raises the cap with its executor count).
+    * sf0.1 and sf1 sources sit under 32 MB, so bench-tuned bases are
+    * untouched there. */
+  private def stateParts(dir: String, base: Int): Int = {
+    val mb = Seq("events", "documents")
+      .map(t => new java.io.File(s"$dir/$t.parquet").length)
+      .max / (1L << 20)
+    if (mb > 256) math.max(base, 32)
+    else if (mb > 32) math.max(base, 16)
+    else base
+  }
+
+  private def withStatePartitions[A](s: SparkSession, n0: Int)(body: => A): A = {
+    // dev-only A/B override (tools/StreamAb): the per-batch state-commit
+    // floor scales with the partition count, so the count is a measured
+    // choice, not a constant of nature — production paths never set this
+    // (system property first so one JVM can interleave arms)
+    val n = sys.props.get("graft.state.parts").orElse(
+      sys.env.get("GRAFT_STATE_PARTS")).map(_.toInt).getOrElse(n0)
     val pKey = "spark.sql.shuffle.partitions"
     val nKey = "spark.sql.streaming.noDataMicroBatches.enabled"
     val cKey = "spark.sql.streaming.checkpointLocation"
@@ -99,7 +125,7 @@ object Streams {
 
   /** Run a tumbling-window streaming aggregation to completion over the
     * events parquet and return the final (complete-mode) result. */
-  def streamTumblingHour(s: SparkSession, dir: String): DataFrame = withStatePartitions(s, 8) {
+  def streamTumblingHour(s: SparkSession, dir: String): DataFrame = withStatePartitions(s, stateParts(dir, 8)) {
     // raw schema (ts = long under nanosAsLong), NOT T()'s converted one
     val schema = s.read.parquet(s"$dir/events.parquet").schema
     // the file streaming source monitors a DIRECTORY; point it at sfDir
@@ -135,7 +161,7 @@ object Streams {
     * map-side inside the micro-batch, state is one aggregate row per open
     * window (4× the tumbling count, still window-spine-sized, never
     * event-sized). Complete-mode memory sink holds aggregate rows only. */
-  def streamHoppingWindow(s: SparkSession, dir: String): DataFrame = withStatePartitions(s, 8) {
+  def streamHoppingWindow(s: SparkSession, dir: String): DataFrame = withStatePartitions(s, stateParts(dir, 8)) {
     val schema = s.read.parquet(s"$dir/events.parquet").schema
     val stream = s.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet")
@@ -210,7 +236,7 @@ object Streams {
   /** Stateful streaming: running per-user event counts via
     * mapGroupsWithState (update mode) — the KeyValueGroupedDataset state
     * API over the replayed events stream. */
-  def statefulUserCounts(s: SparkSession, dir: String): DataFrame = withStatePartitions(s, 8) {
+  def statefulUserCounts(s: SparkSession, dir: String): DataFrame = withStatePartitions(s, stateParts(dir, 8)) {
     import s.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val schema = s.read.parquet(s"$dir/events.parquet").schema
@@ -332,7 +358,7 @@ object Streams {
     * bucketHours until rate × (bucketHours + 24 h) rows fit one state
     * partition. */
   def streamIntervalJoin(s: SparkSession, dir: String,
-      bucketHours: Int = 24): DataFrame = withStatePartitions(s, 8) {
+      bucketHours: Int = 24): DataFrame = withStatePartitions(s, stateParts(dir, 8)) {
     val schema = s.read.parquet(s"$dir/events.parquet").schema
     def src = s.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
@@ -402,7 +428,7 @@ object Streams {
     * deterministically from doc_id — the driver corpus carries no
     * timestamp. */
   def streamDedup(s: SparkSession, dir: String,
-      horizon: String = "1 hour"): DataFrame = withStatePartitions(s, 8) {
+      horizon: String = "1 hour"): DataFrame = withStatePartitions(s, stateParts(dir, 8)) {
     val schema = s.read.parquet(s"$dir/documents.parquet").schema
     val outDir = graft.Scratch.fresh("dedup_out")
     val deduped = s.readStream.schema(schema)
@@ -473,7 +499,7 @@ object Streams {
     * user's final real session; the sentinel's own open session is never
     * emitted. This is the replay-determinism variant of production's
     * event-time timeout. */
-  def streamSessionize(s: SparkSession, dir: String): DataFrame = withStatePartitions(s, 8) {
+  def streamSessionize(s: SparkSession, dir: String): DataFrame = withStatePartitions(s, stateParts(dir, 8)) {
     import s.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val gapUs = 1800L * 1000000L
@@ -560,7 +586,7 @@ object Streams {
     * the only stateful operator is the complete-mode aggregate, whose
     * state is dimension-sized (25 nations). This is exactly the 100 TB
     * enrichment shape: the fact stream never shuffles for the join. */
-  def streamStaticEnrich(s: SparkSession, dir: String): DataFrame = withStatePartitions(s, 8) {
+  def streamStaticEnrich(s: SparkSession, dir: String): DataFrame = withStatePartitions(s, stateParts(dir, 8)) {
     val dim = T(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
       .join(broadcast(T(s, dir, "nation").select(col("n_nationkey"), col("n_name"))),
         col("c_nationkey") === col("n_nationkey"))
@@ -680,7 +706,7 @@ object Streams {
     * merge order-independent, so batch boundaries cannot change the
     * result. At 100 TB the per-batch work is O(batch + touched MV
     * partitions); the full-scan equivalent is O(history) per refresh. */
-  def incrementalMv(s: SparkSession, dir: String): DataFrame = withStatePartitions(s, 8) {
+  def incrementalMv(s: SparkSession, dir: String): DataFrame = withStatePartitions(s, stateParts(dir, 8)) {
     val stage = graft.Scratch.dir(s"mv_stage_${dir.hashCode.toHexString}")
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(stage, "_SUCCESS")))
       // time-sliced stage files: continuous ingestion arrives roughly in
@@ -1205,7 +1231,7 @@ object Streams {
   // measured at sf0.1 (local[8], warm): q168 6.3 s → 4.6 s, q198
   // 10.0 s → 5.0 s going 8 → 4.
   def streamLeftOuterJoin(s: SparkSession, dir: String,
-      bucketHours: Int = 24): DataFrame = withStatePartitions(s, 4) {
+      bucketHours: Int = 24): DataFrame = withStatePartitions(s, stateParts(dir, 4)) {
     val src0 = s"$dir/events.parquet"
     val schema = s.read.parquet(src0).schema
     val stage = java.nio.file.Paths.get(graft.Scratch.fresh("loj_stage"))
@@ -1307,7 +1333,7 @@ object Streams {
     * under hot entities, at any width (q224 gates width 12 h on q198's
     * oracle). */
   def streamFullOuterJoin(s: SparkSession, dir: String,
-      bucketHours: Int = 24): DataFrame = withStatePartitions(s, 4) {
+      bucketHours: Int = 24): DataFrame = withStatePartitions(s, stateParts(dir, 4)) {
     val src0 = s"$dir/events.parquet"
     val schema = s.read.parquet(src0).schema
     val stage = java.nio.file.Paths.get(graft.Scratch.fresh("foj_stage"))
@@ -1429,7 +1455,7 @@ object Streams {
     * double-inserted cross-day duplicate, or a broken cap merge shifts θ
     * or the retained count and breaks the hash. Exact distinct rides
     * along (q162's pattern) to expose the estimation error. */
-  def streamKmvDistinct(s: SparkSession, dir: String): DataFrame = withStatePartitions(s, 8) {
+  def streamKmvDistinct(s: SparkSession, dir: String): DataFrame = withStatePartitions(s, stateParts(dir, 8)) {
     import graft.llm.Sketches
     val schema = s.read.parquet(s"$dir/events.parquet").schema
     val stream = s.readStream.schema(schema)
