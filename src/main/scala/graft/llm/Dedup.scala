@@ -1831,7 +1831,7 @@ object Dedup {
   def kgramContainment(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val probes = docs.filter(col("doc_id") % 50 === 0)
-      .select((col("doc_id") + 200000).as("probe_id"),
+      .select((col("doc_id") + lit(docSpan(docs))).as("probe_id"),
         substring(col("text"), 11, 240).as("text"))
     // q92's exact shape: gram sets map-side (already distinct), n_fp
     // rides the probe explode, fp equi-join with no broadcast hint
@@ -1855,7 +1855,7 @@ object Dedup {
     "q93_kgram_containment",
     (s, dir) => kgramContainment(T.spread(s, T(s, dir, "documents"))),
     Some(s"""WITH probes AS (
-        SELECT doc_id + 200000 AS probe_id, substr(text, 11, 240) AS text
+        SELECT doc_id + ${spanOffSql(0)} AS probe_id, substr(text, 11, 240) AS text
         FROM documents WHERE doc_id % 50 = 0),
       pg AS (
         SELECT DISTINCT probe_id, g FROM (
@@ -1942,7 +1942,7 @@ object Dedup {
     * (240-char slice of every 50th doc), same scale shape. */
   def winnowContainmentExact(docs: DataFrame): DataFrame = {
     val probes = docs.filter(col("doc_id") % 50 === 0)
-      .select((col("doc_id") + 200000).as("probe_id"),
+      .select((col("doc_id") + lit(docSpan(docs))).as("probe_id"),
         substring(col("text"), 11, 240).as("text"))
     val pg = probes
       .select(col("probe_id"), modPWinnowUdf(col("text")).as("fps"))
@@ -2003,7 +2003,7 @@ object Dedup {
     "q215_winnow_selection_oracle",
     (s, dir) => winnowContainmentExact(T.spread(s, T(s, dir, "documents"))),
     Some(s"""WITH probes AS (
-        SELECT doc_id + 200000 AS probe_id, substr(text, 11, 240) AS text
+        SELECT doc_id + ${spanOffSql(0)} AS probe_id, substr(text, 11, 240) AS text
         FROM documents WHERE doc_id % 50 = 0),
       pgrams AS (${winnowGramSql("probes", "probe_id")}),
       cgrams AS (${winnowGramSql("documents", "doc_id")}),

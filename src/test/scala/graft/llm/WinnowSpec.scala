@@ -53,7 +53,8 @@ class WinnowSpec extends AnyFunSuite {
     val out = Dedup.kgramContainment(docs).collect()
     assert(out.length === 4, s"expected 4 probe rows, got ${out.length}")
     out.foreach { r =>
-      assert(r.getLong(1) === r.getLong(0) - 200000L,
+      // span-derived probe offset (r16): docSpan = max(doc_id)+1 = 200 here
+      assert(r.getLong(1) === r.getLong(0) - 200L,
         s"probe ${r.getLong(0)} matched ${r.getLong(1)}")
       assert(r.getDouble(2) === 1.0,
         s"probe ${r.getLong(0)} containment ${r.getDouble(2)} — excerpt grams must all appear in the source")
@@ -72,8 +73,9 @@ class WinnowSpec extends AnyFunSuite {
       val probe = r.getLong(0)
       val matched = r.getLong(1)
       val containment = r.getDouble(2)
-      assert(matched === probe - 200000L,
-        s"probe $probe matched $matched, expected its source ${probe - 200000L}")
+      // span-derived probe offset (r16): docSpan = max(doc_id)+1 = 200 here
+      assert(matched === probe - 200L,
+        s"probe $probe matched $matched, expected its source ${probe - 200L}")
       assert(containment > 0.8, s"probe $probe containment $containment too low")
     }
   }
@@ -89,7 +91,8 @@ class WinnowSpec extends AnyFunSuite {
     val out = Dedup.winnowContainmentExact(docs).collect()
     assert(out.length === 4, s"expected 4 probe rows, got ${out.length}")
     out.foreach { r =>
-      assert(r.getLong(1) === r.getLong(0) - 200000L,
+      // span-derived probe offset (r16): docSpan = max(doc_id)+1 = 200 here
+      assert(r.getLong(1) === r.getLong(0) - 200L,
         s"probe ${r.getLong(0)} matched ${r.getLong(1)}")
       assert(r.getDouble(2) > 0.8, s"containment ${r.getDouble(2)} too low")
     }
