@@ -547,7 +547,7 @@ object Curation {
       // whole q146 pipeline re-ran per consumer (measured 294 s at sf10
       // vs q146's own 51 s on the same input).
       val scores = bigramScores(s, dir).select(col("doc_id"), col("avg_ppm"))
-        .localCheckpoint()
+        .localCheckpoint(false) // lazy since r16: the decile agg materializes it
       // Decile boundaries via VALUE RUNS (the q189 technique, r14): the
       // value at global rank r is determined by how ranks fall across
       // runs of equal avg_ppm, so the corpus-sized single-partition

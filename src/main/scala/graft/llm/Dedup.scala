@@ -2083,14 +2083,24 @@ object Dedup {
     * (doc_id, cluster, keep). Every stage is the already-plan-audited
     * scale shape; the composition adds no new shuffle beyond the CC
     * rounds. */
-  def dedupPipeline(s: SparkSession, docs: DataFrame, threshold: Double): DataFrame = {
+  /** [[dedupPipeline]] without the presentation sort — the form an
+    * internal consumer (Pipeline.trainingShards) materializes. Catalyst's
+    * EliminateSorts drops a sort under filter/join/groupBy consumers, but
+    * a localCheckpoint materializes the physical plan as-is, so the
+    * sorted public shape forced a range exchange + sort into the
+    * capstone's checkpoint (r16; guide §2.4 "orderBy used only to make
+    * output deterministic"). */
+  private[graft] def dedupFlags(s: SparkSession, docs: DataFrame,
+      threshold: Double): DataFrame = {
     val pairs = minhashPairs(s, docs).filter(col("jaccard") >= threshold)
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
     graft.ops.Graph.connectedComponents(docs.select(col("doc_id").as("node")), pairs)
       .select(col("node").as("doc_id"), col("component").as("cluster"),
         (col("node") === col("component")).as("keep"))
-      .orderBy(asc_nulls_first("doc_id"))
   }
+
+  def dedupPipeline(s: SparkSession, docs: DataFrame, threshold: Double): DataFrame =
+    dedupFlags(s, docs, threshold).orderBy(asc_nulls_first("doc_id"))
 
   /** q101: dedupPipeline over the corpus with duplicates planted
     * IN-QUERY (the driver corpus is dup-free): every 25th doc gets a
@@ -2192,7 +2202,7 @@ object Dedup {
       val pos = corpus.join(broadcast(offs.select(col("bucket"), col("off"))), Seq("bucket"))
         .withColumn("pos", col("off") + row_number().over(pw) - 1)
         .select(col("doc_id"), col("pos"), col("sh"))
-        .localCheckpoint()
+        .localCheckpoint(false) // lazy since r16: lhs/rhs join materializes it
       val lhs = pos.select(col("doc_id").as("id_a"), col("pos").as("pos_a"),
         col("sh").as("sh_a"), expr(s"pos div ${w - 1}").as("band"))
       val rhs = pos.select(col("doc_id").as("id_b"), col("pos").as("pos_b"),
@@ -2326,7 +2336,7 @@ object Dedup {
       val sh = T.spread(s, T(s, dir, "documents"))
         .select(col("doc_id"), explode(shingles("text")).as("sg"))
         .select(col("doc_id"), xxhash64(col("sg")).as("sgh"))
-        .localCheckpoint()
+        .localCheckpoint(false) // lazy since r16: the df count materializes it
       // ONE doc-level aggregation serves prefix sizes AND both sides of
       // the verification: (doc_id, shingle-set array, n). Verification
       // joins candidate PAIRS to the two doc arrays and intersects
@@ -2340,7 +2350,7 @@ object Dedup {
       // |array_intersect|).
       val docs = sh.groupBy(col("doc_id"))
         .agg(collect_list(col("sgh")).as("arr"), count(lit(1)).as("n"))
-        .localCheckpoint()
+        .localCheckpoint(false) // lazy since r16: prefix selection materializes it
       val cands = ppjoinCandidates(sh, docs.select(col("doc_id"), col("n")))
       cands
         .join(docs.select(col("doc_id").as("doc_a"), col("arr").as("arr_a"),

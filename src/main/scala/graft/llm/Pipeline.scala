@@ -58,8 +58,13 @@ object Pipeline {
   def trainingShards(s: SparkSession, docs: DataFrame,
       threshold: Double, cap: Long): DataFrame = {
     // components-sized; materialized once, reused by three consumers
-    val flags = Dedup.dedupPipeline(s, docs.select(col("doc_id"), col("text")), threshold)
-      .localCheckpoint(true)
+    // lazy since r16: the first consumer's job materializes the frame
+    // (eager ran a dedicated materialization job first — guide §1.2);
+    // dedupFlags = the pipeline without its presentation sort, which a
+    // checkpoint would otherwise materialize (order is irrelevant here —
+    // every consumer is a join/filter)
+    val flags = Dedup.dedupFlags(s, docs.select(col("doc_id"), col("text")), threshold)
+      .localCheckpoint(false)
     val kept = docs.join(flags.filter(col("keep")), Seq("doc_id"))
       // split keyed on the CLUSTER representative: by construction no
       // component can straddle train/eval

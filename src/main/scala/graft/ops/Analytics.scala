@@ -1751,7 +1751,9 @@ object Analytics {
         .select((dec("l_extendedprice") * 100).cast(LongType).as("cents"))
         .groupBy(col("cents")).agg(count(lit(1)).as("cnt"))
         .withColumn("vb", expr("cents div 262144"))
-        .localCheckpoint() // value-domain-sized; saves 2 fact re-scans
+        // value-domain-sized; saves 2 fact re-scans. LAZY (r16): the
+        // offsets aggregation below materializes it in its own job.
+        .localCheckpoint(false)
       val offsets = vals.groupBy(col("vb")).agg(sum(col("cnt")).as("cnt"))
         .withColumn("off",
           coalesce(sum(col("cnt")).over(

@@ -32,7 +32,13 @@ object Graph {
       maxRounds: Int = 25): DataFrame = {
     val init = edges.select(col("src").cast("long").as("u"), col("dst").cast("long").as("v"))
       .filter(col("u") =!= col("v"))
-    var e = init.distinct().localCheckpoint(true)
+    // LAZY checkpoint + the signature action in one job (r16, guide §1.2):
+    // eager localCheckpoint(true) ran a materialization job AND the
+    // signature aggregation ran a second one — per round. The lazy form
+    // materializes the checkpoint inside the signature job (the same
+    // folding PrAb measured fastest for PageRank), halving the per-round
+    // action count; frames and results are bit-identical.
+    var e = init.distinct().localCheckpoint(false)
     var sig = signature(e)
     var converged = false
     var round = 0
@@ -57,7 +63,7 @@ object Graph {
         .filter(col("u") =!= col("v"))
         .union(smins.select(col("u"), col("m").as("v")))
         .distinct()
-        .localCheckpoint(true)
+        .localCheckpoint(false) // materialized by the signature job below
       val nsig = signature(small)
       converged = nsig == sig
       sig = nsig
@@ -463,7 +469,8 @@ object Graph {
     * maxRounds+1 iterations: a graph that converges in exactly
     * `maxRounds` peel rounds is a success, not a false failure. */
   def kCore(edges: DataFrame, k: Int, maxRounds: Int): DataFrame = {
-    var cur = edges.select(col("a"), col("b")).localCheckpoint(true)
+    // lazy checkpoint + signature fold per round — see connectedComponents
+    var cur = edges.select(col("a"), col("b")).localCheckpoint(false)
     var sig = kcSignature(cur)
     var converged = false
     var round = 0
@@ -475,7 +482,7 @@ object Graph {
         .join(keep.select(col("n").as("a")), Seq("a"), "left_semi")
         .join(keep.select(col("n").as("b")), Seq("b"), "left_semi")
         .select(col("a"), col("b"))
-        .localCheckpoint(true)
+        .localCheckpoint(false) // materialized by the signature job below
       val nsig = kcSignature(nxt)
       converged = nsig == sig
       sig = nsig
@@ -544,13 +551,18 @@ object Graph {
     val adj = edges.select(col("a").as("u"), col("b").as("v"))
       .unionAll(edges.select(col("b").as("u"), col("a").as("v")))
       .localCheckpoint(false)
-    var dist = seeds.select(col("n"), lit(0L).as("dist")).localCheckpoint(true)
+    // LAZY per-hop checkpoints (r16): eager ran one materialization job
+    // per hop purely as a barrier; the lazy form materializes each hop's
+    // frame inside the NEXT hop's join job (and the last inside the
+    // caller's action) — same constant-size re-plan per round, hops+1
+    // fewer actions. Identical frames; q232's oracle gates the answer.
+    var dist = seeds.select(col("n"), lit(0L).as("dist")).localCheckpoint(false)
     for (_ <- 1 to hops) {
       val nxt = adj.join(dist.withColumnRenamed("n", "u"), Seq("u"))
         .select(col("v").as("n"), (col("dist") + 1).as("dist"))
       dist = dist.unionByName(nxt)
         .groupBy(col("n")).agg(min(col("dist")).as("dist"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
     }
     dist
   }

@@ -883,23 +883,41 @@ object Ingest {
         .partitionBy("source").parquet(v1)
     }
     val v2 = graft.Scratch.fresh(s"corpus_erased_$t")
-    val removals = T(s, dir, "documents")
-      .filter(col("source") === "src3" || col("doc_id") % 97 === 0)
-    val touched = removals.select(col("source")).distinct()
-      .collect().map(_.getString(0)).toSet
-    val allSources = T(s, dir, "documents").select(col("source")).distinct()
-      .collect().map(_.getString(0))
-    for (src <- allSources) {
-      val srcDir = java.nio.file.Paths.get(v2, s"source=$src")
-      if (!touched.contains(src)) {
+    // ONE source-cardinality aggregation answers both "which sources
+    // exist" and "which contain removals" (was two separate
+    // distinct+collect jobs), and the per-source partition rewrites are
+    // INDEPENDENT jobs submitted from a small thread pool (guide §2.6:
+    // one rewrite's straggler tail no longer serializes the others;
+    // FIFO scheduling back-fills the freed cores). Each source still
+    // writes to its own directory, so the parallelism is free of write
+    // conflicts; results are byte-identical to the sequential loop.
+    val srcInfo = T(s, dir, "documents")
+      .groupBy(col("source"))
+      .agg(max(when(col("source") === "src3" || col("doc_id") % 97 === 0, 1)
+        .otherwise(0)).as("touched"))
+      .collect().map(r => r.getString(0) -> (r.getInt(1) == 1))
+    val rewrites = srcInfo.collect {
+      case (src, touched) if !touched =>
         java.nio.file.Files.createSymbolicLink(
-          srcDir, java.nio.file.Paths.get(v1, s"source=$src"))
-        ()
-      } else if (src != "src3") {
-        s.read.parquet(s"$v1/source=$src")
-          .filter(col("doc_id") % 97 =!= 0)
-          .write.mode(SaveMode.Overwrite).parquet(srcDir.toString)
-      } // src3: absent — metadata-only partition drop
+          java.nio.file.Paths.get(v2, s"source=$src"),
+          java.nio.file.Paths.get(v1, s"source=$src"))
+        None
+      case (src, _) if src != "src3" => Some(src)
+      // src3: absent — metadata-only partition drop
+    }.flatten
+    if (rewrites.nonEmpty) {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(4, rewrites.length))
+      try rewrites.map { src =>
+        pool.submit(new Runnable {
+          def run(): Unit =
+            s.read.parquet(s"$v1/source=$src")
+              .filter(col("doc_id") % 97 =!= 0)
+              .write.mode(SaveMode.Overwrite)
+              .parquet(java.nio.file.Paths.get(v2, s"source=$src").toString)
+        })
+      }.foreach(_.get())
+      finally pool.shutdown()
     }
     s.read.option("basePath", v2).parquet(v2)
       .groupBy(col("source"))

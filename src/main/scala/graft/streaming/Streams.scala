@@ -869,7 +869,9 @@ object Streams {
       .foreachBatch { (batch0: DataFrame, batchId: Long) =>
         val marker = Paths.get(root, "_applied", batchId.toString)
         if (!Files.exists(marker)) {
-          val batch = batch0.localCheckpoint() // one materialization, three consumers
+          // one materialization, three consumers; LAZY since r16 — the
+          // classify job materializes it, saving one action per micro-batch
+          val batch = batch0.localCheckpoint(false)
           // signatures compute ONCE per batch, shared by probe + index append
           val sigs = sigFn(batch)
           classifyFn(batch,
